@@ -1,0 +1,446 @@
+"""System orchestration: the run loop.
+
+TPU-native redesign of the reference System (hoomd/System.cc:419-620) and
+IntegratorTwoStep (md/IntegratorTwoStep.cc:96-161).  The reference executes
+per timestep: analyzers -> updaters -> integrator(step1 -> communicate ->
+forces -> step2).  Here the whole integrator pipeline — including the
+lax.cond-gated neighbor rebuild — is ONE jitted function iterated with
+``lax.fori_loop`` for a chunk of steps; analyzers/updaters run host-side at
+chunk boundaries, reproducing the period/phase semantics (System.h:71-128)
+without per-step host synchronization.
+
+Capacity overflow (neighbor/cell list) follows the reference's
+grow-and-retry protocol: sticky device flags are checked after each chunk;
+on overflow the host enlarges the static capacities, recompiles, and re-runs
+the chunk from the saved carry (states are immutable, so retry is free).
+
+The reference's ``determineFlags`` lazy PE/virial computation
+(System.cc:855) is unnecessary here: the fused pair kernel produces force,
+energy and virial in one pass over the same gathered data, so they are
+effectively free.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from . import rng
+from ._config import real_dtype
+from .ops.neighbor import fresh_neighbor_list, update_neighbor_list
+from .ops.reduce import ksum
+from .state import snapshot_from_state, state_from_snapshot
+
+
+class System:
+    """Holds the device state and all registered operations; compiles and
+    runs the step pipeline."""
+
+    def __init__(self, snapshot):
+        self.snapshot_template = snapshot
+        self.state = state_from_snapshot(snapshot)
+        self.particle_types = list(snapshot.particles.types)
+        self.forces = []
+        self.nlists = []
+        self.methods = []
+        self.integrator_mode = None
+        self.analyzers = []
+        self.updaters = []
+        self._program = None
+        self._dirty_flag = True
+        self._params_dirty = True
+        self._dyn = None
+        self._nl_data = None       # tuple(NeighborListData) matching program
+        self._method_aux = None
+        self._method_aux_by_obj = {}
+        self._restored_method_state = {}
+        self._grow = {}            # nlist -> dict of capacity floors
+        self._last_tps = 0.0
+        self._forces_fresh = False
+
+    # -- registration ------------------------------------------------------
+    def add_force(self, f):
+        self.forces.append(f)
+        self._dirty()
+
+    def add_nlist(self, nl):
+        self.nlists.append(nl)
+        self._dirty()
+
+    def add_integration_method(self, m):
+        self.methods.append(m)
+        self._dirty()
+
+    def set_integrator_mode(self, mode):
+        self.integrator_mode = mode
+        self._dirty()
+
+    def register_analyzer(self, a):
+        self.analyzers.append(a)
+
+    def register_updater(self, u):
+        self.updaters.append(u)
+
+    def _dirty(self):
+        self._dirty_flag = True
+        self._params_dirty = True
+        self._forces_fresh = False
+
+    def _refresh_params(self):
+        self._params_dirty = True
+
+    # -- properties ----------------------------------------------------------
+    @property
+    def timestep(self):
+        return int(self.state.timestep)
+
+    @property
+    def real_dtype(self):
+        return real_dtype()
+
+    # -- program construction ------------------------------------------------
+    def _active(self):
+        forces = [f for f in self.forces if f.enabled]
+        methods = [m for m in self.methods if m.enabled]
+        nlists = []
+        for f in forces:
+            if f._nlist is not None and f._nlist not in nlists:
+                nlists.append(f._nlist)
+        return forces, nlists, methods
+
+    def _rebuild_program(self):
+        import jax
+        import jax.numpy as jnp
+
+        forces, nlists, methods = self._active()
+        for nl in nlists:
+            nl._build_config(self, grow=self._grow.get(nl))
+        nl_cfgs = [nl._cfg for nl in nlists]
+        force_fns = [f._make_compute(self) for f in forces]
+        force_nl_slot = [nlists.index(f._nlist) if f._nlist in nlists
+                         else -1 for f in forces]
+        method_seeds = [getattr(m, 'seed', 0) for m in methods]
+
+        def _update_nls(state, nls, force=False):
+            out = []
+            for k, cfg in enumerate(nl_cfgs):
+                out.append(update_neighbor_list(
+                    state.pos, state.typeid, state.tag, state.diameter,
+                    state.box, nls[k], r_buff=cfg.r_buff,
+                    cell_dim=cfg.cell_dim, cell_cap=cfg.cell_cap,
+                    cell_adj=cfg.cell_adj, rmax_table=cfg.rmax_table,
+                    max_neigh=cfg.max_neigh, excl_tags=cfg.excl_tags,
+                    diameter_shift=cfg.diameter_shift, body=state.body,
+                    exclude_body=cfg.exclude_body, force=force))
+            return tuple(out)
+
+        def _net_force(state, nls, dyn):
+            N = state.N
+            dt_ = state.pos.dtype
+            F = jnp.zeros((N, 3), dtype=dt_)
+            pe = jnp.zeros((N,), dtype=dt_)
+            vir = jnp.zeros((N, 6), dtype=dt_)
+            for fn, slot, fp in zip(force_fns, force_nl_slot,
+                                    dyn['forces']):
+                nl = nls[slot] if slot >= 0 else None
+                f, p, v = fn(state, nl, fp)
+                F, pe, vir = F + f, pe + p, vir + v
+            return state.replace(net_force=F, net_pe=pe, net_virial=vir)
+
+        def one_step(state, nls, auxs, dyn):
+            dt = dyn['dt']
+            auxs = list(auxs)
+            for i, m in enumerate(methods):
+                key = rng.step_key(method_seeds[i], state.timestep, salt=i)
+                state, auxs[i] = m._step1(state, auxs[i],
+                                          dyn['methods'][i], dt, key)
+            nls = _update_nls(state, nls)
+            state = _net_force(state, nls, dyn)
+            for i, m in enumerate(methods):
+                key = rng.step_key(method_seeds[i], state.timestep,
+                                   salt=4096 + i)
+                state, auxs[i] = m._step2(state, auxs[i],
+                                          dyn['methods'][i], dt, key)
+            state = state.replace(timestep=state.timestep + 1)
+            return state, nls, tuple(auxs)
+
+        def run_chunk(state, nls, auxs, dyn, nsteps):
+            def body(_, carry):
+                return one_step(*carry, dyn)
+            import jax.lax as lax
+            return lax.fori_loop(0, nsteps, body, (state, nls, auxs))
+
+        def prep(state, nls, dyn):
+            """Initial force evaluation (reference Integrator::prepRun)."""
+            nls = _update_nls(state, nls)
+            return _net_force(state, nls, dyn), nls
+
+        program = {
+            'forces': forces, 'nlists': nlists, 'methods': methods,
+            'nl_cfgs': nl_cfgs,
+            'run_chunk': jax.jit(run_chunk),
+            'prep': jax.jit(prep),
+            'force_fns': force_fns, 'force_nl_slot': force_nl_slot,
+        }
+        self._program = program
+
+        # (re)initialize device-side nlist data and method aux
+        dtype = self.state.pos.dtype
+        self._nl_data = tuple(
+            fresh_neighbor_list(self.state.N, cfg.max_neigh, dtype)
+            for cfg in nl_cfgs)
+        auxs = []
+        for m in methods:
+            if m in self._method_aux_by_obj:
+                auxs.append(self._method_aux_by_obj[m])
+            else:
+                a = m._init_aux(self.state)
+                self._method_aux_by_obj[m] = a
+                auxs.append(a)
+        self._method_aux = tuple(auxs)
+        self._dirty_flag = False
+        self._params_dirty = True
+
+    def _pack_dyn(self):
+        import jax.numpy as jnp
+        p = self._program
+        dt_val = self.integrator_mode.dt if self.integrator_mode else 0.0
+        self._dyn = {
+            'dt': jnp.asarray(dt_val, dtype=self.real_dtype),
+            'forces': tuple(f._pack_params(self) for f in p['forces']),
+            'methods': tuple(m._pack_params(self) for m in p['methods']),
+        }
+        self._params_dirty = False
+
+    def _ensure_ready(self):
+        if self._program is None or self._dirty_flag:
+            self._rebuild_program()
+        if self._params_dirty or self._dyn is None:
+            self._pack_dyn()
+
+    def reset_nlist(self):
+        """Force neighbor rebuild on next step (after sorts/snapshot
+        restores)."""
+        if self._program is not None:
+            dtype = self.state.pos.dtype
+            self._nl_data = tuple(
+                fresh_neighbor_list(self.state.N, cfg.max_neigh, dtype)
+                for cfg in self._program['nl_cfgs'])
+
+    # -- overflow handling ----------------------------------------------------
+    def _check_overflow(self, nls):
+        """Returns True when capacities were grown (retry needed)."""
+        grew = False
+        for nl_obj, data, cfg in zip(self._program['nlists'], nls,
+                                     self._program['nl_cfgs']):
+            g = self._grow.setdefault(nl_obj, {})
+            if bool(data.overflow):
+                g['max_neigh'] = max(g.get('max_neigh', 0),
+                                     int(cfg.max_neigh * 1.5) + 8)
+                grew = True
+            if bool(data.cell_overflow):
+                g['cell_cap'] = max(g.get('cell_cap', 0),
+                                    int(cfg.cell_cap * 1.5) + 4)
+                grew = True
+        if grew:
+            self._rebuild_program()
+            self._pack_dyn()
+        return grew
+
+    # -- run loop ---------------------------------------------------------------
+    def run(self, nsteps, callback=None, callback_period=0, quiet=False,
+            limit_hours=None, limit_multiple=1):
+        """Advance the simulation (reference hoomd.run, System::run
+        System.cc:419-620)."""
+        import jax
+        nsteps = int(nsteps)
+        self._ensure_ready()
+        start = self.timestep
+        end = start + nsteps
+        t_wall0 = time.perf_counter()
+        deadline = (t_wall0 + limit_hours * 3600.0) if limit_hours else None
+
+        # initial force computation so step1 sees valid accelerations
+        self._prep_forces()
+
+        cur = start
+        if not quiet:
+            print(f"** starting run at step {cur} **")
+        while cur < end:
+            # fire host-side ops due at this step
+            for op in self.analyzers + self.updaters:
+                if op.enabled and op.period and \
+                        (cur - op.phase) % op.period == 0:
+                    self._fire(op, cur)
+            if callback is not None and callback_period and \
+                    cur % callback_period == 0:
+                res = callback(cur)
+                if res is not None and res < 0:
+                    break
+            # next host-boundary
+            stops = [end]
+            for op in self.analyzers + self.updaters:
+                if op.enabled and op.period:
+                    nxt = cur + op.period - ((cur - op.phase) % op.period)
+                    stops.append(nxt)
+            if callback is not None and callback_period:
+                stops.append(cur + callback_period
+                             - (cur % callback_period))
+            chunk = int(min(stops)) - cur
+            chunk = max(chunk, 1)
+
+            state0 = self.state
+            for _ in range(16):
+                # retry the chunk from the saved state whenever capacities
+                # grew (immutable states make the retry free)
+                state, nls, auxs = self._program['run_chunk'](
+                    state0, self._nl_data, self._method_aux,
+                    self._dyn, chunk)
+                if not self._check_overflow(nls):
+                    break
+            else:
+                raise RuntimeError("neighbor list capacity still "
+                                   "overflowing after repeated growth")
+            self.state, self._nl_data, self._method_aux = state, nls, \
+                tuple(auxs)
+            for m, a in zip(self._program['methods'], auxs):
+                self._method_aux_by_obj[m] = a
+            cur += chunk
+            if deadline and time.perf_counter() > deadline:
+                if not quiet:
+                    print("** walltime limit reached **")
+                break
+        # block until the device is done so TPS is honest
+        jax.block_until_ready(self.state.pos)
+        elapsed = time.perf_counter() - t_wall0
+        done = self.timestep - start
+        self._last_tps = done / elapsed if elapsed > 0 else 0.0
+        if not quiet:
+            print(f"** run complete: {done} steps in {elapsed:.3f} s = "
+                  f"{self._last_tps:.1f} TPS **")
+
+    def _prep_forces(self):
+        """Evaluate all forces at the current positions
+        (reference Integrator::prepRun).  Loops on capacity growth until
+        the neighbor list fits (the reference grows its nlist the same
+        way, md/NeighborList.cc overflow handling)."""
+        for _ in range(16):
+            state, nls = self._program['prep'](self.state, self._nl_data,
+                                               self._dyn)
+            if not self._check_overflow(nls):
+                break
+        else:
+            raise RuntimeError("neighbor list capacity still overflowing "
+                               "after repeated growth")
+        self.state, self._nl_data = state, nls
+        self._forces_fresh = True
+
+    def _fire(self, op, ts):
+        from .operation import Analyzer
+        if isinstance(op, Analyzer):
+            op.analyze(self, ts)
+        else:
+            op.update(self, ts)
+
+    # -- observables -------------------------------------------------------------
+    def take_snapshot(self):
+        return snapshot_from_state(self.state, self.snapshot_template)
+
+    def restore_snapshot(self, snap):
+        self.state = state_from_snapshot(snap)
+        self.snapshot_template = snap
+        self.particle_types = list(snap.particles.types)
+        self._dirty()
+
+    def thermo_quantities(self, member_tags=None):
+        """Kinetic/potential/temperature/pressure over a group
+        (reference ComputeThermo.cc:189-404).  Computed from the state's
+        cached net_pe/net_virial — valid at chunk boundaries."""
+        import jax.numpy as jnp
+        if not self._forces_fresh and self.forces:
+            # forces never evaluated at these positions (fresh init/restore)
+            self._ensure_ready()
+            self._prep_forces()
+        st = self.state
+        if member_tags is None:
+            mask = jnp.ones((st.N,), dtype=bool)
+            n_g = st.N
+        else:
+            member = np.zeros(st.N, dtype=bool)
+            member[member_tags] = True
+            mask = jnp.asarray(member)[st.tag]
+            n_g = len(member_tags)
+        dim = st.box.dimensions
+        mv2 = jnp.where(mask, st.mass * jnp.sum(st.vel ** 2, -1), 0.0)
+        ke = 0.5 * float(ksum(mv2))
+        pe = float(ksum(jnp.where(mask, st.net_pe, 0.0)))
+        ndof = dim * n_g
+        T = 2.0 * ke / ndof if ndof else 0.0
+        vol = float(st.box.volume())
+        w = jnp.where(mask[:, None], st.net_virial, 0.0)
+        w_sum = np.asarray(jnp.sum(w, axis=0))
+        trace = w_sum[0] + w_sum[3] + w_sum[5]
+        P = (2.0 * ke + trace) / (dim * vol)
+        mom = np.asarray(jnp.sum(
+            jnp.where(mask[:, None], st.mass[:, None] * st.vel, 0.0),
+            axis=0))
+        # full pressure tensor: P_ab = (sum m v_a v_b + sum virial_ab) / V
+        mvv = np.asarray(jnp.sum(
+            jnp.where(mask[:, None, None],
+                      st.mass[:, None, None]
+                      * st.vel[:, :, None] * st.vel[:, None, :], 0.0),
+            axis=0))
+        ptens = {
+            'pressure_xx': float((mvv[0, 0] + w_sum[0]) / vol),
+            'pressure_xy': float((mvv[0, 1] + w_sum[1]) / vol),
+            'pressure_xz': float((mvv[0, 2] + w_sum[2]) / vol),
+            'pressure_yy': float((mvv[1, 1] + w_sum[3]) / vol),
+            'pressure_yz': float((mvv[1, 2] + w_sum[4]) / vol),
+            'pressure_zz': float((mvv[2, 2] + w_sum[5]) / vol),
+        }
+        out = {
+            'temperature': T, 'pressure': float(P),
+            'kinetic_energy': ke, 'potential_energy': pe,
+            'ndof': float(ndof), 'num_particles': float(n_g),
+            'volume': vol,
+            'lx': float(st.box.L[0]), 'ly': float(st.box.L[1]),
+            'lz': float(st.box.L[2]),
+            'xy': float(st.box.tilt[0]), 'xz': float(st.box.tilt[1]),
+            'yz': float(st.box.tilt[2]),
+            'momentum': float(np.linalg.norm(mom)),
+        }
+        out.update(ptens)
+        return out
+
+    def force_energy(self, force, group=None):
+        """Total PE of one force (reference ForceCompute::calcEnergySum):
+        recomputed on demand from the current state."""
+        self._ensure_ready()
+        p = self._program
+        if force not in p['forces']:
+            return 0.0
+        i = p['forces'].index(force)
+        slot = p['force_nl_slot'][i]
+        nl = self._nl_data[slot] if slot >= 0 else None
+        _, pe, _ = p['force_fns'][i](self.state, nl,
+                                     self._dyn['forces'][i])
+        import jax.numpy as jnp
+        if group is not None:
+            member = np.zeros(self.state.N, dtype=bool)
+            member[group.member_tags] = True
+            pe = jnp.where(jnp.asarray(member)[self.state.tag], pe, 0.0)
+        return float(ksum(pe))
+
+    def nlist_min_rebuild_interval(self, nl):
+        if self._program is None or nl not in self._program['nlists']:
+            return None
+        i = self._program['nlists'].index(nl)
+        return int(self._nl_data[i].n_rebuilds)
+
+    def restore_method_state(self, method):
+        key = type(method).__name__
+        if key in self._restored_method_state:
+            self._method_aux_by_obj[method] = \
+                self._restored_method_state[key]
+            self._dirty()
