@@ -35,7 +35,9 @@ class mode_standard:
             self.dt = float(dt)
         if aniso is not None:
             self.aniso = aniso
-        # dt is passed as a traced argument: no recompilation needed
+        # dt is a traced argument: repack only, no recompilation
+        if context.current and context.current.system:
+            context.current.system._refresh_params()
 
 
 class _method(IntegrationMethod):
@@ -350,3 +352,260 @@ class berendsen(_method):
         v = jnp.where(mask, state.vel * lam, state.vel)
         state = state.replace(vel=v)
         return self._vv_drift(state, params, dt), aux
+
+
+class npt(_method):
+    """MTK constant-pressure integration (md/TwoStepNPTMTK.cc, 987 LoC in
+    the reference; integrate.py npt).
+
+    Martyna-Tobias-Klein barostat + Nose-Hoover thermostat with per-axis
+    barostat velocities nu for orthorhombic boxes.  ``couple`` ties axes
+    together ('xyz' isotropic default, 'xy'/'xz'/'yz' partial, 'none'
+    fully anisotropic); x/y/z flags select which box lengths respond.
+    Box-shear (tilt) barostatting is not yet implemented.
+
+    Internal state (xi, eta, nu) persists in aux like the reference's
+    IntegratorVariables.
+    """
+
+    def __init__(self, group, kT=None, tau=None, P=None, tauP=None,
+                 couple='xyz', x=True, y=True, z=True, xy=False, xz=False,
+                 yz=False, all=False, nph=False, rescale_all=False,
+                 gamma=0.0):
+        _method.__init__(self, group)
+        if xy or xz or yz or all:
+            raise NotImplementedError("npt: tilt (shear) barostatting not "
+                                      "yet implemented in hoomd_tpu")
+        if P is None or tauP is None:
+            raise ValueError("npt requires P and tauP")
+        if not nph and (kT is None or tau is None):
+            raise ValueError("npt requires kT and tau (or nph=True)")
+        self.kT = variant.as_variant(kT if kT is not None else 1.0)
+        self.tau = float(tau) if tau is not None else 1.0
+        self.P = variant.as_variant(P)
+        self.tauP = float(tauP)
+        self.couple = couple if couple != 'all' else 'xyz'
+        self.axes = (bool(x), bool(y), bool(z))
+        self.nph = bool(nph)
+        self.rescale_all = bool(rescale_all)
+
+    def set_params(self, kT=None, tau=None, P=None, tauP=None):
+        if kT is not None:
+            self.kT = variant.as_variant(kT)
+        if tau is not None:
+            self.tau = float(tau)
+        if P is not None:
+            self.P = variant.as_variant(P)
+        if tauP is not None:
+            self.tauP = float(tauP)
+        context.current.system._refresh_params()
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        p = self._base_params(system)
+        rdt = system.real_dtype
+        p['kT'] = self.kT.pack(rdt)
+        p['P'] = self.P.pack(rdt)
+        p['tau'] = jnp.asarray(self.tau, dtype=rdt)
+        p['tauP'] = jnp.asarray(self.tauP, dtype=rdt)
+        p['ndof'] = jnp.asarray(self._ndof(system), dtype=rdt)
+        p['axes'] = jnp.asarray(self.axes)
+        return p
+
+    def _init_aux(self, state):
+        import jax.numpy as jnp
+        z = jnp.zeros((), dtype=state.pos.dtype)
+        return {'xi': z, 'eta': z,
+                'nu': jnp.zeros((3,), dtype=state.pos.dtype)}
+
+    def _couple_nu(self, nu):
+        import jax.numpy as jnp
+        c = self.couple
+        if c == 'xyz':
+            m = jnp.mean(nu)
+            return jnp.stack([m, m, m])
+        if c == 'none':
+            return nu
+        pairs = {'xy': (0, 1), 'xz': (0, 2), 'yz': (1, 2)}
+        if c not in pairs:
+            raise ValueError(f"invalid couple mode {c!r}")
+        a, b = pairs[c]
+        m = 0.5 * (nu[a] + nu[b])
+        return nu.at[a].set(m).at[b].set(m)
+
+    def _pressure_axes(self, state, params):
+        """Diagonal pressure tensor components over the whole system
+        (ComputeThermo pressure tensor)."""
+        import jax.numpy as jnp
+        V = state.box.volume()
+        mvv = jnp.sum(state.mass[:, None] * state.vel ** 2, axis=0)
+        vir_diag = jnp.stack([jnp.sum(state.net_virial[:, 0]),
+                              jnp.sum(state.net_virial[:, 3]),
+                              jnp.sum(state.net_virial[:, 5])])
+        return (mvv + vir_diag) / V
+
+    def _update_barostat(self, state, aux, params, dt):
+        import jax.numpy as jnp
+        kT0 = variant.eval_packed(params['kT'], state.timestep)
+        P0 = variant.eval_packed(params['P'], state.timestep)
+        g = params['ndof']
+        d = 3.0
+        W = (g + d) * kT0 * params['tauP'] ** 2
+        V = state.box.volume()
+        P_axes = self._pressure_axes(state, params)
+        mask = self._mask(state, params)
+        ke2 = jnp.sum(jnp.where(mask, state.mass
+                                * jnp.sum(state.vel ** 2, -1), 0.0))
+        nu = aux['nu'] + 0.5 * dt * (V * (P_axes - P0) + ke2 / g) / W
+        nu = jnp.where(params['axes'], self._couple_nu(nu), 0.0)
+        return nu
+
+    def _thermo_half(self, state, aux, params, dt):
+        import jax.numpy as jnp
+        if self.nph:
+            return aux['xi']
+        kT0 = variant.eval_packed(params['kT'], state.timestep)
+        T = self._group_temperature(state, params, params['ndof'])
+        return aux['xi'] + 0.5 * dt * (T / kT0 - 1.0) / params['tau'] ** 2
+
+    def _step1(self, state, aux, params, dt, key):
+        import jax.numpy as jnp
+        g = params['ndof']
+        nu = self._update_barostat(state, aux, params, dt)
+        xi = self._thermo_half(state, aux, params, dt)
+        mask = self._mask(state, params)[:, None]
+        # velocity scale: thermostat + barostat (MTK correction sum(nu)/g)
+        fac = jnp.exp(-0.5 * dt * (xi + nu[None, :]
+                                   + jnp.sum(nu) / g))
+        v = jnp.where(mask, state.vel * fac, state.vel)
+        a = state.net_force / state.mass[:, None]
+        v = jnp.where(mask, v + 0.5 * dt * a, v)
+        # drift with box flow
+        ex = jnp.exp(dt * nu)[None, :]
+        ex_half = jnp.exp(0.5 * dt * nu)[None, :]
+        if self.rescale_all:
+            pos = state.pos * ex + dt * v * ex_half
+        else:
+            pos = jnp.where(mask, state.pos * ex + dt * v * ex_half,
+                            state.pos)
+        newL = state.box.L * jnp.exp(dt * nu)
+        box = state.box.replace(L=newL)
+        pos, image = box.wrap(pos, state.image)
+        eta = aux['eta'] + dt * xi
+        return (state.replace(pos=pos, vel=v, image=image, box=box),
+                {'xi': xi, 'eta': eta, 'nu': nu})
+
+    def _step2(self, state, aux, params, dt, key):
+        import jax.numpy as jnp
+        g = params['ndof']
+        mask = self._mask(state, params)[:, None]
+        a = state.net_force / state.mass[:, None]
+        v = jnp.where(mask, state.vel + 0.5 * dt * a, state.vel)
+        nu = aux['nu']
+        xi = aux['xi']
+        fac = jnp.exp(-0.5 * dt * (xi + nu[None, :] + jnp.sum(nu) / g))
+        v = jnp.where(mask, v * fac, v)
+        state = state.replace(vel=v)
+        xi = self._thermo_half(state, dict(aux, xi=xi), params, dt) \
+            if not self.nph else xi
+        nu = self._update_barostat(state, dict(aux, nu=nu), params, dt)
+        return state, dict(aux, xi=xi, nu=nu)
+
+
+class nph(npt):
+    """Constant pressure, constant enthalpy (md/integrate.py nph):
+    the NPT barostat without the thermostat."""
+
+    def __init__(self, group, P, tauP, couple='xyz', x=True, y=True,
+                 z=True, gamma=0.0):
+        npt.__init__(self, group, P=P, tauP=tauP, couple=couple,
+                     x=x, y=y, z=z, nph=True)
+
+
+class mode_minimize_fire(mode_standard):
+    """FIRE energy minimization mode (md/FIREEnergyMinimizer.cc;
+    integrate.py:1269).  Add an nve method for the group to relax; query
+    ``has_converged`` between runs.
+
+    FIRE per step (after forces): P = F.v; if P>0 mix v toward the force
+    direction, and after Nmin consecutive downhill steps grow dt; on P<0
+    zero velocities, shrink dt, reset the mixing.
+    """
+
+    def __init__(self, dt, Nmin=5, finc=1.1, fdec=0.5, alpha_start=0.1,
+                 falpha=0.99, ftol=1e-1, Etol=1e-5, wtol=None,
+                 min_steps=10, group=None, aniso=None):
+        self.dt_max = float(dt)
+        self.Nmin = int(Nmin)
+        self.finc = float(finc)
+        self.fdec = float(fdec)
+        self.alpha_start = float(alpha_start)
+        self.falpha = float(falpha)
+        self.ftol = float(ftol)
+        self.Etol = float(Etol)
+        self.min_steps = int(min_steps)
+        mode_standard.__init__(self, dt, aniso)
+
+    # -- mode hooks consumed by System -------------------------------------
+    def _init_mode_aux(self, state):
+        import jax.numpy as jnp
+        rdt = state.pos.dtype
+        return {'dt': jnp.asarray(0.1 * self.dt_max, rdt),
+                'alpha': jnp.asarray(self.alpha_start, rdt),
+                'n_pos': jnp.zeros((), jnp.int32),
+                'nsteps': jnp.zeros((), jnp.int32),
+                'e_prev': jnp.asarray(jnp.inf, rdt),
+                'converged': jnp.zeros((), bool)}
+
+    def _resolve_dt(self, dyn, mode_aux):
+        return mode_aux['dt']
+
+    def _post_force(self, state, mode_aux):
+        """FIRE velocity mixing + dt adaptation, applied between the force
+        evaluation and step2 (the reference applies it at the same point
+        in the Verlet cycle)."""
+        import jax.numpy as jnp
+        F = state.net_force
+        v = state.vel
+        P = jnp.sum(F * v)
+        fnorm = jnp.sqrt(jnp.sum(F * F))
+        vnorm = jnp.sqrt(jnp.sum(v * v))
+        alpha = mode_aux['alpha']
+        v_mix = ((1.0 - alpha) * v
+                 + alpha * vnorm * F / jnp.maximum(fnorm, 1e-12))
+        uphill = P <= 0.0
+        v_new = jnp.where(uphill, jnp.zeros_like(v), v_mix)
+        n_pos = jnp.where(uphill, 0, mode_aux['n_pos'] + 1)
+        grow = (~uphill) & (n_pos > self.Nmin)
+        dt_new = jnp.where(
+            grow, jnp.minimum(mode_aux['dt'] * self.finc, self.dt_max),
+            jnp.where(uphill, mode_aux['dt'] * self.fdec, mode_aux['dt']))
+        alpha_new = jnp.where(grow, alpha * self.falpha,
+                              jnp.where(uphill,
+                                        jnp.asarray(self.alpha_start,
+                                                    alpha.dtype), alpha))
+        e = jnp.sum(state.net_pe)
+        N = state.N
+        converged = (mode_aux['nsteps'] > self.min_steps) & (
+            (fnorm / jnp.sqrt(jnp.asarray(3.0 * N, fnorm.dtype))
+             < self.ftol)
+            | (jnp.abs(e - mode_aux['e_prev']) < self.Etol))
+        new_aux = {'dt': dt_new, 'alpha': alpha_new, 'n_pos': n_pos,
+                   'nsteps': mode_aux['nsteps'] + 1, 'e_prev': e,
+                   'converged': mode_aux['converged'] | converged}
+        return state.replace(vel=v_new), new_aux
+
+    def has_converged(self):
+        sys_ = context.current.system
+        aux = sys_._mode_aux
+        return bool(aux['converged']) if aux else False
+
+    def reset(self):
+        sys_ = context.current.system
+        if sys_._mode_aux is not None:
+            sys_._mode_aux = self._init_mode_aux(sys_.state)
+
+
+class mode_minimize_rigid_fire(mode_minimize_fire):
+    """Alias of FIRE accepting the rigid-specific arguments
+    (reference integrate.py mode_minimize_rigid_fire)."""

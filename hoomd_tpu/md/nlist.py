@@ -25,7 +25,7 @@ class _NlistConfig:
     """Frozen per-compile static configuration of one neighbor list."""
 
     def __init__(self, cell_dim, cell_cap, max_neigh, cell_adj, rmax_table,
-                 excl_tags, exclude_body, diameter_shift, r_buff):
+                 excl_tags, exclude_body, diameter_shift, r_buff, r_max):
         self.cell_dim = cell_dim
         self.cell_cap = cell_cap
         self.max_neigh = max_neigh
@@ -35,6 +35,7 @@ class _NlistConfig:
         self.exclude_body = exclude_body
         self.diameter_shift = diameter_shift
         self.r_buff = r_buff
+        self.r_max = r_max
 
     def signature(self):
         return (self.cell_dim, self.cell_cap, self.max_neigh,
@@ -194,6 +195,7 @@ class nlist:
             exclude_body='body' in self.exclusions,
             diameter_shift=self.diameter_shift,
             r_buff=self.r_buff,
+            r_max=r_span,
         )
         return self._cfg
 

@@ -286,3 +286,170 @@ class table(Force):
                  for a, b in pairs], axis=-1)
             return force, pe, vir
         return compute
+
+
+def _pair_hash_uniform(seed, step, tag_i, tag_j, dtype):
+    """Counter-based symmetric per-pair uniform(-1,1) — the Saru analog
+    (reference hoomd/Saru.h:51-121 used per (tag_i, tag_j, step) in
+    PotentialPairDPDThermo.h).  A murmur3-style integer mix keyed by
+    (min(tag), max(tag), step, seed): stateless, order-independent, and
+    vectorized over the (N, K) pair tile."""
+    import jax.numpy as jnp
+
+    def mix(h):
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85ebca6b)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xc2b2ae35)
+        h = h ^ (h >> 16)
+        return h
+
+    a = jnp.minimum(tag_i, tag_j).astype(jnp.uint32)
+    b = jnp.maximum(tag_i, tag_j).astype(jnp.uint32)
+    h = mix(jnp.uint32(seed) * jnp.uint32(0x9E3779B1)
+            ^ jnp.asarray(step).astype(jnp.uint32)
+            * jnp.uint32(0x27220A95))
+    h = mix(a * jnp.uint32(0x165667B1) ^ h)
+    h = mix(b * jnp.uint32(0xD3A2646C) ^ h)
+    u = (h >> jnp.uint32(8)).astype(dtype) \
+        * jnp.asarray(1.0 / (1 << 24), dtype)
+    return 2.0 * u - 1.0
+
+
+class dpd(Force):
+    """DPD pair with pairwise thermostat (reference md/pair.py dpd:1283,
+    PotentialPairDPDThermo.h): conservative soft repulsion A(1-r/rc) plus
+    dissipative -gamma w^2 (rhat.v12) and random sigma w xi/sqrt(dt) forces
+    along rhat, with sigma^2 = 2 gamma kT (fluctuation-dissipation), one
+    independent stream per (pair, step).
+
+    pair_coeff.set('A','A', A=..., gamma=...).
+    """
+    _conservative = True
+
+    def __init__(self, r_cut, nlist, kT=1.0, seed=1, name=None):
+        Force.__init__(self, name)
+        self._log_base = f"pair_{type(self).__name__}_energy"
+        from .. import variant as _variant
+        self.r_cut = float(r_cut)
+        self.kT = _variant.as_variant(kT)
+        self.seed = int(seed)
+        self.pair_coeff = coeff()
+        self.mode = 'none'
+        self._nlist = nlist
+        nlist.subscribe(self)
+        context.current.system.add_force(self)
+
+    def set_params(self, kT=None):
+        from .. import variant as _variant
+        if kT is not None:
+            self.kT = _variant.as_variant(kT)
+            context.current.system._refresh_params()
+
+    def _rcut_matrix(self, types):
+        nt = len(types)
+        m = np.zeros((nt, nt))
+        for i, a in enumerate(types):
+            for j, b in enumerate(types):
+                rc = self.pair_coeff.get(a, b, 'r_cut')
+                m[i, j] = self.r_cut if rc is None else rc
+        return m
+
+    def _coeff_names(self):
+        return ('A', 'gamma') if self._conservative is True else \
+            ('epsilon', 'sigma', 'alpha', 'gamma')
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        dt = system.real_dtype
+        names = self._coeff_names()
+        defaults = {'alpha': 1.0}
+        cf = coeff()
+        cf.values = self.pair_coeff.values
+        cf.verify(types, names, defaults)
+        nt = len(types)
+        tabs = {}
+        for n in names:
+            t = np.zeros((nt, nt))
+            for i, a in enumerate(types):
+                for j, b in enumerate(types):
+                    v = self.pair_coeff.get(a, b, n)
+                    t[i, j] = float(defaults[n] if v is None else v)
+            tabs[n] = jnp.asarray(t, dtype=dt)
+        out = {'tables': tabs,
+               'rcut': jnp.asarray(self._rcut_matrix(types), dtype=dt),
+               'kT': self.kT.pack(dt)}
+        mode = system.integrator_mode
+        out['dt'] = jnp.asarray(mode.dt if mode else 0.0, dtype=dt)
+        return out
+
+    def _make_compute(self, system):
+        import jax.numpy as jnp
+        from .._config import PAD_COORD, int_dtype
+        from .. import variant as _variant
+        seed = self.seed
+        conservative_lj = self._conservative is not True
+
+        def compute(state, nl, params):
+            idt = int_dtype()
+            pos, typeid, vel = state.pos, state.typeid, state.vel
+            N, K = nl.idx.shape
+            rdt = pos.dtype
+            pos_pad = jnp.concatenate(
+                [pos, jnp.full((1, 3), PAD_COORD, rdt)])
+            v_pad = jnp.concatenate([vel, jnp.zeros((1, 3), rdt)])
+            t_pad = jnp.concatenate([typeid, jnp.zeros((1,), idt)])
+            tag_pad = jnp.concatenate([state.tag,
+                                       jnp.zeros((1,), idt)])
+            j = nl.idx
+            dr = state.box.min_image(pos[:, None, :] - pos_pad[j])
+            r2 = jnp.sum(dr * dr, axis=-1)
+            ti, tj = typeid[:, None], t_pad[j]
+            rc = params['rcut'][ti, tj]
+            valid = (j < N) & (r2 < rc * rc)
+            r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+            rinv = 1.0 / r
+            w = jnp.maximum(1.0 - r / rc, 0.0)          # DPD weight
+            gamma = params['tables']['gamma'][ti, tj]
+            kT = _variant.eval_packed(params['kT'], state.timestep)
+            dt_step = params['dt']
+            # conservative part
+            if conservative_lj:
+                s6 = (params['tables']['sigma'][ti, tj] ** 2
+                      / jnp.where(valid, r2, 1.0)) ** 3
+                epsl = params['tables']['epsilon'][ti, tj]
+                alph = params['tables']['alpha'][ti, tj]
+                f_c = 24.0 * epsl * (2.0 * s6 * s6 - alph * s6) \
+                    / jnp.where(valid, r2, 1.0) * r
+                e = 4.0 * epsl * (s6 * s6 - alph * s6)
+            else:
+                A = params['tables']['A'][ti, tj]
+                f_c = A * w
+                e = 0.5 * A * rc * w * w
+            # dissipative + random parts (thermostat)
+            v12 = vel[:, None, :] - v_pad[j]
+            rdotv = jnp.sum(dr * v12, axis=-1) * rinv
+            xi = _pair_hash_uniform(seed, state.timestep,
+                                    state.tag[:, None], tag_pad[j], rdt)
+            sigma = jnp.sqrt(6.0 * gamma * kT / jnp.maximum(dt_step,
+                                                            1e-12))
+            f_mag = f_c - gamma * w * w * rdotv + sigma * w * xi
+            f_mag = jnp.where(valid, f_mag, 0.0)
+            e = jnp.where(valid, e, 0.0)
+            fdivr = f_mag * rinv
+            force = jnp.sum(fdivr[:, :, None] * dr, axis=1)
+            pe = 0.5 * jnp.sum(e, axis=1)
+            pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+            vir = jnp.stack(
+                [0.5 * jnp.sum(fdivr * dr[:, :, a] * dr[:, :, b], axis=1)
+                 for a, b in pairs], axis=-1)
+            return force.astype(rdt), pe.astype(rdt), vir
+        return compute
+
+
+class dpdlj(dpd):
+    """LJ conservative force + DPD pairwise thermostat
+    (reference md/pair.py dpdlj).  pair_coeff.set(..., epsilon=, sigma=,
+    gamma=)."""
+    _conservative = 'lj'

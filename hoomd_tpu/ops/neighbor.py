@@ -37,6 +37,7 @@ class NeighborListData:
     n_neigh: jnp.ndarray      # (N,) int
     ref_pos: jnp.ndarray      # (N, 3) positions at last rebuild
     ref_box_L: jnp.ndarray    # (3,) box lengths at last rebuild
+    ref_box_tilt: jnp.ndarray  # (3,) box tilts at last rebuild
     overflow: jnp.ndarray     # () bool — neighbor capacity exceeded (sticky)
     cell_overflow: jnp.ndarray  # () bool — cell capacity exceeded (sticky)
     n_rebuilds: jnp.ndarray   # () int
@@ -44,78 +45,116 @@ class NeighborListData:
 
 def build_neighbor_list(pos, typeid, tag, diameter, box, cell_dim, cell_cap,
                         cell_adj, rmax_table, max_neigh, excl_tags=None,
-                        diameter_shift=False, body=None, exclude_body=False):
+                        diameter_shift=False, body=None, exclude_body=False,
+                        row_block=4096):
     """One full rebuild: bin -> stencil gather -> cutoff mask -> compact.
 
     rmax_table: (ntypes, ntypes) r_cut + r_buff per type pair.
     excl_tags: optional (Ntags, E) table of excluded tags per tag
                (sentinel >= Ntags).
     Returns (idx, n_neigh, nbr_overflow, cell_overflow).
+
+    The (rows, 27*cell_cap) candidate tensors are O(N * stencil) — at 64k
+    particles that is GBs of intermediates if materialized whole.  The build
+    therefore streams over row blocks with lax.map, bounding peak HBM to
+    O(row_block * stencil) while the per-block work stays wide enough to
+    saturate the VPU (the reference GPU kernel makes the same tradeoff with
+    its threads-per-particle tiling, NeighborListGPUBinned.cu:75).
     """
     idt = int_dtype()
     N = pos.shape[0]
+    dtype = pos.dtype
     cid, cell_list, cell_overflow = bin_particles(pos, box, cell_dim,
                                                   cell_cap)
     # pad cell list with a sentinel row for deduplicated adjacency slots
     cl_pad = jnp.concatenate(
         [cell_list, jnp.full((1, cell_cap), N, dtype=idt)], axis=0)
-    cand = cl_pad[cell_adj[cid]].reshape(N, -1)      # (N, 27*cell_cap)
-
     pos_pad = jnp.concatenate(
-        [pos, jnp.full((1, 3), PAD_COORD, dtype=pos.dtype)], axis=0)
-    dr = box.min_image(pos[:, None, :] - pos_pad[cand])
-    r2 = jnp.sum(dr * dr, axis=-1)
-
+        [pos, jnp.full((1, 3), PAD_COORD, dtype=dtype)], axis=0)
     t_pad = jnp.concatenate([typeid, jnp.zeros((1,), dtype=idt)])
-    tj = t_pad[cand]
-    rmax = rmax_table[typeid[:, None], tj]
     if diameter_shift:
-        d_pad = jnp.concatenate([diameter, jnp.ones((1,),
-                                                    dtype=diameter.dtype)])
-        rmax = rmax + 0.5 * (diameter[:, None] + d_pad[cand]) - 1.0
-    keep = (r2 <= rmax * rmax)
-    keep &= cand != jnp.arange(N, dtype=idt)[:, None]
-    keep &= cand < N
+        d_pad = jnp.concatenate([diameter,
+                                 jnp.ones((1,), dtype=diameter.dtype)])
     if exclude_body and body is not None:
         b_pad = jnp.concatenate([body, jnp.full((1,), -1, dtype=idt)])
-        bj = b_pad[cand]
-        keep &= ~((body[:, None] == bj) & (body[:, None] != -1))
     if excl_tags is not None and excl_tags.shape[1] > 0:
         tag_pad = jnp.concatenate(
             [tag, jnp.full((1,), excl_tags.shape[0], dtype=idt)])
-        cand_tag = tag_pad[cand]                     # (N, C)
-        my_excl = excl_tags[tag]                     # (N, E)
-        keep &= ~jnp.any(cand_tag[:, :, None] == my_excl[:, None, :],
-                         axis=-1)
 
-    # compact each row: position among kept candidates via cumsum, overflow
-    # entries routed to a trash column that is sliced off
-    rank = jnp.cumsum(keep, axis=1, dtype=idt) - 1
-    slot = jnp.where(keep, jnp.minimum(rank, max_neigh), max_neigh)
-    rows = jnp.arange(N, dtype=idt)[:, None]
-    nbr = jnp.full((N, max_neigh + 1), N, dtype=idt)
-    nbr = nbr.at[rows, slot].set(jnp.where(keep, cand, N))
-    n_neigh = jnp.sum(keep, axis=1, dtype=idt)
+    B = min(row_block, N)
+    nblocks = -(-N // B)
+    Npad = nblocks * B
+    # out-of-range rows index the sentinel slot -> produce zero neighbors
+    row_ids = jnp.arange(Npad, dtype=idt).reshape(nblocks, B)
+
+    def block(rows):
+        i = jnp.minimum(rows, N)                    # sentinel-safe
+        pos_i = pos_pad[i]
+        cid_i = cid[jnp.minimum(rows, N - 1)]
+        cand = cl_pad[cell_adj[cid_i]].reshape(B, -1)
+        dr = box.min_image(pos_i[:, None, :] - pos_pad[cand])
+        r2 = jnp.sum(dr * dr, axis=-1)
+        ti = t_pad[i][:, None]
+        tj = t_pad[cand]
+        rmax = rmax_table[ti, tj]
+        if diameter_shift:
+            rmax = rmax + 0.5 * (d_pad[i][:, None] + d_pad[cand]) - 1.0
+        keep = (r2 <= rmax * rmax)
+        keep &= cand != i[:, None]
+        keep &= (cand < N) & (rows < N)[:, None]
+        if exclude_body and body is not None:
+            bi = b_pad[i][:, None]
+            keep &= ~((bi == b_pad[cand]) & (bi != -1))
+        if excl_tags is not None and excl_tags.shape[1] > 0:
+            cand_tag = tag_pad[cand]
+            my_excl = excl_tags[tag_pad[i]]
+            keep &= ~jnp.any(cand_tag[:, :, None] == my_excl[:, None, :],
+                             axis=-1)
+        # compact: position among kept candidates via cumsum; overflow
+        # entries routed to a trash column that is sliced off
+        rank = jnp.cumsum(keep, axis=1, dtype=idt) - 1
+        slot = jnp.where(keep, jnp.minimum(rank, max_neigh), max_neigh)
+        rr = jnp.arange(B, dtype=idt)[:, None]
+        nbr = jnp.full((B, max_neigh + 1), N, dtype=idt)
+        nbr = nbr.at[rr, slot].set(jnp.where(keep, cand, N))
+        nn = jnp.sum(keep, axis=1, dtype=idt)
+        return nbr[:, :max_neigh], nn
+
+    if nblocks == 1:
+        nbr, n_neigh = block(row_ids[0])
+    else:
+        nbr, n_neigh = jax.lax.map(block, row_ids)
+        nbr = nbr.reshape(Npad, max_neigh)[:N]
+        n_neigh = n_neigh.reshape(Npad)[:N]
     nbr_overflow = jnp.any(n_neigh > max_neigh)
-    return nbr[:, :max_neigh], n_neigh, nbr_overflow, cell_overflow
+    return nbr, n_neigh, nbr_overflow, cell_overflow
 
 
-def needs_rebuild(pos, box, nl: NeighborListData, r_buff):
-    """Verlet-skin displacement criterion (md/NeighborList.cc:964-1010):
-    rebuild when any particle moved more than r_buff/2 since the reference
-    snapshot, or when the box changed (deformation-safe, conservative)."""
-    dr = box.min_image(pos - nl.ref_pos)
-    max_d2 = jnp.max(jnp.sum(dr * dr, axis=-1))
-    moved = max_d2 > (0.5 * r_buff) ** 2
-    box_changed = jnp.any(jnp.abs(box.L - nl.ref_box_L) > 1e-7 * box.L)
-    return moved | box_changed
+def needs_rebuild(pos, box, nl: NeighborListData, r_buff, r_max=None):
+    """Verlet-skin displacement criterion, box-deformation aware
+    (md/NeighborList.cc:964-1010): reference positions are remapped
+    affinely into the current box (NPT/box_resize scale particles with the
+    box, so affine flow is not real relative motion), and the skin budget
+    is charged for the strain-induced distance change of a pair at r_max."""
+    from ..box import Box
+    ref_box = Box(L=nl.ref_box_L, tilt=nl.ref_box_tilt,
+                  periodic=box.periodic, dimensions=box.dimensions)
+    ref_remap = box.from_fraction(ref_box.make_fraction(nl.ref_pos))
+    dr = box.min_image(pos - ref_remap)
+    max_d = jnp.sqrt(jnp.max(jnp.sum(dr * dr, axis=-1)))
+    strain = jnp.max(jnp.abs(box.L / nl.ref_box_L - 1.0))
+    strain = strain + jnp.max(jnp.abs(box.tilt - nl.ref_box_tilt))
+    budget = 0.5 * r_buff
+    if r_max is not None:
+        budget = budget - r_max * strain
+    return max_d > budget
 
 
 def update_neighbor_list(pos, typeid, tag, diameter, box,
-                         nl: NeighborListData, *, r_buff, cell_dim, cell_cap,
-                         cell_adj, rmax_table, max_neigh, excl_tags=None,
-                         diameter_shift=False, body=None, exclude_body=False,
-                         force=False):
+                         nl: NeighborListData, *, r_buff, r_max, cell_dim,
+                         cell_cap, cell_adj, rmax_table, max_neigh,
+                         excl_tags=None, diameter_shift=False, body=None,
+                         exclude_body=False, force=False):
     """lax.cond-gated rebuild: the hot-path branch is a no-op."""
 
     def _rebuild(nl):
@@ -126,24 +165,31 @@ def update_neighbor_list(pos, typeid, tag, diameter, box,
             exclude_body=exclude_body)
         return NeighborListData(
             idx=idx, n_neigh=nn, ref_pos=pos, ref_box_L=box.L,
+            ref_box_tilt=box.tilt,
             overflow=nl.overflow | ovf,
             cell_overflow=nl.cell_overflow | covf,
             n_rebuilds=nl.n_rebuilds + 1)
 
     if force:
         return _rebuild(nl)
-    pred = needs_rebuild(pos, box, nl, r_buff)
+    pred = needs_rebuild(pos, box, nl, r_buff, r_max)
     return jax.lax.cond(pred, _rebuild, lambda nl: nl, nl)
 
 
 def fresh_neighbor_list(N, max_neigh, dtype, idt=None):
-    """Empty NeighborListData forcing a rebuild on first use."""
+    """Empty NeighborListData forcing a rebuild on first use.
+
+    ref_box_L = -1 makes the strain term in needs_rebuild exceed any skin
+    budget, so the first check always rebuilds (a PAD-position sentinel
+    alone is unsafe: min_image can wrap it to ~zero displacement when it
+    lands near a multiple of L)."""
     idt = idt or int_dtype()
     return NeighborListData(
         idx=jnp.full((N, max_neigh), N, dtype=idt),
         n_neigh=jnp.zeros((N,), dtype=idt),
         ref_pos=jnp.full((N, 3), PAD_COORD, dtype=dtype),
-        ref_box_L=jnp.zeros((3,), dtype=dtype),
+        ref_box_L=jnp.full((3,), -1.0, dtype=dtype),
+        ref_box_tilt=jnp.zeros((3,), dtype=dtype),
         overflow=jnp.zeros((), dtype=bool),
         cell_overflow=jnp.zeros((), dtype=bool),
         n_rebuilds=jnp.zeros((), dtype=idt))

@@ -58,6 +58,9 @@ class System:
         self._grow = {}            # nlist -> dict of capacity floors
         self._last_tps = 0.0
         self._forces_fresh = False
+        self._mode_aux = None
+        self.hpmc_integrator = None
+        self._hpmc_counters = None
 
     # -- registration ------------------------------------------------------
     def add_force(self, f):
@@ -74,6 +77,12 @@ class System:
 
     def set_integrator_mode(self, mode):
         self.integrator_mode = mode
+        self._dirty()
+
+    def set_hpmc_integrator(self, mc):
+        """HPMC integrators replace the MD pipeline entirely (reference:
+        one Integrator per System, System.h:62)."""
+        self.hpmc_integrator = mc
         self._dirty()
 
     def register_analyzer(self, a):
@@ -113,6 +122,17 @@ class System:
         import jax
         import jax.numpy as jnp
 
+        if self.hpmc_integrator is not None:
+            prog = self.hpmc_integrator._build_program(self)
+            prog['kind'] = 'hpmc'
+            self._program = prog
+            self._hpmc_counters = prog['init_counters']()
+            self._dyn = {}
+            self._dirty_flag = False
+            self._params_dirty = False
+            self._forces_fresh = True   # no forces in pure HPMC
+            return
+
         forces, nlists, methods = self._active()
         for nl in nlists:
             nl._build_config(self, grow=self._grow.get(nl))
@@ -128,6 +148,7 @@ class System:
                 out.append(update_neighbor_list(
                     state.pos, state.typeid, state.tag, state.diameter,
                     state.box, nls[k], r_buff=cfg.r_buff,
+                    r_max=cfg.r_max,
                     cell_dim=cfg.cell_dim, cell_cap=cfg.cell_cap,
                     cell_adj=cfg.cell_adj, rmax_table=cfg.rmax_table,
                     max_neigh=cfg.max_neigh, excl_tags=cfg.excl_tags,
@@ -148,8 +169,14 @@ class System:
                 F, pe, vir = F + f, pe + p, vir + v
             return state.replace(net_force=F, net_pe=pe, net_virial=vir)
 
-        def one_step(state, nls, auxs, dyn):
-            dt = dyn['dt']
+        mode = self.integrator_mode
+        has_mode_hooks = mode is not None and hasattr(mode, '_post_force')
+
+        def one_step(state, nls, auxs, mode_aux, dyn):
+            # FIRE-style modes own an adaptive dt (reference
+            # FIREEnergyMinimizer); standard mode uses the traced dyn dt
+            dt = (mode._resolve_dt(dyn, mode_aux) if has_mode_hooks
+                  else dyn['dt'])
             auxs = list(auxs)
             for i, m in enumerate(methods):
                 key = rng.step_key(method_seeds[i], state.timestep, salt=i)
@@ -157,19 +184,22 @@ class System:
                                           dyn['methods'][i], dt, key)
             nls = _update_nls(state, nls)
             state = _net_force(state, nls, dyn)
+            if has_mode_hooks:
+                state, mode_aux = mode._post_force(state, mode_aux)
             for i, m in enumerate(methods):
                 key = rng.step_key(method_seeds[i], state.timestep,
                                    salt=4096 + i)
                 state, auxs[i] = m._step2(state, auxs[i],
                                           dyn['methods'][i], dt, key)
             state = state.replace(timestep=state.timestep + 1)
-            return state, nls, tuple(auxs)
+            return state, nls, tuple(auxs), mode_aux
 
-        def run_chunk(state, nls, auxs, dyn, nsteps):
+        def run_chunk(state, nls, auxs, mode_aux, dyn, nsteps):
             def body(_, carry):
                 return one_step(*carry, dyn)
             import jax.lax as lax
-            return lax.fori_loop(0, nsteps, body, (state, nls, auxs))
+            return lax.fori_loop(0, nsteps, body,
+                                 (state, nls, auxs, mode_aux))
 
         def prep(state, nls, dyn):
             """Initial force evaluation (reference Integrator::prepRun)."""
@@ -177,9 +207,12 @@ class System:
             return _net_force(state, nls, dyn), nls
 
         program = {
+            'kind': 'md',
             'forces': forces, 'nlists': nlists, 'methods': methods,
             'nl_cfgs': nl_cfgs,
             'run_chunk': jax.jit(run_chunk),
+            'run_chunk_raw': run_chunk,
+            'one_step_raw': one_step,
             'prep': jax.jit(prep),
             'force_fns': force_fns, 'force_nl_slot': force_nl_slot,
         }
@@ -199,6 +232,11 @@ class System:
                 self._method_aux_by_obj[m] = a
                 auxs.append(a)
         self._method_aux = tuple(auxs)
+        if has_mode_hooks and self._mode_aux is None:
+            self._mode_aux = mode._init_mode_aux(self.state)
+        elif not has_mode_hooks:
+            self._mode_aux = None
+        # placeholder so the carry pytree is stable when no mode hooks
         self._dirty_flag = False
         self._params_dirty = True
 
@@ -222,7 +260,7 @@ class System:
     def reset_nlist(self):
         """Force neighbor rebuild on next step (after sorts/snapshot
         restores)."""
-        if self._program is not None:
+        if self._program is not None and self._program['kind'] == 'md':
             dtype = self.state.pos.dtype
             self._nl_data = tuple(
                 fresh_neighbor_list(self.state.N, cfg.max_neigh, dtype)
@@ -230,8 +268,11 @@ class System:
 
     # -- overflow handling ----------------------------------------------------
     def _check_overflow(self, nls):
-        """Returns True when capacities were grown (retry needed)."""
+        """Returns True when capacities were grown or the cell grid became
+        invalid (retry needed)."""
         grew = False
+        L = np.asarray(self.state.box.L)
+        dims = self.state.box.dimensions
         for nl_obj, data, cfg in zip(self._program['nlists'], nls,
                                      self._program['nl_cfgs']):
             g = self._grow.setdefault(nl_obj, {})
@@ -242,6 +283,12 @@ class System:
             if bool(data.cell_overflow):
                 g['cell_cap'] = max(g.get('cell_cap', 0),
                                     int(cfg.cell_cap * 1.5) + 4)
+                grew = True
+            # box deformation (NPT/box_resize) can shrink cells below the
+            # interaction range: re-grid and retry (reference CellList
+            # recomputes its dimensions on box changes, CellList.cc)
+            width = min(L[d] / cfg.cell_dim[d] for d in range(dims))
+            if width < cfg.r_max * 0.9999:
                 grew = True
         if grew:
             self._rebuild_program()
@@ -262,7 +309,8 @@ class System:
         deadline = (t_wall0 + limit_hours * 3600.0) if limit_hours else None
 
         # initial force computation so step1 sees valid accelerations
-        self._prep_forces()
+        if self._program['kind'] == 'md':
+            self._prep_forces()
 
         cur = start
         if not quiet:
@@ -290,22 +338,41 @@ class System:
             chunk = int(min(stops)) - cur
             chunk = max(chunk, 1)
 
-            state0 = self.state
-            for _ in range(16):
-                # retry the chunk from the saved state whenever capacities
-                # grew (immutable states make the retry free)
-                state, nls, auxs = self._program['run_chunk'](
-                    state0, self._nl_data, self._method_aux,
-                    self._dyn, chunk)
-                if not self._check_overflow(nls):
-                    break
+            if self._program['kind'] == 'hpmc':
+                state0 = self.state
+                for _ in range(8):
+                    state, counters = self._program['run_chunk'](
+                        state0, self._hpmc_counters, chunk)
+                    if not bool(counters['cell_overflow']):
+                        break
+                    # grow the MC cell capacity and retry from the saved
+                    # state (same protocol as the neighbor list)
+                    self._grow['hpmc_cell_cap'] = \
+                        int(self._program['cell_cap'] * 1.5) + 4
+                    self._rebuild_program()
+                else:
+                    raise RuntimeError("hpmc cell capacity still "
+                                       "overflowing after growth")
+                self.state, self._hpmc_counters = state, counters
             else:
-                raise RuntimeError("neighbor list capacity still "
-                                   "overflowing after repeated growth")
-            self.state, self._nl_data, self._method_aux = state, nls, \
-                tuple(auxs)
-            for m, a in zip(self._program['methods'], auxs):
-                self._method_aux_by_obj[m] = a
+                state0 = self.state
+                mode_aux0 = self._mode_aux
+                for _ in range(16):
+                    # retry the chunk from the saved state whenever
+                    # capacities grew (immutable states make retry free)
+                    state, nls, auxs, mode_aux = self._program['run_chunk'](
+                        state0, self._nl_data, self._method_aux, mode_aux0,
+                        self._dyn, chunk)
+                    if not self._check_overflow(nls):
+                        break
+                else:
+                    raise RuntimeError("neighbor list capacity still "
+                                       "overflowing after repeated growth")
+                self.state, self._nl_data, self._method_aux = state, nls, \
+                    tuple(auxs)
+                self._mode_aux = mode_aux
+                for m, a in zip(self._program['methods'], auxs):
+                    self._method_aux_by_obj[m] = a
             cur += chunk
             if deadline and time.perf_counter() > deadline:
                 if not quiet:

@@ -113,12 +113,22 @@ def test_verlet_skin_rebuild_logic():
     nl = NeighborListData(
         idx=jnp.zeros((N, 4), dtype=jnp.int32),
         n_neigh=jnp.zeros(N, dtype=jnp.int32),
-        ref_pos=pos0, ref_box_L=box.L,
+        ref_pos=pos0, ref_box_L=box.L, ref_box_tilt=box.tilt,
         overflow=jnp.zeros((), dtype=bool),
         cell_overflow=jnp.zeros((), dtype=bool),
         n_rebuilds=jnp.zeros((), dtype=jnp.int32))
     r_buff = 0.4
     small = pos0.at[0, 0].set(0.19)
     big = pos0.at[0, 0].set(0.21)
-    assert not bool(needs_rebuild(small, box, nl, r_buff))
-    assert bool(needs_rebuild(big, box, nl, r_buff))
+    assert not bool(needs_rebuild(small, box, nl, r_buff, r_max=2.0))
+    assert bool(needs_rebuild(big, box, nl, r_buff, r_max=2.0))
+    # box deformation charges the skin budget: 5% shrink at r_max=2.0
+    # consumes 0.1 of the 0.2 budget
+    import jax.numpy as jnp2
+    shrunk = box.replace(L=box.L * 0.95)
+    # after affine remap a stationary particle has ~zero displacement,
+    # but a 10%-of-budget mover now must trigger at >0.1
+    small2 = (pos0.at[0, 0].set(0.11) * 0.95)
+    assert bool(needs_rebuild(small2, shrunk, nl, r_buff, r_max=2.0))
+    small3 = (pos0.at[0, 0].set(0.05) * 0.95)
+    assert not bool(needs_rebuild(small3, shrunk, nl, r_buff, r_max=2.0))
