@@ -43,9 +43,33 @@ class mode_standard:
 class _method(IntegrationMethod):
     """Common packing: group mask + kT variant tables."""
 
+    _aniso = False   # set by System when aniso forces are active
+
     def __init__(self, group):
         IntegrationMethod.__init__(self, group)
         context.current.system.add_integration_method(self)
+
+    # rotational velocity-Verlet halves (reference TwoStepNVE.cc aniso
+    # blocks; NO_SQUISH free rotor in ops/quat.py)
+    def _rot_step1(self, state, params, dt):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        mask = self._mask(state, params)[:, None]
+        p = Q.angmom_kick(state.orientation, state.angmom,
+                          state.net_torque, state.moment_inertia, dt)
+        q, p = Q.free_rotor(state.orientation, p, state.moment_inertia, dt)
+        q = jnp.where(mask, q, state.orientation)
+        p = jnp.where(mask, p, state.angmom)
+        return state.replace(orientation=q, angmom=p)
+
+    def _rot_step2(self, state, params, dt):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        mask = self._mask(state, params)[:, None]
+        p = Q.angmom_kick(state.orientation, state.angmom,
+                          state.net_torque, state.moment_inertia, dt)
+        p = jnp.where(mask, p, state.angmom)
+        return state.replace(angmom=p)
 
     def _base_params(self, system):
         import jax.numpy as jnp
@@ -133,12 +157,18 @@ class nve(_method):
             dx = jnp.where(n > lim, dx * (lim / n), dx)
         pos = jnp.where(mask, state.pos + dx, state.pos)
         pos, image = state.box.wrap(pos, state.image)
-        return state.replace(pos=pos, vel=v, image=image), aux
+        state = state.replace(pos=pos, vel=v, image=image)
+        if self._aniso:
+            state = self._rot_step1(state, params, dt)
+        return state, aux
 
     def _step2(self, state, aux, params, dt, key):
         if self.zero_force:
             return state, aux
-        return self._vv_kick(state, params, dt), aux
+        state = self._vv_kick(state, params, dt)
+        if self._aniso:
+            state = self._rot_step2(state, params, dt)
+        return state, aux
 
 
 class langevin(_method):
@@ -155,11 +185,18 @@ class langevin(_method):
         self.seed = int(seed)
         self.dscale = dscale
         self.noiseless_t = bool(noiseless_t)
+        self.noiseless_r = bool(noiseless_r)
         self.gamma = {}
+        self.gamma_r = {}
 
     def set_gamma(self, type_name, gamma):
         """Per-type friction coefficient (reference set_gamma)."""
         self.gamma[type_name] = float(gamma)
+        context.current.system._dirty()
+
+    def set_gamma_r(self, type_name, gamma_r):
+        """Per-type rotational friction (reference set_gamma_r)."""
+        self.gamma_r[type_name] = float(gamma_r)
         context.current.system._dirty()
 
     def set_params(self, kT=None):
@@ -173,9 +210,18 @@ class langevin(_method):
         dt = system.real_dtype
         gam = np.array([self.gamma.get(t, 1.0)
                         for t in system.particle_types])
+        gam_r = np.array([self.gamma_r.get(t, 1.0)
+                          for t in system.particle_types])
         p['gamma'] = jnp.asarray(gam, dtype=dt)
+        p['gamma_r'] = jnp.asarray(gam_r, dtype=dt)
         p['kT'] = self.kT.pack(dt)
         return p
+
+    def _step1(self, state, aux, params, dt, key):
+        state = self._vv_drift(state, params, dt)
+        if self._aniso:
+            state = self._rot_step1(state, params, dt)
+        return state, aux
 
     def _step2(self, state, aux, params, dt, key):
         import jax.numpy as jnp
@@ -200,7 +246,29 @@ class langevin(_method):
                       state.vel + 0.5 * dt * f_tot / state.mass[:, None],
                       state.vel)
         f_keep = jnp.where(mask, f_tot, state.net_force)
-        return state.replace(vel=v, net_force=f_keep), aux
+        state = state.replace(vel=v, net_force=f_keep)
+        if self._aniso:
+            import jax
+            from ..ops import quat as Q
+            # rotational drag + noise in the body frame
+            # (TwoStepLangevin.cc rotational block): gamma_r per type
+            gam_r = params['gamma_r'][state.typeid][:, None]
+            w = Q.angular_velocity_body(state.orientation, state.angmom,
+                                        state.moment_inertia)
+            krot = jax.random.fold_in(key, 999)
+            if self.noiseless_r:
+                noise = 0.0
+            else:
+                u = rng.uniform_by_tag(krot, state.tag, (3,),
+                                       state.pos.dtype)
+                noise = jnp.sqrt(6.0 * gam_r * kT / dt) * u
+            t_bd_body = -gam_r * w + noise
+            t_bd = Q.rotate(state.orientation, t_bd_body)
+            tq = jnp.where(mask, state.net_torque + t_bd,
+                           state.net_torque)
+            state = state.replace(net_torque=tq)
+            state = self._rot_step2(state, params, dt)
+        return state, aux
 
 
 class nvt(_method):

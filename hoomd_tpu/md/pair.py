@@ -453,3 +453,44 @@ class dpdlj(dpd):
     (reference md/pair.py dpdlj).  pair_coeff.set(..., epsilon=, sigma=,
     gamma=)."""
     _conservative = 'lj'
+
+
+class ai_pair(pair):
+    """Anisotropic pair base (reference md/AnisoPotentialPair.h;
+    md/pair.py:2095-2350): produces torques alongside forces.  Rotational
+    integration turns on automatically when such a force is present."""
+    is_aniso = True
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        dt = system.real_dtype
+        raw = {k: jnp.asarray(v, dtype=dt)
+               for k, v in self._coeff_tables(types).items()}
+        derived = self._evaluator.derive(raw)
+        return {'tables': {k: jnp.asarray(v, dtype=dt)
+                           for k, v in derived.items()},
+                'rcut': jnp.asarray(self._rcut_matrix(types), dtype=dt)}
+
+    def _make_compute(self, system):
+        from ..ops.aniso_force import aniso_pair_force
+        ev = self._evaluator
+
+        def compute(state, nl, params):
+            return aniso_pair_force(
+                state.pos, state.typeid, state.charge, state.orientation,
+                nl.idx, state.box, ev, params['tables'], params['rcut'])
+        return compute
+
+
+class gb(ai_pair):
+    """Gay-Berne ellipsoids (reference md/pair.py gb, EvaluatorPairGB.h).
+    pair_coeff.set('A','A', epsilon=, lperp=, lpar=)."""
+    from ..ops.aniso_force import gb_evaluator as _evaluator
+
+
+class dipole(ai_pair):
+    """Screened dipole-dipole/charge interactions (reference md/pair.py
+    dipole, EvaluatorPairDipole.h).  pair_coeff.set('A','A', mu=, A=1.0,
+    kappa=).  The dipole points along the body x-axis."""
+    from ..ops.aniso_force import dipole_evaluator as _evaluator

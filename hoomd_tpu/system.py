@@ -160,17 +160,31 @@ class System:
             N = state.N
             dt_ = state.pos.dtype
             F = jnp.zeros((N, 3), dtype=dt_)
+            T = jnp.zeros((N, 3), dtype=dt_)
             pe = jnp.zeros((N,), dtype=dt_)
             vir = jnp.zeros((N, 6), dtype=dt_)
             for fn, slot, fp in zip(force_fns, force_nl_slot,
                                     dyn['forces']):
                 nl = nls[slot] if slot >= 0 else None
-                f, p, v = fn(state, nl, fp)
+                out = fn(state, nl, fp)
+                if len(out) == 4:           # aniso: (force, torque, pe, vir)
+                    f, tq, p, v = out
+                    T = T + tq
+                else:
+                    f, p, v = out
                 F, pe, vir = F + f, pe + p, vir + v
-            return state.replace(net_force=F, net_pe=pe, net_virial=vir)
+            return state.replace(net_force=F, net_torque=T, net_pe=pe,
+                                 net_virial=vir)
 
         mode = self.integrator_mode
         has_mode_hooks = mode is not None and hasattr(mode, '_post_force')
+        # rotational integration (reference IntegratorTwoStep aniso mode):
+        # enabled when any aniso force is present or explicitly requested
+        aniso = any(getattr(f, 'is_aniso', False) for f in forces)
+        if mode is not None and getattr(mode, 'aniso', None) is not None:
+            aniso = bool(mode.aniso) if mode.aniso != 'auto' else aniso
+        for m in methods:
+            m._aniso = aniso
 
         def one_step(state, nls, auxs, mode_aux, dyn):
             # FIRE-style modes own an adaptive dt (reference
@@ -466,9 +480,20 @@ class System:
             'pressure_yz': float((mvv[1, 2] + w_sum[4]) / vol),
             'pressure_zz': float((mvv[2, 2] + w_sum[5]) / vol),
         }
+        # rotational part (ComputeThermo rotational KE / ndof)
+        from .ops.quat import rotational_ke
+        ke_rot_pp = rotational_ke(st.orientation, st.angmom,
+                                  st.moment_inertia)
+        ke_rot = float(ksum(jnp.where(mask, ke_rot_pp, 0.0)))
+        ndof_rot = float(np.asarray(jnp.sum(jnp.where(
+            mask[:, None], (st.moment_inertia > 1e-12), False))))
         out = {
             'temperature': T, 'pressure': float(P),
             'kinetic_energy': ke, 'potential_energy': pe,
+            'rotational_kinetic_energy': ke_rot,
+            'rotational_ndof': ndof_rot,
+            'temperature_rotational': (2.0 * ke_rot / ndof_rot
+                                       if ndof_rot else 0.0),
             'ndof': float(ndof), 'num_particles': float(n_g),
             'volume': vol,
             'lx': float(st.box.L[0]), 'ly': float(st.box.L[1]),
