@@ -104,3 +104,12 @@ def intersection(name, a, b):
 
 def difference(name, a, b):
     return group(name, np.setdiff1d(a.member_tags, b.member_tags))
+
+
+def rigid_center(name='rigid_center'):
+    """Central particles of rigid bodies: body tag == own tag
+    (reference group.rigid_center)."""
+    s = _sys()
+    b = s.snapshot_template.particles.body
+    tags = np.nonzero(b == np.arange(len(b)))[0]
+    return group(name, tags)

@@ -79,6 +79,7 @@ class mode_hpmc:
         self.d_by_type = {}
         self.a_by_type = {}
         self.shape_param = shape_param_proxy(self)
+        self._patch = None        # jit.patch.user attaches here
         self.counters = _hpmc_counters()
         sys_ = context.current.system
         sys_.set_hpmc_integrator(self)
@@ -150,6 +151,9 @@ class mode_hpmc:
         d_arr = np.array([self.get_d(t) for t in types])
         d_max = float(d_arr.max())
         diam = self._interaction_diameter(system)
+        patch = self._patch
+        if patch is not None:
+            diam = max(diam, patch.r_cut)
         w_min = diam + 2.0 * d_max
         L = np.asarray(state.box.L)
         dims3 = state.box.dimensions
@@ -248,6 +252,33 @@ class mode_hpmc:
             olap &= cand != i_sel[:, None]
             olap &= cand < N
             reject = jnp.any(olap, axis=1) | ~has
+            if patch is not None:
+                # Metropolis on the user patch energy (reference
+                # PatchEnergyJIT plugged into the HPMC acceptance)
+                q_pad = jnp.concatenate(
+                    [state.orientation,
+                     jnp.zeros((1, 4), dtype)], axis=0)
+                ch_pad = jnp.concatenate(
+                    [state.charge, jnp.zeros((1,), dtype)])
+                di_pad = jnp.concatenate(
+                    [state.diameter, jnp.ones((1,), dtype)])
+                lane_ok = (cand != i_sel[:, None]) & (cand < N)
+
+                def patch_sum(x_c):
+                    drp = box.min_image(x_c[:, None, :] - pos_pad[cand])
+                    rr = jnp.sum(drp * drp, axis=-1)
+                    within = lane_ok & (rr < patch.r_cut ** 2)
+                    ev = patch.func(drp, ti[:, None], tj,
+                                    q_pad[i_sel][:, None, :], q_pad[cand],
+                                    di_pad[i_sel][:, None], di_pad[cand],
+                                    ch_pad[i_sel][:, None], ch_pad[cand])
+                    return jnp.sum(jnp.where(within, ev, 0.0), axis=1)
+                e_old = patch_sum(x_old)
+                e_new = patch_sum(x_new)
+                u_pad = jax.random.uniform(
+                    jax.random.fold_in(k_aux, 1), (csize,), dtype=dtype)
+                boltz = jnp.exp(jnp.clip(-(e_new - e_old), -50.0, 50.0))
+                reject = reject | (u_pad > boltz)
             accept = ~reject & has
 
             i_write = jnp.where(accept, i_sel, N)

@@ -1,33 +1,222 @@
-"""Constraints (reference md/constrain.py: distance, sphere, rigid bodies).
+"""Constraints: rigid-body composites and distance constraints
+(reference md/constrain.py:199-481; ForceComposite.h:13-137,
+MolecularForceCompute.h:15-45, ForceDistanceConstraint.h:76-79).
 
-Status: rigid-body composites (ForceComposite analog) and distance
-constraints arrive in a later slice of this build; constructors raise
-clearly until then.
+rigid: central particle + constituents defined per central type.  Pipeline:
+after the drift half-step, constituent positions/orientations/velocities
+are recomputed from their central's rigid motion (ForceComposite::
+updateCompositeParticles analog); after force evaluation, constituent
+forces are reduced onto the central as force + torque (segment-sum, the
+scatter-free TPU formulation).  Integration methods act only on central
+particles; constituents carry body = central tag and are excluded from
+intra-body pair interactions via the nlist 'body' exclusion.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
+from .. import context
+
+
+class rigid:
+    """Rigid-body composite (reference md.constrain.rigid,
+    constrain.py:255)."""
+
+    def __init__(self):
+        self._defs = {}
+        context.current.system.add_composite(self)
+
+    def set_param(self, type_name, types=None, positions=None,
+                  orientations=None, charges=None, diameters=None):
+        """Define the constituents of bodies whose central particle has
+        type ``type_name`` (reference set_param)."""
+        n = len(types)
+        self._defs[type_name] = {
+            'types': list(types),
+            'positions': np.asarray(positions, dtype=float),
+            'orientations': (np.tile([1.0, 0, 0, 0], (n, 1))
+                             if orientations is None
+                             else np.asarray(orientations, dtype=float)),
+            'charges': (np.zeros(n) if charges is None
+                        else np.asarray(charges, dtype=float)),
+            'diameters': (np.ones(n) if diameters is None
+                          else np.asarray(diameters, dtype=float)),
+        }
+        context.current.system._dirty()
+
+    def create_bodies(self, create=True):
+        """Append constituent particles to the system for every particle
+        whose type has a body definition (reference create_bodies)."""
+        system = context.current.system
+        snap = system.take_snapshot()
+        p = snap.particles
+        types = p.types
+        centrals = []
+        for i in range(p.N):
+            tname = types[p.typeid[i]]
+            if tname in self._defs:
+                centrals.append(i)
+        if not centrals:
+            raise RuntimeError("rigid.create_bodies: no particles with a "
+                               "body definition")
+        # make sure all constituent types exist
+        for d in self._defs.values():
+            for t in d['types']:
+                if t not in p.types:
+                    p.types.append(t)
+        n_new = sum(len(self._defs[types[p.typeid[i]]]['types'])
+                    for i in centrals)
+        old_N = p.N
+        p.resize(old_N + n_new)
+        w = old_N
+        import numpy as np
+        for i in centrals:
+            d = self._defs[types[p.typeid[i]]]
+            p.body[i] = i            # central marks its own body
+            q = p.orientation[i]
+            for k, t in enumerate(d['types']):
+                off = _quat_rotate_np(q, d['positions'][k])
+                p.position[w] = p.position[i] + off
+                p.typeid[w] = p.types.index(t)
+                p.body[w] = i
+                p.charge[w] = d['charges'][k]
+                p.diameter[w] = d['diameters'][k]
+                p.mass[w] = 1.0
+                p.orientation[w] = _quat_mul_np(q, d['orientations'][k])
+                w += 1
+        system.restore_snapshot(snap)
+        system._dirty()
+
+    def validate_bodies(self):
+        self._pack_tables(context.current.system)
+
+    # -- internal -----------------------------------------------------------
+    def _pack_tables(self, system):
+        """(M,) constituent tables: tag of constituent, tag of central,
+        body-frame offset and orientation."""
+        snap = system.snapshot_template
+        p = snap.particles
+        types = p.types
+        const_tags, cent_tags, offs, locq = [], [], [], []
+        # reconstruct constituent order per central from the definitions
+        by_central = {}
+        for i in range(p.N):
+            if p.body[i] >= 0 and p.body[i] != i:
+                by_central.setdefault(int(p.body[i]), []).append(i)
+        for c, members in by_central.items():
+            tname = types[p.typeid[c]]
+            if tname not in self._defs:
+                raise RuntimeError(
+                    f"rigid: central particle {c} (type {tname}) has no "
+                    f"body definition")
+            d = self._defs[tname]
+            if len(members) != len(d['types']):
+                raise RuntimeError(
+                    f"rigid: body {c} has {len(members)} constituents, "
+                    f"definition says {len(d['types'])}")
+            for k, m in enumerate(sorted(members)):
+                const_tags.append(m)
+                cent_tags.append(c)
+                offs.append(d['positions'][k])
+                locq.append(d['orientations'][k])
+        return (np.asarray(const_tags, np.int32),
+                np.asarray(cent_tags, np.int32),
+                np.asarray(offs, float), np.asarray(locq, float))
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        ct, cc, off, lq = self._pack_tables(system)
+        dt = system.real_dtype
+        return {'const_tags': jnp.asarray(ct),
+                'cent_tags': jnp.asarray(cc),
+                'offsets': jnp.asarray(off, dtype=dt),
+                'local_q': jnp.asarray(lq, dtype=dt)}
+
+    # pure pipeline stages ---------------------------------------------------
+    @staticmethod
+    def update_constituents(state, params):
+        """Set constituent pos/orientation/velocity from central rigid
+        motion (ForceComposite::updateCompositeParticles)."""
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        ci = state.rtag[params['const_tags']]     # constituent slots
+        cc = state.rtag[params['cent_tags']]      # central slots
+        qc = state.orientation[cc]
+        off_space = Q.rotate(qc, params['offsets'])
+        new_pos = state.pos[cc] + off_space
+        img = state.image[ci]
+        new_pos, img = state.box.wrap(new_pos, img)
+        new_q = Q.multiply(qc, params['local_q'])
+        # velocity = v_central + omega x r
+        w_body = Q.angular_velocity_body(qc, state.angmom[cc],
+                                         state.moment_inertia[cc])
+        w_space = Q.rotate(qc, w_body)
+        new_v = state.vel[cc] + jnp.cross(w_space, off_space)
+        pos = state.pos.at[ci].set(new_pos)
+        image = state.image.at[ci].set(img)
+        q = state.orientation.at[ci].set(new_q)
+        vel = state.vel.at[ci].set(new_v)
+        return state.replace(pos=pos, image=image, orientation=q, vel=vel)
+
+    @staticmethod
+    def reduce_forces(state, params):
+        """Accumulate constituent forces onto centrals as force + torque
+        (ForceComposite force/torque reduction)."""
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        ci = state.rtag[params['const_tags']]
+        cc = state.rtag[params['cent_tags']]
+        f_c = state.net_force[ci]
+        qc = state.orientation[cc]
+        arm = Q.rotate(qc, params['offsets'])
+        tq_c = jnp.cross(arm, f_c) + state.net_torque[ci]
+        force = state.net_force.at[cc].add(f_c)
+        torque = state.net_torque.at[cc].add(tq_c)
+        # constituents carry no independent dynamics
+        force = force.at[ci].set(0.0)
+        torque = torque.at[ci].set(0.0)
+        return state.replace(net_force=force, net_torque=torque)
+
 
 class distance:
+    """Exact distance constraints (reference ForceDistanceConstraint.h
+    solves a sparse linear system with Eigen SparseLU each step).
+    Not yet implemented in hoomd_tpu; use stiff harmonic bonds or rigid
+    bodies instead."""
+
     def __init__(self, exclude_from_nlist=True):
         raise NotImplementedError(
             "constrain.distance: exact distance constraints not yet "
-            "implemented in hoomd_tpu")
+            "implemented; use md.bond.harmonic with large k or "
+            "constrain.rigid")
 
 
 class sphere:
+    """Manifold constraint (reference ConstraintSphere.h)."""
+
     def __init__(self, group, P, r):
         raise NotImplementedError(
             "constrain.sphere: manifold constraints not yet implemented")
 
 
-class rigid:
-    def __init__(self):
-        raise NotImplementedError(
-            "constrain.rigid: rigid-body composites not yet implemented")
-
-
 class oneD:
     def __init__(self, group, constraint_vector):
-        raise NotImplementedError(
-            "constrain.oneD: not yet implemented")
+        raise NotImplementedError("constrain.oneD: not yet implemented")
+
+
+def _quat_rotate_np(q, v):
+    w, x, y, z = q
+    qv = np.array([x, y, z])
+    t = 2.0 * np.cross(qv, v)
+    return v + w * t + np.cross(qv, t)
+
+
+def _quat_mul_np(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw])

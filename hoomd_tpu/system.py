@@ -61,6 +61,7 @@ class System:
         self._mode_aux = None
         self.hpmc_integrator = None
         self._hpmc_counters = None
+        self.composites = []
 
     # -- registration ------------------------------------------------------
     def add_force(self, f):
@@ -83,6 +84,11 @@ class System:
         """HPMC integrators replace the MD pipeline entirely (reference:
         one Integrator per System, System.h:62)."""
         self.hpmc_integrator = mc
+        self._dirty()
+
+    def add_composite(self, c):
+        """Rigid-body composite (reference ForceComposite)."""
+        self.composites.append(c)
         self._dirty()
 
     def register_analyzer(self, a):
@@ -183,6 +189,12 @@ class System:
         aniso = any(getattr(f, 'is_aniso', False) for f in forces)
         if mode is not None and getattr(mode, 'aniso', None) is not None:
             aniso = bool(mode.aniso) if mode.aniso != 'auto' else aniso
+        # rigid bodies force aniso (torques drive central rotation)
+        composites = list(self.composites)
+        if composites:
+            aniso = True
+        comp_params = [c._pack_params(self) for c in composites]
+        comp_classes = [type(c) for c in composites]
         for m in methods:
             m._aniso = aniso
 
@@ -196,8 +208,12 @@ class System:
                 key = rng.step_key(method_seeds[i], state.timestep, salt=i)
                 state, auxs[i] = m._step1(state, auxs[i],
                                           dyn['methods'][i], dt, key)
+            for cls, cp in zip(comp_classes, comp_params):
+                state = cls.update_constituents(state, cp)
             nls = _update_nls(state, nls)
             state = _net_force(state, nls, dyn)
+            for cls, cp in zip(comp_classes, comp_params):
+                state = cls.reduce_forces(state, cp)
             if has_mode_hooks:
                 state, mode_aux = mode._post_force(state, mode_aux)
             for i, m in enumerate(methods):
@@ -217,8 +233,13 @@ class System:
 
         def prep(state, nls, dyn):
             """Initial force evaluation (reference Integrator::prepRun)."""
+            for cls, cp in zip(comp_classes, comp_params):
+                state = cls.update_constituents(state, cp)
             nls = _update_nls(state, nls)
-            return _net_force(state, nls, dyn), nls
+            state = _net_force(state, nls, dyn)
+            for cls, cp in zip(comp_classes, comp_params):
+                state = cls.reduce_forces(state, cp)
+            return state, nls
 
         program = {
             'kind': 'md',
