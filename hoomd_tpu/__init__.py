@@ -59,9 +59,13 @@ def get_step():
     return context.current.system.timestep
 
 
-# md / hpmc / parallel are imported lazily to keep bare-core imports light
+# physics packages are imported lazily to keep bare-core imports light
+_LAZY = ('md', 'hpmc', 'parallel', 'mpcd', 'dem', 'cgcmm', 'metal', 'jit',
+         'deprecated', 'hdf5')
+
+
 def __getattr__(name):
-    if name in ('md', 'hpmc', 'parallel'):
+    if name in _LAZY:
         import importlib
         mod = importlib.import_module(f'.{name}', __name__)
         globals()[name] = mod

@@ -80,6 +80,7 @@ class mode_hpmc:
         self.a_by_type = {}
         self.shape_param = shape_param_proxy(self)
         self._patch = None        # jit.patch.user attaches here
+        self._external = None     # hpmc.field.* attaches here
         self.counters = _hpmc_counters()
         sys_ = context.current.system
         sys_.set_hpmc_integrator(self)
@@ -279,6 +280,19 @@ class mode_hpmc:
                     jax.random.fold_in(k_aux, 1), (csize,), dtype=dtype)
                 boltz = jnp.exp(jnp.clip(-(e_new - e_old), -50.0, 50.0))
                 reject = reject | (u_pad > boltz)
+            if self._external is not None:
+                # external field Metropolis term (reference
+                # ExternalFieldLattice plugged into the acceptance)
+                tag_pad2 = jnp.concatenate(
+                    [state.tag, jnp.zeros((1,), jnp.int32)])
+                tsel = tag_pad2[i_sel]
+                e_ext_old = self._external.energy_fn(x_old, tsel, state)
+                e_ext_new = self._external.energy_fn(x_new, tsel, state)
+                u_ext = jax.random.uniform(
+                    jax.random.fold_in(k_aux, 2), (csize,), dtype=dtype)
+                boltz_e = jnp.exp(jnp.clip(-(e_ext_new - e_ext_old),
+                                           -50.0, 50.0))
+                reject = reject | (u_ext > boltz_e)
             accept = ~reject & has
 
             i_write = jnp.where(accept, i_sel, N)

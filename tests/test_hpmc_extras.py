@@ -1,0 +1,73 @@
+"""HPMC box moves, SDF pressure, lattice field, patch energies."""
+
+import numpy as np
+import pytest
+
+
+def hs(eta=0.2, n=5, seed=3, d=0.15):
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    N = n ** 3
+    L = (np.pi / 6.0 * N / eta) ** (1.0 / 3.0)
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=L / n), n=n)
+    mc = hpmc.integrate.sphere(seed=seed, d=d, nselect=2)
+    mc.shape_param.set('A', diameter=1.0)
+    return hoomd, mc, L, N
+
+
+def test_boxmc_npt_density():
+    """Hard spheres under boxmc at low betaP: volume responds (hard-sphere
+    NPT); EOS sanity via Carnahan-Starling inverse."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd_mod, mc, L, N = hs(eta=0.2)
+    bmc = hpmc.update.boxmc(mc, betaP=1.0, seed=5)
+    bmc.ln_volume(delta=0.015, weight=1)
+    vols = []
+    hoomd_mod.run(80, quiet=True)
+    system = hoomd_mod.context.current.system
+    for _ in range(40):
+        hoomd_mod.run(4, quiet=True)
+        vols.append(float(system.state.box.volume()))
+    eta = np.pi / 6 * N / np.mean(vols)
+    # CS: betaP/rho = Z(eta); betaP=1 -> solve; at these conditions the
+    # equilibrium packing is ~0.2-0.33; just require a physical window
+    # and that the box actually moved
+    assert 0.1 < eta < 0.45
+    assert np.std(vols) > 0.0
+    assert bmc.get_volume_acceptance() > 0.05
+
+
+def test_sdf_pressure_carnahan_starling():
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    eta = 0.25
+    hoomd_mod, mc, L, N = hs(eta=eta, n=6)
+    s = hpmc.analyze.sdf(mc, filename=None, xmax=0.05, dx=0.005,
+                         navg=1, period=4)
+    hoomd_mod.run(100, quiet=True)   # equilibrate (sdf sampling along)
+    s._hist[:] = 0
+    s._nframes = 0
+    hoomd_mod.run(150, quiet=True)
+    betap = s.betaP()
+    rho = N / L ** 3
+    z_cs = (1 + eta + eta ** 2 - eta ** 3) / (1 - eta) ** 3
+    assert betap / rho == pytest.approx(z_cs, rel=0.12)
+
+
+def test_lattice_field_localizes():
+    """Strong Einstein springs keep particles near lattice sites."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd_mod, mc, L, N = hs(eta=0.1, d=0.3)
+    system = hoomd_mod.context.current.system
+    ref = system.take_snapshot().particles.position.copy()
+    lat = hpmc.field.lattice_field(mc, position=ref, k=100.0)
+    hoomd_mod.run(60, quiet=True)
+    snap = system.take_snapshot()
+    d = snap.particles.position - ref
+    d -= L * np.round(d / L)
+    msd = (d ** 2).sum(axis=1).mean()
+    # <r^2> = 3/(2k) per equipartition at kT=1
+    assert msd == pytest.approx(3.0 / (2 * 100.0), rel=0.4)
+    assert lat.get_energy() > 0
