@@ -44,7 +44,8 @@ def run(tsteps, profile=False, quiet=False, callback=None,
     context.current.system.run(int(tsteps), callback=callback,
                                callback_period=callback_period,
                                quiet=quiet, limit_hours=limit_hours,
-                               limit_multiple=limit_multiple)
+                               limit_multiple=limit_multiple,
+                               profile=profile)
 
 
 def run_upto(step, **kwargs):

@@ -120,7 +120,12 @@ class mode_hpmc:
         return acc / (acc + rej) if (acc + rej) else 0.0
 
     def get_rotate_acceptance(self):
-        return self.counters.get_rotate_acceptance()
+        c = context.current.system._hpmc_counters
+        if c is None or 'rotate_accept' not in c:
+            return 0.0
+        acc = int(c['rotate_accept'])
+        rej = int(c['rotate_reject'])
+        return acc / (acc + rej) if (acc + rej) else 0.0
 
     def get_counters(self):
         c = context.current.system._hpmc_counters
@@ -196,6 +201,9 @@ class mode_hpmc:
         class_table = jnp.asarray(class_table)
         d_by_type = jnp.asarray(d_arr, dtype=dtype)
         overlap_fn = self._make_overlap_fn(system)
+        has_rotation = self._has_rotation()
+        trial_rotation = (self._make_trial_rotation(system, dtype)
+                          if has_rotation else None)
         n_sub = 8 * self.nselect
         seed = self.seed
         dims = state.box.dimensions
@@ -225,7 +233,11 @@ class mode_hpmc:
                 [state.pos, jnp.zeros((1, 3), dtype)], axis=0)
             t_pad = jnp.concatenate(
                 [state.typeid, jnp.zeros((1,), jnp.int32)])
+            quat_pad = jnp.concatenate(
+                [state.orientation,
+                 jnp.asarray([[1.0, 0, 0, 0]], dtype)], axis=0)
             x_old = pos_pad[i_sel]
+            q_old = quat_pad[i_sel]
             ti = t_pad[i_sel]
             # trial translate: uniform in a ball of radius d(type)
             # (reference Moves.h move_translate)
@@ -237,6 +249,14 @@ class mode_hpmc:
             g = g / jnp.maximum(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
             delta = g * (rad * d_by_type[ti])[:, None]
+            if has_rotation:
+                k_rot = jax.random.fold_in(k_move, 3)
+                q_rot, do_rot = trial_rotation(k_rot, q_old, ti, None)
+                delta = jnp.where(do_rot[:, None], 0.0, delta)
+                q_new = jnp.where(do_rot[:, None], q_rot, q_old)
+            else:
+                do_rot = jnp.zeros((csize,), bool)
+                q_new = q_old
             x_new = x_old + delta
             x_new, _ = box.wrap(x_new, jnp.zeros((csize, 3), jnp.int32))
 
@@ -249,7 +269,8 @@ class mode_hpmc:
             cand = cl_pad[adj_pad[my_cell]].reshape(csize, -1)
             dr = box.min_image(x_new[:, None, :] - pos_pad[cand])
             tj = t_pad[cand]
-            olap = overlap_fn(dr, ti[:, None], tj, state, i_sel, cand)
+            olap = overlap_fn(dr, ti[:, None], tj, state, i_sel, cand,
+                              q_i=q_new, q_j=quat_pad[cand])
             olap &= cand != i_sel[:, None]
             olap &= cand < N
             reject = jnp.any(olap, axis=1) | ~has
@@ -296,21 +317,31 @@ class mode_hpmc:
             accept = ~reject & has
 
             i_write = jnp.where(accept, i_sel, N)
-            new_pos = state.pos.at[
-                jnp.minimum(i_write, N - 1)].set(
-                jnp.where((i_write < N)[:, None], x_new,
-                          state.pos[jnp.minimum(i_write, N - 1)]))
+            iw = jnp.minimum(i_write, N - 1)
+            wmask = (i_write < N)[:, None]
+            new_pos = state.pos.at[iw].set(
+                jnp.where(wmask, x_new, state.pos[iw]))
+            if has_rotation:
+                new_q = state.orientation.at[iw].set(
+                    jnp.where(wmask, q_new, state.orientation[iw]))
+            else:
+                new_q = state.orientation
             # image flags: MC moves are local; images unchanged (wrap of
             # a bounded move crosses at most one boundary — fold into pos)
-            n_acc = jnp.sum(accept)
-            n_try = jnp.sum(has)
+            n_acc_t = jnp.sum(accept & ~do_rot)
+            n_try_t = jnp.sum(has & ~do_rot)
+            n_acc_r = jnp.sum(accept & do_rot)
+            n_try_r = jnp.sum(has & do_rot)
             counters = {
-                'translate_accept': counters['translate_accept'] + n_acc,
+                'translate_accept': counters['translate_accept'] + n_acc_t,
                 'translate_reject': counters['translate_reject']
-                + (n_try - n_acc),
+                + (n_try_t - n_acc_t),
+                'rotate_accept': counters['rotate_accept'] + n_acc_r,
+                'rotate_reject': counters['rotate_reject']
+                + (n_try_r - n_acc_r),
                 'cell_overflow': counters['cell_overflow'] | cell_ovf,
             }
-            return state.replace(pos=new_pos), counters
+            return state.replace(pos=new_pos, orientation=new_q), counters
 
         def one_sweep(state, counters):
             key = step_key(seed, state.timestep, salt=23)
@@ -331,6 +362,7 @@ class mode_hpmc:
         def init_counters():
             z = jnp.zeros((), jnp.int32)
             return {'translate_accept': z, 'translate_reject': z,
+                    'rotate_accept': z, 'rotate_reject': z,
                     'cell_overflow': jnp.zeros((), bool)}
 
         import jax
@@ -368,7 +400,7 @@ class sphere(mode_hpmc):
         import jax.numpy as jnp
         diam = self._diameters(system)
 
-        def overlap(dr, ti, tj, state, i_sel, cand):
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
             d_t = jnp.asarray(diam, dr.dtype)
             rsum = 0.5 * (d_t[ti] + d_t[tj])
             r2 = jnp.sum(dr * dr, axis=-1)
@@ -394,3 +426,310 @@ convex_spheropolygon = ellipsoid
 faceted_sphere = ellipsoid
 sphinx = ellipsoid
 sphere_union = ellipsoid
+
+
+# ---------------------------------------------------------------------------
+# Anisotropic shapes: rotation moves + exact separating-axis overlap tests.
+#
+# The reference tests convex overlaps with XenoCollide MPR
+# (hpmc/XenoCollide3D.h) — an iterative, branchy portal refinement that maps
+# poorly to vector units.  For convex POLYTOPES the separating-axis theorem
+# is exact and completely branch-free: overlap iff no axis among {face
+# normals of A, face normals of B, edge x edge} separates the support
+# intervals.  Axis counts are static per shape pair, so the whole test is a
+# fixed set of dense dot products — the TPU-native replacement.
+# ---------------------------------------------------------------------------
+
+def _hull_data(verts):
+    """Host-side convex hull features: unique face normals and edge
+    direction vectors (deduplicated up to sign)."""
+    from scipy.spatial import ConvexHull
+    v = np.asarray(verts, dtype=float)
+    hull = ConvexHull(v)
+    normals = hull.equations[:, :3]
+    normals = normals / np.linalg.norm(normals, axis=1, keepdims=True)
+    # dedupe up to sign
+    def dedupe(rows):
+        out = []
+        for r in rows:
+            if not any(np.allclose(r, o, atol=1e-9)
+                       or np.allclose(r, -o, atol=1e-9) for o in out):
+                out.append(r)
+        return np.array(out)
+    normals = dedupe(normals)
+    edges = set()
+    for simplex in hull.simplices:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            e = tuple(sorted((simplex[a], simplex[b])))
+            edges.add(e)
+    evecs = np.array([v[b] - v[a] for a, b in edges])
+    evecs = evecs / np.linalg.norm(evecs, axis=1, keepdims=True)
+    evecs = dedupe(evecs)
+    return v[hull.vertices], normals, evecs
+
+
+class _aniso_hpmc(mode_hpmc):
+    """Shared machinery for shapes with rotation moves."""
+
+    def _has_rotation(self):
+        return True
+
+    def _build_program(self, system):
+        prog = mode_hpmc._build_program(self, system)
+        return prog
+
+    # rotation moves are woven into sub_sweep via _trial_orientation
+    def _make_trial_rotation(self, system, dtype):
+        import jax
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        types = system.particle_types
+        a_arr = np.array([self.get_a(t) for t in types])
+        a_by_type = jnp.asarray(a_arr, dtype=dtype)
+        move_ratio = self.move_ratio
+
+        def trial(key, q_old, ti, delta_ok):
+            """Either translate (handled by caller) or rotate: returns
+            (new_q, rotate_mask).  reference Moves.h move_rotate."""
+            k1, k2, k3 = jax.random.split(key, 3)
+            m = q_old.shape[0]
+            u = jax.random.uniform(k1, (m,), dtype=dtype)
+            do_rot = u > move_ratio
+            g = jax.random.normal(k2, (m, 3), dtype=dtype)
+            axis = g / jnp.maximum(
+                jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+            ang = jax.random.uniform(k3, (m,), dtype=dtype,
+                                     minval=-1.0, maxval=1.0) \
+                * a_by_type[ti]
+            half = 0.5 * ang
+            dq = jnp.concatenate([jnp.cos(half)[:, None],
+                                  jnp.sin(half)[:, None] * axis], axis=1)
+            q_new = Q.normalize(Q.multiply(dq, q_old))
+            return q_new, do_rot
+        return trial
+
+
+class convex_polyhedron(_aniso_hpmc):
+    """Hard convex polyhedra (reference hpmc.integrate.convex_polyhedron,
+    ShapeConvexPolyhedron.h) with SAT overlap tests.
+    shape_param.set('A', vertices=[(x,y,z), ...])."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4,
+                 implicit=False, max_verts=None):
+        _aniso_hpmc.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                             nselect=nselect)
+
+    def _shape_tables(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        hulls = []
+        for t in types:
+            verts = self.shape_param[t].get('vertices')
+            if verts is None:
+                raise RuntimeError(f"convex_polyhedron: no vertices set "
+                                   f"for type {t!r}")
+            hulls.append(_hull_data(verts))
+        NV = max(len(h[0]) for h in hulls)
+        NF = max(len(h[1]) for h in hulls)
+        NE = max(len(h[2]) for h in hulls)
+        nt = len(types)
+        V = np.zeros((nt, NV, 3))
+        Fn = np.zeros((nt, NF, 3))
+        E = np.zeros((nt, NE, 3))
+        nv = np.zeros(nt, np.int32)
+        for i, (v, f, e) in enumerate(hulls):
+            V[i, :len(v)] = v
+            # pad with repeats of the first vertex so supports are exact
+            V[i, len(v):] = v[0]
+            Fn[i, :len(f)] = f
+            Fn[i, len(f):] = f[0]
+            E[i, :len(e)] = e
+            E[i, len(e):] = e[0]
+            nv[i] = len(v)
+        return (jnp.asarray(V, jnp.float32), jnp.asarray(Fn, jnp.float32),
+                jnp.asarray(E, jnp.float32))
+
+    def _interaction_diameter(self, system):
+        types = system.particle_types
+        r = 0.0
+        for t in types:
+            verts = np.asarray(self.shape_param[t].get('vertices'))
+            r = max(r, float(np.linalg.norm(verts, axis=1).max()))
+        return 2.0 * r
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        V, Fn, E = self._shape_tables(system)
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            """SAT over face normals of both shapes + edge cross products.
+            dr = x_i - x_j (M, C, 3); q_i (M,1,4), q_j (M,C,4)."""
+            qi = q_i[:, None, None, :]                  # (M,1,1,4)
+            qj = q_j[..., None, :]                      # (M,C,1,4)
+            vi = Q.rotate(qi, V[ti])                    # (M,1,NV,3)
+            vj = Q.rotate(qj, V[tj])                    # (M,C,NV,3)
+            ni = Q.rotate(qi, Fn[ti])                   # (M,1,NF,3)
+            nj = Q.rotate(qj, Fn[tj])
+            ei = Q.rotate(qi, E[ti])                    # (M,1,NE,3)
+            ej = Q.rotate(qj, E[tj])
+            NE_ = ei.shape[-2]
+            # cross-product axes (M,C,NE,NE,3)
+            cross = jnp.cross(ei[..., :, None, :], ej[..., None, :, :])
+            cross = cross.reshape(cross.shape[:-3]
+                                  + (NE_ * NE_, 3))
+            axes = jnp.concatenate(
+                [jnp.broadcast_to(ni, nj.shape[:-2] + ni.shape[-2:]),
+                 nj, cross], axis=-2)                    # (M,C,NA,3)
+            # degenerate cross products (parallel edges): harmless — the
+            # axis is ~0 so both intervals collapse to ~0 and never
+            # separate; real separating axes are always among the rest
+            # support intervals: A centered at dr, B at origin
+            pa = jnp.einsum('...ak,...vk->...av', axes,
+                            jnp.broadcast_to(
+                                vi, axes.shape[:-2] + vi.shape[-2:]))
+            pb = jnp.einsum('...ak,...vk->...av', axes, vj)
+            da = jnp.einsum('...ak,...k->...a', axes, dr)
+            a_lo = jnp.min(pa, axis=-1) + da
+            a_hi = jnp.max(pa, axis=-1) + da
+            b_lo = jnp.min(pb, axis=-1)
+            b_hi = jnp.max(pb, axis=-1)
+            sep = (a_lo > b_hi + 1e-7) | (b_lo > a_hi + 1e-7)
+            return ~jnp.any(sep, axis=-1)
+        return overlap
+
+
+class sphere_union(_aniso_hpmc):
+    """Union of spheres (reference ShapeUnion<ShapeSphere>,
+    hpmc.integrate.sphere_union): shape_param.set('A',
+    diameters=[...], centers=[(x,y,z), ...])."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4):
+        _aniso_hpmc.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                             nselect=nselect)
+
+    def _tables(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        ns = max(len(self.shape_param[t].get('centers', [(0, 0, 0)]))
+                 for t in types)
+        nt = len(types)
+        C = np.zeros((nt, ns, 3))
+        R = np.zeros((nt, ns))      # zero radius = inert padding
+        for i, t in enumerate(types):
+            cs = np.asarray(self.shape_param[t].get('centers',
+                                                    [(0, 0, 0)]))
+            ds = np.asarray(self.shape_param[t].get(
+                'diameters', [1.0] * len(cs)))
+            C[i, :len(cs)] = cs
+            R[i, :len(cs)] = ds / 2.0
+        return jnp.asarray(C, jnp.float32), jnp.asarray(R, jnp.float32)
+
+    def _interaction_diameter(self, system):
+        C, R = self._tables(system)
+        return 2.0 * float((np.linalg.norm(np.asarray(C), axis=2)
+                            + np.asarray(R)).max())
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        C, R = self._tables(system)
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            ci = Q.rotate(q_i[:, None, None, :], C[ti])   # (M,1,S,3)
+            cj = Q.rotate(q_j[..., None, :], C[tj])       # (M,C,S,3)
+            ri = R[ti]                                    # (M,1,S)
+            rj = R[tj]                                    # (M,C,S)
+            d = (dr[..., None, None, :] + ci[..., :, None, :]
+                 - cj[..., None, :, :])                   # (M,C,S,S,3)
+            r2 = jnp.sum(d * d, axis=-1)
+            rsum = ri[..., :, None] + rj[..., None, :]
+            hit = (r2 < rsum * rsum) & (ri[..., :, None] > 0) \
+                & (rj[..., None, :] > 0)
+            return jnp.any(hit, axis=(-1, -2))
+        return overlap
+
+
+class convex_polygon(_aniso_hpmc):
+    """Hard convex polygons, 2D (reference hpmc.integrate.convex_polygon,
+    ShapeConvexPolygon.h): SAT over the edge normals of both shapes —
+    exact for convex polygons.  shape_param.set('A',
+    vertices=[(x, y), ...]) counter-clockwise."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4):
+        _aniso_hpmc.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                             nselect=nselect)
+
+    def _tables(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        NV = max(len(self.shape_param[t].get('vertices', [(0, 0)]))
+                 for t in types)
+        nt = len(types)
+        V = np.zeros((nt, NV, 3))
+        Nrm = np.zeros((nt, NV, 3))
+        for i, t in enumerate(types):
+            v2 = np.asarray(self.shape_param[t].get('vertices'),
+                            dtype=float)
+            n = len(v2)
+            V[i, :n, :2] = v2
+            V[i, n:, :2] = v2[0]
+            e = np.roll(v2, -1, axis=0) - v2      # edge vectors, ccw
+            nrm = np.stack([e[:, 1], -e[:, 0]], axis=1)
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=1,
+                                             keepdims=True), 1e-12)
+            Nrm[i, :n, :2] = nrm
+            Nrm[i, n:, :2] = nrm[0]
+        return jnp.asarray(V, jnp.float32), jnp.asarray(Nrm, jnp.float32)
+
+    def _interaction_diameter(self, system):
+        types = system.particle_types
+        r = 0.0
+        for t in types:
+            v = np.asarray(self.shape_param[t].get('vertices'))
+            r = max(r, float(np.linalg.norm(v, axis=1).max()))
+        return 2.0 * r
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        V, Nrm = self._tables(system)
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            qi = q_i[:, None, None, :]
+            qj = q_j[..., None, :]
+            vi = Q.rotate(qi, V[ti])
+            vj = Q.rotate(qj, V[tj])
+            ni = Q.rotate(qi, Nrm[ti])
+            nj = Q.rotate(qj, Nrm[tj])
+            axes = jnp.concatenate(
+                [jnp.broadcast_to(ni, nj.shape[:-2] + ni.shape[-2:]),
+                 nj], axis=-2)
+            pa = jnp.einsum('...ak,...vk->...av', axes,
+                            jnp.broadcast_to(
+                                vi, axes.shape[:-2] + vi.shape[-2:]))
+            pb = jnp.einsum('...ak,...vk->...av', axes, vj)
+            da = jnp.einsum('...ak,...k->...a', axes, dr)
+            sep = ((jnp.min(pa, -1) + da > jnp.max(pb, -1) + 1e-7)
+                   | (jnp.min(pb, -1) > jnp.max(pa, -1) + da + 1e-7))
+            return ~jnp.any(sep, axis=-1)
+        return overlap
+
+
+class simple_polygon(convex_polygon):
+    """Reference hpmc.integrate.simple_polygon: non-convex polygons need
+    triangle-pair tests; convex polygons are handled exactly — pass the
+    convex hull.  Non-convex input raises."""
+
+    def _tables(self, system):
+        for t in system.particle_types:
+            v = np.asarray(self.shape_param[t].get('vertices'))
+            # convexity check: all cross products of consecutive edges
+            # share a sign
+            e = np.roll(v, -1, axis=0) - v
+            cr = np.cross(e, np.roll(e, -1, axis=0))
+            if not (np.all(cr >= -1e-9) or np.all(cr <= 1e-9)):
+                raise NotImplementedError(
+                    "simple_polygon: non-convex polygons not yet "
+                    "implemented; decompose into convex pieces")
+        return convex_polygon._tables(self, system)

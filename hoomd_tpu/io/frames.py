@@ -24,6 +24,24 @@ import numpy as np
 
 MAGIC = b"HTPF0001"
 
+# one background writer per process (native C++ thread; synchronous
+# fallback when no compiler is available)
+_async_writer = None
+
+
+def _writer():
+    global _async_writer
+    if _async_writer is None:
+        from ..native import AsyncWriter
+        _async_writer = AsyncWriter(MAGIC)
+    return _async_writer
+
+
+def flush_writes():
+    """Block until queued frame writes hit the disk."""
+    if _async_writer is not None:
+        _async_writer.flush()
+
 
 def _frame_to_chunks(snap, timestep, op_state=None):
     """Snapshot -> flat dict of numpy arrays using GSD-schema chunk names."""
@@ -112,19 +130,14 @@ class FrameWriter:
 
     def append(self, snap, timestep, op_state=None):
         blob = _encode(_frame_to_chunks(snap, timestep, op_state))
-        if self.truncate:
-            with open(self.filename, 'wb') as f:
-                f.write(MAGIC)
-                f.write(struct.pack('<Q', len(blob)))
-                f.write(blob)
-        else:
-            with open(self.filename, 'ab') as f:
-                f.write(struct.pack('<Q', len(blob)))
-                f.write(blob)
+        # hand off to the native background writer: the device step loop
+        # never stalls on disk I/O
+        _writer().enqueue(self.filename, blob, self.truncate)
 
 
 def write_single_frame(filename, snap, timestep, op_state=None):
     """Atomic single-frame write (restart files, dump.gsd write_restart)."""
+    flush_writes()   # don't let a queued periodic frame clobber us later
     tmp = filename + '.tmp'
     blob = _encode(_frame_to_chunks(snap, timestep, op_state))
     with open(tmp, 'wb') as f:
@@ -138,6 +151,7 @@ class FrameReader:
     """Random access over the frames of a file (GSDReader analog)."""
 
     def __init__(self, filename):
+        flush_writes()
         self.filename = filename
         self._offsets = []
         with open(filename, 'rb') as f:

@@ -192,17 +192,140 @@ class distance:
             "constrain.rigid")
 
 
-class sphere:
-    """Manifold constraint (reference ConstraintSphere.h)."""
+class _manifold:
+    """Algebraic manifold constraints (reference ConstraintSphere.h,
+    ConstraintEllipsoid.h, OneDConstraint.h): after the drift half-step,
+    positions are projected back onto the manifold and the normal velocity
+    component is removed — the discrete constraint-force formulation of the
+    reference expressed as a projection (equivalent for VV to O(dt^2))."""
+
+    def __init__(self, group):
+        self.group = group
+        context.current.system.add_composite(self)
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        member = np.zeros(system.state.N, dtype=bool)
+        member[self.group.member_tags] = True
+        p = {'member': jnp.asarray(member)}
+        p.update(self._geom_params(system))
+        return p
+
+    # pipeline hooks (same interface as constrain.rigid)
+    @classmethod
+    def update_constituents(cls, state, params):
+        import jax.numpy as jnp
+        mask = params['member'][state.tag]
+        pos_p, nrm = cls._project(state.pos, params)
+        pos = jnp.where(mask[:, None], pos_p, state.pos)
+        # remove the normal velocity component
+        vn = jnp.sum(state.vel * nrm, axis=-1, keepdims=True)
+        vel = jnp.where(mask[:, None], state.vel - vn * nrm, state.vel)
+        return state.replace(pos=pos, vel=vel)
+
+    @classmethod
+    def reduce_forces(cls, state, params):
+        import jax.numpy as jnp
+        mask = params['member'][state.tag]
+        _, nrm = cls._project(state.pos, params)
+        fn = jnp.sum(state.net_force * nrm, axis=-1, keepdims=True)
+        force = jnp.where(mask[:, None], state.net_force - fn * nrm,
+                          state.net_force)
+        return state.replace(net_force=force)
+
+
+class sphere(_manifold):
+    """Constrain a group to a spherical surface
+    (reference md.constrain.sphere, ConstraintSphere.h)."""
 
     def __init__(self, group, P, r):
-        raise NotImplementedError(
-            "constrain.sphere: manifold constraints not yet implemented")
+        self.P = tuple(float(x) for x in P)
+        self.r = float(r)
+        _manifold.__init__(self, group)
+
+    def _geom_params(self, system):
+        import jax.numpy as jnp
+        dt = system.real_dtype
+        return {'P': jnp.asarray(self.P, dt),
+                'r': jnp.asarray(self.r, dt)}
+
+    @staticmethod
+    def _project(pos, params):
+        import jax.numpy as jnp
+        d = pos - params['P'][None, :]
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        nrm = d / jnp.maximum(n, 1e-12)
+        return params['P'][None, :] + params['r'] * nrm, nrm
 
 
-class oneD:
+class ellipsoid(_manifold):
+    """Constrain a group to an ellipsoid surface
+    (reference ConstraintEllipsoid.h): iterative normalized projection."""
+
+    def __init__(self, group, P, rx, ry, rz):
+        self.P = tuple(float(x) for x in P)
+        self.radii = (float(rx), float(ry), float(rz))
+        _manifold.__init__(self, group)
+
+    def _geom_params(self, system):
+        import jax.numpy as jnp
+        dt = system.real_dtype
+        return {'P': jnp.asarray(self.P, dt),
+                'radii': jnp.asarray(self.radii, dt)}
+
+    @staticmethod
+    def _project(pos, params):
+        import jax.numpy as jnp
+        d = (pos - params['P'][None, :]) / params['radii'][None, :]
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d = d / jnp.maximum(n, 1e-12)
+        proj = params['P'][None, :] + d * params['radii'][None, :]
+        nrm = d / params['radii'][None, :]
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        return proj, nrm
+
+
+class oneD(_manifold):
+    """Constrain motion to a line direction
+    (reference md.constrain.oneD, OneDConstraint.h)."""
+
     def __init__(self, group, constraint_vector):
-        raise NotImplementedError("constrain.oneD: not yet implemented")
+        v = np.asarray(constraint_vector, dtype=float)
+        self.vec = tuple(v / np.linalg.norm(v))
+        _manifold.__init__(self, group)
+        sys_ = context.current.system
+        snap = sys_.take_snapshot()
+        self._ref = snap.particles.position.copy()
+
+    def _geom_params(self, system):
+        import jax.numpy as jnp
+        dt = system.real_dtype
+        return {'vec': jnp.asarray(self.vec, dt),
+                'ref': jnp.asarray(self._ref, dt)}
+
+    @classmethod
+    def update_constituents(cls, state, params):
+        import jax.numpy as jnp
+        mask = params['member'][state.tag]
+        v = params['vec'][None, :]
+        ref = params['ref'][state.tag]
+        # project displacement from the reference onto the line
+        d = state.pos - ref
+        along = jnp.sum(d * v, axis=-1, keepdims=True)
+        pos = jnp.where(mask[:, None], ref + along * v, state.pos)
+        vel_along = jnp.sum(state.vel * v, axis=-1, keepdims=True)
+        vel = jnp.where(mask[:, None], vel_along * v, state.vel)
+        return state.replace(pos=pos, vel=vel)
+
+    @classmethod
+    def reduce_forces(cls, state, params):
+        import jax.numpy as jnp
+        mask = params['member'][state.tag]
+        v = params['vec'][None, :]
+        f_along = jnp.sum(state.net_force * v, axis=-1, keepdims=True)
+        force = jnp.where(mask[:, None], f_along * v, state.net_force)
+        return state.replace(net_force=force)
 
 
 def _quat_rotate_np(q, v):

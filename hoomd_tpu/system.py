@@ -332,11 +332,16 @@ class System:
 
     # -- run loop ---------------------------------------------------------------
     def run(self, nsteps, callback=None, callback_period=0, quiet=False,
-            limit_hours=None, limit_multiple=1):
+            limit_hours=None, limit_multiple=1, profile=False):
         """Advance the simulation (reference hoomd.run, System::run
-        System.cc:419-620)."""
+        System.cc:419-620).  profile=True prints a wall-time breakdown of
+        device chunks vs host-side operations (the reference Profiler's
+        push/pop tree, hoomd/Profiler.h:62-116, collapsed to the two
+        phases that exist in this architecture)."""
         import jax
         nsteps = int(nsteps)
+        prof = {'device_s': 0.0, 'host_ops_s': 0.0, 'chunks': 0,
+                'host_fires': 0} if profile else None
         self._ensure_ready()
         start = self.timestep
         end = start + nsteps
@@ -355,7 +360,11 @@ class System:
             for op in self.analyzers + self.updaters:
                 if op.enabled and op.period and \
                         (cur - op.phase) % op.period == 0:
+                    t_op = time.perf_counter()
                     self._fire(op, cur)
+                    if prof is not None:
+                        prof['host_ops_s'] += time.perf_counter() - t_op
+                        prof['host_fires'] += 1
             if callback is not None and callback_period and \
                     cur % callback_period == 0:
                 res = callback(cur)
@@ -373,6 +382,7 @@ class System:
             chunk = int(min(stops)) - cur
             chunk = max(chunk, 1)
 
+            t_chunk = time.perf_counter()
             if self._program['kind'] == 'hpmc':
                 state0 = self.state
                 for _ in range(8):
@@ -408,6 +418,10 @@ class System:
                 self._mode_aux = mode_aux
                 for m, a in zip(self._program['methods'], auxs):
                     self._method_aux_by_obj[m] = a
+            if prof is not None:
+                jax.block_until_ready(self.state.pos)
+                prof['device_s'] += time.perf_counter() - t_chunk
+                prof['chunks'] += 1
             cur += chunk
             if deadline and time.perf_counter() > deadline:
                 if not quiet:
@@ -421,6 +435,12 @@ class System:
         if not quiet:
             print(f"** run complete: {done} steps in {elapsed:.3f} s = "
                   f"{self._last_tps:.1f} TPS **")
+        if prof is not None and not quiet:
+            other = elapsed - prof['device_s'] - prof['host_ops_s']
+            print(f"** profile: device {prof['device_s']:.3f}s over "
+                  f"{prof['chunks']} chunks | host ops "
+                  f"{prof['host_ops_s']:.3f}s over {prof['host_fires']} "
+                  f"fires | dispatch/other {other:.3f}s **")
 
     def _prep_forces(self):
         """Evaluate all forces at the current positions

@@ -16,9 +16,10 @@ def _sys():
 class sort(Updater):
     """Spatial re-sort of particle storage for memory locality — the
     SFCPackUpdater analog (reference hoomd/SFCPackUpdater.h:38-84,
-    update.py:258).  Reorders slots by cell index along a Z-order
-    (Morton) traversal; the neighbor list is invalidated and rebuilt on the
-    next step.  Default period 300 matches the reference GPU default."""
+    update.py:258).  Reorders slots along a 3D Hilbert curve (native C++
+    encoder; Morton fallback); the neighbor list is invalidated and rebuilt
+    on the next step.  Default period 300 matches the reference GPU
+    default."""
 
     def __init__(self, period=300, phase=0):
         Updater.__init__(self, period, phase)
@@ -29,24 +30,25 @@ class sort(Updater):
 
     def update(self, system, timestep):
         import jax.numpy as jnp
-        from .ops.cells import cell_index
         st = system.state
-        # Morton interleave on a 2^k grid
-        L = np.asarray(st.box.L)
-        k = 5  # 32^3 grid
         f = np.asarray(st.box.make_fraction(st.pos))
         f = f - np.floor(f)
-        c = np.clip((f * (1 << k)).astype(np.int64), 0, (1 << k) - 1)
+        from .native import hilbert3
+        code = hilbert3(f, bits=6)
+        if code is None:
+            # Morton fallback when the native library is unavailable
+            k = 5
+            c = np.clip((f * (1 << k)).astype(np.int64), 0, (1 << k) - 1)
 
-        def _spread(x):
-            x = (x | (x << 16)) & 0x0000FFFF0000FFFF
-            x = (x | (x << 8)) & 0x00FF00FF00FF00FF
-            x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
-            x = (x | (x << 2)) & 0x3333333333333333
-            x = (x | (x << 1)) & 0x5555555555555555
-            return x
-        code = (_spread(c[:, 0]) | (_spread(c[:, 1]) << 1)
-                | (_spread(c[:, 2]) << 2))
+            def _spread(x):
+                x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+                x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+                x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+                x = (x | (x << 2)) & 0x3333333333333333
+                x = (x | (x << 1)) & 0x5555555555555555
+                return x
+            code = (_spread(c[:, 0]) | (_spread(c[:, 1]) << 1)
+                    | (_spread(c[:, 2]) << 2))
         order = jnp.asarray(np.argsort(code, kind='stable'))
         system.state = st.permute(order)
         system.reset_nlist()

@@ -1,0 +1,187 @@
+"""HPMC anisotropic shapes: SAT convex-polyhedron overlap vs an
+LP-feasibility oracle, hard-cube MC invariants, sphere unions."""
+
+import numpy as np
+import pytest
+
+CUBE = [(-0.5, -0.5, -0.5), (0.5, -0.5, -0.5), (0.5, 0.5, -0.5),
+        (-0.5, 0.5, -0.5), (-0.5, -0.5, 0.5), (0.5, -0.5, 0.5),
+        (0.5, 0.5, 0.5), (-0.5, 0.5, 0.5)]
+TETRA = [(0.5, 0.5, 0.5), (0.5, -0.5, -0.5), (-0.5, 0.5, -0.5),
+         (-0.5, -0.5, 0.5)]
+
+
+def rot_np(q, v):
+    w = q[0]
+    u = np.asarray(q[1:])
+    t = 2 * np.cross(u, v)
+    return v + w * t + np.cross(u, t)
+
+
+def lp_overlap(verts_a, q_a, x_a, verts_b, q_b, x_b):
+    """Exact intersection test of two convex polytopes via LP feasibility."""
+    from scipy.optimize import linprog
+    from scipy.spatial import ConvexHull
+    va = np.array([rot_np(q_a, v) for v in verts_a]) + x_a
+    vb = np.array([rot_np(q_b, v) for v in verts_b]) + x_b
+    ha, hb = ConvexHull(va), ConvexHull(vb)
+    A = np.vstack([ha.equations[:, :3], hb.equations[:, :3]])
+    b = -np.concatenate([ha.equations[:, 3], hb.equations[:, 3]])
+    res = linprog(np.zeros(3), A_ub=A, b_ub=b - 1e-9,
+                  bounds=[(None, None)] * 3, method='highs')
+    return res.status == 0
+
+
+def rand_quat(rng):
+    q = rng.normal(size=4)
+    return q / np.linalg.norm(q)
+
+
+@pytest.mark.parametrize("verts", [CUBE, TETRA])
+def test_sat_matches_lp_oracle(verts):
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    from hoomd_tpu.ops import quat as Q
+    # build a minimal system so the integrator can pack its tables
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=4.0), n=3)
+    mc = hpmc.integrate.convex_polyhedron(seed=1, d=0.1, a=0.1)
+    mc.shape_param.set('A', vertices=verts)
+    system = hoomd.context.current.system
+    fn = mc._make_overlap_fn(system)
+
+    rng = np.random.RandomState(0)
+    n_checked = 0
+    mismatches = []
+    for trial in range(120):
+        qa, qb = rand_quat(rng), rand_quat(rng)
+        dx = rng.uniform(-1.6, 1.6, 3)
+        ref = lp_overlap(verts, qa, dx, verts, qb, np.zeros(3))
+        dr = jnp.asarray(dx, jnp.float32).reshape(1, 1, 3)
+        got = bool(np.asarray(fn(
+            dr, jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            None, None, None,
+            q_i=jnp.asarray(qa, jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray(qb, jnp.float32).reshape(1, 1, 4)))[0, 0])
+        # skip marginal contacts (f32 vs f64 disagreements are expected
+        # within a thin shell)
+        near = lp_overlap(verts, qa, dx * (1 - 5e-3), verts, qb,
+                          np.zeros(3)) != \
+            lp_overlap(verts, qa, dx * (1 + 5e-3), verts, qb, np.zeros(3))
+        if near:
+            continue
+        n_checked += 1
+        if got != ref:
+            mismatches.append((trial, dx, got, ref))
+    assert n_checked > 60
+    assert not mismatches, mismatches[:3]
+
+
+def test_hard_cubes_mc():
+    """Hard cubes: MC runs, rotations happen, and no overlapping pair
+    survives (checked with the LP oracle)."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    n = 4
+    a = 1.7          # packing fraction 1/1.7^3 ~ 0.20
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=a), n=n)
+    mc = hpmc.integrate.convex_polyhedron(seed=11, d=0.15, a=0.25,
+                                          nselect=2)
+    mc.shape_param.set('A', vertices=CUBE)
+    system = hoomd.context.current.system
+    q0 = system.take_snapshot().particles.orientation.copy()
+    hoomd.run(40, quiet=True)
+    snap = system.take_snapshot()
+    assert mc.get_translate_acceptance() > 0.1
+    assert mc.get_rotate_acceptance() > 0.1
+    # orientations moved
+    assert np.abs(snap.particles.orientation - q0).max() > 1e-3
+    # no overlaps: LP-check every near pair
+    p = snap.particles.position
+    q = snap.particles.orientation
+    L = snap.box.Lx
+    checked = 0
+    for i in range(len(p)):
+        for j in range(i + 1, len(p)):
+            d = p[j] - p[i]
+            d -= L * np.round(d / L)
+            if np.linalg.norm(d) < np.sqrt(3.0):   # circumsphere reach
+                checked += 1
+                assert not lp_overlap(CUBE, q[i], np.zeros(3),
+                                      CUBE, q[j], d), (i, j)
+    assert checked > 10
+
+
+def test_sphere_union_dumbbell():
+    """Dumbbells (two fused spheres): MC preserves no-overlap between
+    constituent spheres of different particles."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=2.2), n=3)
+    mc = hpmc.integrate.sphere_union(seed=5, d=0.1, a=0.3, nselect=2)
+    mc.shape_param.set('A', diameters=[1.0, 1.0],
+                       centers=[(-0.25, 0, 0), (0.25, 0, 0)])
+    system = hoomd.context.current.system
+    hoomd.run(30, quiet=True)
+    snap = system.take_snapshot()
+    p, q = snap.particles.position, snap.particles.orientation
+    L = snap.box.Lx
+    centers = np.array([(-0.25, 0, 0), (0.25, 0, 0)])
+    for i in range(len(p)):
+        for j in range(i + 1, len(p)):
+            d = p[j] - p[i]
+            d -= L * np.round(d / L)
+            if np.linalg.norm(d) > 2.0:
+                continue
+            ci = np.array([rot_np(q[i], c) for c in centers])
+            cj = np.array([rot_np(q[j], c) for c in centers]) + d
+            dist = np.linalg.norm(ci[:, None] - cj[None, :], axis=-1)
+            assert dist.min() >= 1.0 - 1e-4, (i, j, dist.min())
+    assert mc.get_translate_acceptance() > 0.05
+
+
+def test_overlap_fn_batched_shapes():
+    """Regression: overlap functions must broadcast correctly for M>1
+    selected particles and C>1 candidates (a missing quaternion axis once
+    produced silently wrong (M,M,...) shapes)."""
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=4.0), n=3)
+    mc = hpmc.integrate.convex_polyhedron(seed=1, d=0.1, a=0.1)
+    mc.shape_param.set('A', vertices=CUBE)
+    fn = mc._make_overlap_fn(hoomd.context.current.system)
+    M, C = 3, 5
+    rng = np.random.RandomState(1)
+    # candidate 0 of each row overlaps (dr=0.3), the rest are far away
+    dr = np.full((M, C, 3), 5.0)
+    dr[:, 0] = [0.3, 0, 0]
+    qs = np.array([rand_quat(rng) for _ in range(M)])
+    qjs = np.array([[rand_quat(rng) for _ in range(C)]
+                    for _ in range(M)])
+    out = np.asarray(fn(
+        jnp.asarray(dr, jnp.float32),
+        jnp.zeros((M, 1), jnp.int32), jnp.zeros((M, C), jnp.int32),
+        None, None, None,
+        q_i=jnp.asarray(qs, jnp.float32),
+        q_j=jnp.asarray(qjs, jnp.float32)))
+    assert out.shape == (M, C)
+    assert out[:, 0].all()        # overlapping column
+    assert not out[:, 1:].any()   # far columns
+
+    # sphere_union batched too
+    hoomd.context.initialize('--notice-level=0')
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=4.0), n=3)
+    mu = hpmc.integrate.sphere_union(seed=1, d=0.1, a=0.1)
+    mu.shape_param.set('A', diameters=[1.0, 1.0],
+                       centers=[(-0.25, 0, 0), (0.25, 0, 0)])
+    fn2 = mu._make_overlap_fn(hoomd.context.current.system)
+    out2 = np.asarray(fn2(
+        jnp.asarray(dr, jnp.float32),
+        jnp.zeros((M, 1), jnp.int32), jnp.zeros((M, C), jnp.int32),
+        None, None, None,
+        q_i=jnp.asarray(qs, jnp.float32),
+        q_j=jnp.asarray(qjs, jnp.float32)))
+    assert out2.shape == (M, C)
+    assert out2[:, 0].all()
+    assert not out2[:, 1:].any()

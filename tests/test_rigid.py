@@ -124,3 +124,47 @@ def test_intra_body_exclusion():
     # bodies are ~5 apart: inter-body pairs beyond cutoff; intra-body
     # excluded -> total PE ~ 0
     assert abs(pe) < 1e-3
+
+
+def test_constrain_sphere():
+    """Particles constrained to a sphere stay on it under dynamics
+    (reference md.constrain.sphere validation behavior)."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    rng = np.random.RandomState(0)
+    N = 16
+    snap = hoomd.data.make_snapshot(N, hoomd.data.boxdim(L=20),
+                                    particle_types=['A'])
+    g = rng.normal(size=(N, 3))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    snap.particles.position[:] = g * 3.0
+    snap.particles.velocity[:] = rng.normal(0, 0.5, (N, 3))
+    hoomd.init.read_snapshot(snap)
+    import hoomd_tpu.group as grp
+    md.constrain.sphere(group=grp.all(), P=(0, 0, 0), r=3.0)
+    md.integrate.mode_standard(dt=0.002)
+    md.integrate.langevin(group=grp.all(), kT=1.0, seed=7)
+    hoomd.run(300, quiet=True)
+    system = hoomd.context.current.system
+    p = system.take_snapshot().particles.position
+    r = np.linalg.norm(p, axis=1)
+    np.testing.assert_allclose(r, 3.0, atol=5e-3)
+    # and particles moved around the sphere
+    assert np.abs(p - snap.particles.position).max() > 0.5
+
+
+def test_constrain_oneD():
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    import hoomd_tpu.group as grp
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=2.0), n=3)
+    system = hoomd.context.current.system
+    p0 = system.take_snapshot().particles.position.copy()
+    md.constrain.oneD(group=grp.all(), constraint_vector=[0, 0, 1])
+    md.integrate.mode_standard(dt=0.005)
+    md.integrate.langevin(group=grp.all(), kT=1.0, seed=3)
+    hoomd.run(200, quiet=True)
+    p1 = system.take_snapshot().particles.position
+    # x, y frozen; z moves
+    np.testing.assert_allclose(p1[:, :2], p0[:, :2], atol=1e-4)
+    assert np.abs(p1[:, 2] - p0[:, 2]).max() > 0.05
