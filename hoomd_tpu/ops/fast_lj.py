@@ -1,0 +1,270 @@
+"""Fast single-type LJ engine in cell-major layout.
+
+Motivation (measured): the general engine's padded-neighbor-list force pass
+is GATHER-bound on TPU — XLA lowers the (N, K) neighbor gathers to serial
+element loads, capping throughput far below the hardware's FLOP rate.  This
+engine removes every gather from the hot loop by keeping the *state itself*
+in cell-major layout (ncells, C, ...):
+
+  * drift/kick/thermostat are elementwise on padded slots,
+  * forces come from the Pallas cell-pair kernel (ops/pallas_pair.py) —
+    MXU matmuls + regular stencil DMA, zero gathers,
+  * positions stay unwrapped between rebuilds so the stencil image shifts
+    remain exact; a Verlet-skin displacement check (lax.cond) triggers
+    re-binning (one sort) every ~r_buff/2 of motion, exactly the
+    reference's rebuild cadence (md/NeighborList.cc:964).
+
+The System routes eligible configurations here automatically
+(single LJ pair, one type, orthorhombic 3D box, nve/nvt/langevin on all
+particles); everything else uses the general engine.  Both paths share the
+integrator mathematics so trajectories agree to f32 roundoff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .._config import PAD_COORD, int_dtype
+from .. import rng as rng_mod
+from .. import variant as variant_mod
+from .pallas_pair import (build_cell_shifts, cell_pair_lj,
+                          cell_pair_lj_xla)
+
+
+@struct.dataclass
+class FastCarry:
+    pos: jnp.ndarray        # (nc, C, 3) unwrapped since last rebuild
+    vel: jnp.ndarray        # (nc, C, 3)
+    frc: jnp.ndarray        # (nc, C, 3)
+    pe: jnp.ndarray         # (nc, C)
+    vir: jnp.ndarray        # (nc, C, 6)
+    img: jnp.ndarray        # (nc, C, 3) int
+    tag: jnp.ndarray        # (nc, C) int, -1 padding
+    mass: jnp.ndarray       # (nc, C)
+    ref_pos: jnp.ndarray    # (nc, C, 3) at last rebuild
+    timestep: jnp.ndarray   # ()
+    aux: dict               # thermostat variables
+    overflow: jnp.ndarray   # () bool sticky
+    n_rebuilds: jnp.ndarray  # () int
+
+
+def plan_fast_lj(N, box_L, rcut, r_buff):
+    """Static planning: cell grid and capacity."""
+    w = rcut + r_buff
+    cell_dim = tuple(max(1, int(np.floor(l / w))) for l in box_L)
+    ncells = int(np.prod(cell_dim))
+    mean = N / ncells
+    C = int(np.ceil(mean * 1.7)) + 8
+    # round capacity to the f32 sublane for friendlier tiling
+    C = ((C + 7) // 8) * 8
+    return cell_dim, ncells, C
+
+
+def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
+                        method_seed, dtype, interpret=False,
+                        impl='xla'):
+    """Returns (to_fast, run_chunk, to_state_fields).
+
+    dyn layout: {'lj': (4,) [lj1, lj2, rc2, e_shift], 'dt': (),
+                 'kT': packed variant, 'tau': (), 'gamma': ()}.
+    """
+    idt = int_dtype()
+    nc = int(np.prod(cell_dim))
+    M = nc * C
+    L_np = np.asarray(box.L, dtype=np.float64)
+    adj_np, shift_np = build_cell_shifts(cell_dim, L_np)
+    adj = jnp.asarray(adj_np)
+    shifts = jnp.asarray(shift_np, dtype)
+    nxyz = jnp.asarray(cell_dim, idt)
+    ndof = 3.0 * N
+
+    def _cid_flat(pos_w):
+        f = box.make_fraction(pos_w)
+        f = f - jnp.floor(f)
+        c3 = jnp.clip((f * nxyz).astype(idt), 0, nxyz - 1)
+        return c3[..., 0] + cell_dim[0] * (
+            c3[..., 1] + cell_dim[1] * c3[..., 2])
+
+    def _rebin(pos_f, vel_f, img_f, tag_f, mass_f):
+        """Flattened arrays -> fresh cell-major layout."""
+        valid = tag_f >= 0
+        pos_w, img_w = box.wrap(pos_f, img_f)
+        cid = jnp.where(valid, _cid_flat(pos_w), nc)
+        order = jnp.argsort(cid).astype(idt)
+        scid = cid[order]
+        first = jnp.searchsorted(scid, scid, side='left').astype(idt)
+        rank = jnp.arange(M, dtype=idt) - first
+        ok = (rank < C) & (scid < nc)
+        slot = jnp.where(ok, scid * C + rank, M)
+        src = jnp.full((M,), M, idt).at[slot].set(order, mode='drop')
+        ovf = jnp.any((scid < nc) & (rank >= C))
+
+        def take(a, fill):
+            pad = jnp.concatenate(
+                [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)])
+            return pad[src]
+        return (take(pos_w, PAD_COORD), take(vel_f, 0), take(img_w, 0),
+                take(tag_f, -1), take(mass_f, 1), ovf)
+
+    def _forces(pos_cells, dyn):
+        if impl == 'pallas':
+            return cell_pair_lj(pos_cells.reshape(nc, C, 3), adj,
+                                shifts, dyn['lj'], ncells=nc, C=C,
+                                interpret=interpret)
+        return cell_pair_lj_xla(pos_cells.reshape(nc, C, 3), cell_dim,
+                                shifts, dyn['lj'])
+
+    def one_step(c: FastCarry, dyn):
+        dt = dyn['dt']
+        valid = (c.tag >= 0)[..., None]
+        minv = 1.0 / c.mass[..., None]
+
+        # ---- step 1 (drift; thermostat pre-scale for nvt)
+        aux = dict(c.aux)
+        vel = c.vel
+        if method_kind == 'nvt':
+            kT0 = variant_mod.eval_packed(dyn['kT'], c.timestep)
+            ke2 = jnp.sum(jnp.where(valid, c.mass[..., None] * vel * vel,
+                                    0.0))
+            T = ke2 / ndof
+            xi = aux['xi'] + 0.5 * dt * (T / kT0 - 1.0) / dyn['tau'] ** 2
+            s = jnp.exp(-0.5 * dt * xi)
+            vel = jnp.where(valid, vel * s, vel)
+            aux['xi'] = xi
+            aux['eta'] = aux['eta'] + dt * xi
+        vel = jnp.where(valid, vel + 0.5 * dt * c.frc * minv, vel)
+        pos = jnp.where(valid, c.pos + dt * vel, c.pos)   # NO wrap here
+
+        # ---- Verlet check + conditional rebuild
+        d = pos - c.ref_pos
+        md2 = jnp.max(jnp.where(valid, jnp.sum(d * d, -1, keepdims=True),
+                                0.0))
+        needs = md2 > (0.5 * r_buff) ** 2
+        import os as _os
+        if _os.environ.get('HOOMD_TPU_FAST_DEBUG') == 'always_rebuild':
+            needs = md2 > -1.0
+
+        def do_rebuild(args):
+            pos, vel, img, tag, mass, ovf, nr = args
+            p, v, im, t, m, o = _rebin(
+                pos.reshape(M, 3), vel.reshape(M, 3),
+                img.reshape(M, 3), tag.reshape(M), mass.reshape(M))
+            return (p.reshape(nc, C, 3), v.reshape(nc, C, 3),
+                    im.reshape(nc, C, 3), t.reshape(nc, C),
+                    m.reshape(nc, C), ovf | o, nr + 1)
+
+        pos, vel, img, tag, mass, ovf, nr = jax.lax.cond(
+            needs, do_rebuild, lambda a: a,
+            (pos, vel, c.img, c.tag, c.mass, c.overflow, c.n_rebuilds))
+        ref = jnp.where(needs, pos, c.ref_pos)
+        valid = (tag >= 0)[..., None]
+        minv = 1.0 / mass[..., None]
+
+        # ---- forces (Pallas cell-pair kernel)
+        frc, pe, vir = _forces(pos, dyn)
+        frc = jnp.where(valid, frc, 0.0)
+
+        # ---- step 2 (kick; thermostat post-scale / langevin bath)
+        if method_kind == 'langevin':
+            kT = variant_mod.eval_packed(dyn['kT'], c.timestep)
+            gamma = dyn['gamma']
+            key = rng_mod.step_key(method_seed, c.timestep, salt=4096)
+            u = jax.random.uniform(key, (N, 3), dtype=dtype,
+                                   minval=-1.0, maxval=1.0)
+            u_pad = jnp.concatenate([u, jnp.zeros((1, 3), dtype)])
+            noise = jnp.sqrt(6.0 * gamma * kT / dt) \
+                * u_pad[jnp.minimum(tag, N)].reshape(nc, C, 3)
+            f_tot = frc + noise - gamma * vel
+            f_tot = jnp.where(valid, f_tot, 0.0)
+            vel = jnp.where(valid, vel + 0.5 * dt * f_tot * minv, vel)
+            frc = f_tot
+        else:
+            vel = jnp.where(valid, vel + 0.5 * dt * frc * minv, vel)
+            if method_kind == 'nvt':
+                kT0 = variant_mod.eval_packed(dyn['kT'], c.timestep)
+                xi = aux['xi']
+                s = jnp.exp(-0.5 * dt * xi)
+                vel = jnp.where(valid, vel * s, vel)
+                ke2 = jnp.sum(jnp.where(valid,
+                                        mass[..., None] * vel * vel, 0.0))
+                T = ke2 / ndof
+                aux['xi'] = xi + 0.5 * dt * (T / kT0 - 1.0) \
+                    / dyn['tau'] ** 2
+
+        return FastCarry(pos=pos, vel=vel, frc=frc, pe=pe, vir=vir,
+                         img=img, tag=tag, mass=mass, ref_pos=ref,
+                         timestep=c.timestep + 1, aux=aux,
+                         overflow=ovf, n_rebuilds=nr)
+
+    def run_chunk(carry, dyn, nsteps):
+        def body(_, c):
+            return one_step(c, dyn)
+        return jax.lax.fori_loop(0, nsteps, body, carry)
+
+    # ---- conversions -------------------------------------------------------
+    @jax.jit
+    def to_fast(state, aux):
+        pos_f = state.pos
+        p, v, im, t, m, ovf = _rebin(
+            jnp.concatenate([pos_f,
+                             jnp.full((M - N, 3), PAD_COORD, dtype)]),
+            jnp.concatenate([state.vel, jnp.zeros((M - N, 3), dtype)]),
+            jnp.concatenate([state.image,
+                             jnp.zeros((M - N, 3), idt)]),
+            jnp.concatenate([state.tag,
+                             jnp.full((M - N,), -1, idt)]),
+            jnp.concatenate([state.mass, jnp.ones((M - N,), dtype)]))
+        shape3 = (nc, C, 3)
+        # net_force is recomputed with refresh_forces after conversion
+        # (one kernel call) rather than permuted alongside
+        carry = FastCarry(
+            pos=p.reshape(shape3), vel=v.reshape(shape3),
+            frc=jnp.zeros(shape3, dtype),
+            pe=jnp.zeros((nc, C), dtype),
+            vir=jnp.zeros((nc, C, 6), dtype),
+            img=im.reshape(shape3), tag=t.reshape(nc, C),
+            mass=m.reshape(nc, C),
+            ref_pos=p.reshape(shape3),
+            timestep=state.timestep, aux=aux,
+            overflow=ovf, n_rebuilds=jnp.zeros((), idt))
+        return carry
+
+    @jax.jit
+    def refresh_forces(carry, dyn):
+        frc, pe, vir = _forces(carry.pos, dyn)
+        valid = (carry.tag >= 0)[..., None]
+        return carry.replace(frc=jnp.where(valid, frc, 0.0), pe=pe,
+                             vir=vir)
+
+    @jax.jit
+    def to_state(carry, state):
+        """Scatter fast-layout arrays back into the State by tag order
+        preserved via each slot's tag."""
+        tag_f = carry.tag.reshape(M)
+        sel = jnp.minimum(jnp.where(tag_f >= 0, tag_f, N), N)
+        # state slot of each fast slot: rtag[tag]; padding rows route to
+        # the out-of-bounds index N and are DROPPED (an in-bounds clamp
+        # would race with the genuine write to slot N-1)
+        rt_pad = jnp.concatenate([state.rtag, jnp.zeros((1,), idt)])
+        dst = jnp.where(tag_f >= 0, rt_pad[sel], N)
+
+        def scat(dest, src):
+            return dest.at[dst].set(src, mode='drop')
+        pos_w, img_w = box.wrap(carry.pos.reshape(M, 3),
+                                carry.img.reshape(M, 3))
+        new = state.replace(
+            pos=scat(state.pos, pos_w),
+            vel=scat(state.vel, carry.vel.reshape(M, 3)),
+            image=scat(state.image, img_w),
+            net_force=scat(state.net_force, carry.frc.reshape(M, 3)),
+            net_pe=scat(state.net_pe, carry.pe.reshape(M)),
+            net_virial=scat(state.net_virial, carry.vir.reshape(M, 6)),
+            timestep=carry.timestep)
+        return new
+
+    return to_fast, refresh_forces, jax.jit(run_chunk), to_state

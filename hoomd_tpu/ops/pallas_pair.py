@@ -51,6 +51,7 @@ def _kernel(adj_ref, lj_ref, xi_ref, *rest):
     shift_refs = rest[nb:2 * nb]
     f_ref = rest[2 * nb]
     pe_ref = rest[2 * nb + 1]
+    vir_ref = rest[2 * nb + 2]
 
     C = xi_ref.shape[1]
     xi = xi_ref[0]                                  # (C, 3)
@@ -66,10 +67,17 @@ def _kernel(adj_ref, lj_ref, xi_ref, *rest):
     # distances via MXU: r2 = |xi|^2 + |xj|^2 - 2 xi.xj
     xi2 = jnp.sum(xi * xi, axis=-1, keepdims=True)          # (C,1)
     xj2 = jnp.sum(xj * xj, axis=-1, keepdims=True).T        # (1,27C)
-    S = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)
+    S = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     r2 = xi2 + xj2 - 2.0 * S
 
-    valid = (r2 > 1e-8) & (r2 < rc2)   # self/padding have r2~0 or huge
+    # padding slots are detected by coordinate magnitude (elementwise
+    # squares are exact) — the r2 cancellation noise of |x|~1e9 values on
+    # TPU matmul units can alias under r_cut; self-pairs are r2 ~ 0 up to
+    # that noise at physical |x|, hence the 1e-3 threshold (two distinct
+    # particles at r < 0.03 sigma cannot occur in finite-energy LJ states)
+    finite = (xi2 < 1e16) & (xj2 < 1e16)
+    valid = (r2 > 1e-3) & (r2 < rc2) & finite
     r2s = jnp.where(valid, r2, 1.0)
     r2i = 1.0 / r2s
     r6i = r2i * r2i * r2i
@@ -79,10 +87,25 @@ def _kernel(adj_ref, lj_ref, xi_ref, *rest):
 
     # force via MXU: F_i = (sum_j fdivr) xi - fdivr @ xj
     w = jnp.sum(fdivr, axis=1, keepdims=True)               # (C,1)
-    F = w * xi - jnp.dot(fdivr, xj,
-                         preferred_element_type=jnp.float32)
+    fxj = jnp.dot(fdivr, xj, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    F = w * xi - fxj
     f_ref[0] = F
-    pe_ref[0] = 0.5 * jnp.sum(e, axis=1)
+    pe_ref[0] = 0.5 * jnp.sum(e, axis=1, keepdims=True)
+
+    # per-particle virial 0.5 sum_j fdivr dr_a dr_b, expanded so the xj
+    # moments come from one more MXU matmul:
+    #   sum f dr_a dr_b = w xi_a xi_b - xi_a (f@xj)_b - xi_b (f@xj)_a
+    #                     + (f @ (xj_a xj_b))
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    xj_sq = jnp.stack([xj[:, a] * xj[:, b] for a, b in pairs], axis=-1)
+    fq = jnp.dot(fdivr, xj_sq, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    vir = jnp.stack(
+        [w[:, 0] * xi[:, a] * xi[:, b] - xi[:, a] * fxj[:, b]
+         - xi[:, b] * fxj[:, a] + fq[:, k]
+         for k, (a, b) in enumerate(pairs)], axis=-1)
+    vir_ref[0] = 0.5 * vir
 
 
 @functools.partial(jax.jit,
@@ -92,7 +115,8 @@ def cell_pair_lj(cell_pos, cell_adj, cell_shift, lj_params, *, ncells, C,
     """cell_pos (ncells, C, 3) with PAD_COORD padding; cell_adj
     (ncells, 27) i32; cell_shift (ncells, 27, 3) lattice offsets to apply
     to each stencil cell; lj_params (4,) = [lj1, lj2, rc2, e_shift].
-    Returns (force (ncells, C, 3), pe (ncells, C))."""
+    Returns (force (ncells, C, 3), pe (ncells, C),
+    virial (ncells, C, 6))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -122,7 +146,9 @@ def cell_pair_lj(cell_pos, cell_adj, cell_shift, lj_params, *, ncells, C,
         out_specs=[
             pl.BlockSpec((1, C, 3), lambda i, adj: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i, adj: (i, 0),
+            pl.BlockSpec((1, C, 1), lambda i, adj: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 6), lambda i, adj: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -131,14 +157,16 @@ def cell_pair_lj(cell_pos, cell_adj, cell_shift, lj_params, *, ncells, C,
     shift_args = [cell_shift[:, k:k + 1, :] for k in range(nb)]
     out_shape = [
         jax.ShapeDtypeStruct((ncells, C, 3), cell_pos.dtype),
-        jax.ShapeDtypeStruct((ncells, C), cell_pos.dtype),
+        jax.ShapeDtypeStruct((ncells, C, 1), cell_pos.dtype),
+        jax.ShapeDtypeStruct((ncells, C, 6), cell_pos.dtype),
     ]
-    return pl.pallas_call(
+    f, pe, vir = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(cell_adj, lj_params, cell_pos, *xj_args, *shift_args)
+    return f, pe[..., 0], vir
 
 
 def build_cell_layout(pos, box, cell_dim, C):
@@ -189,3 +217,65 @@ def build_cell_shifts(cell_dim, box_L):
     # carries a distinct periodic image shift and every (cell, shift) pair
     # is a genuine image.  Identical (cell, shift) pairs never occur.
     return adj, sh
+
+
+def cell_pair_lj_xla(cell_pos, cell_dim, cell_shift, lj_params):
+    """Pure-XLA formulation of the same cell-pair computation.
+
+    Stencil blocks are assembled with jnp.roll over the 3D cell grid —
+    pure regular data movement, ZERO gathers (a row gather here lowers to
+    a serial dynamic-slice loop on TPU and dominates the step time) —
+    then batched MXU matmuls produce distances, forces and virials.
+    cell_shift must come from build_cell_shifts (matching (dz, dy, dx)
+    loop order).  Math and masking are identical to the Pallas kernel.
+    """
+    import jax
+    HI = jax.lax.Precision.HIGHEST   # TPU matmuls default to bf16
+    nc, C, _ = cell_pos.shape
+    nx, ny, nz = cell_dim
+    lj1, lj2, rc2, e_shift = (lj_params[0], lj_params[1], lj_params[2],
+                              lj_params[3])
+    # cell id layout is ix + nx*(iy + ny*iz) (ops/cells.cell_index), so
+    # as a 3D array the axes are (iz, iy, ix)
+    g3 = cell_pos.reshape(nz, ny, nx, C, 3)
+    blocks = []
+    k = 0
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb = jnp.roll(g3, shift=(-dz, -dy, -dx), axis=(0, 1, 2))
+                nb = nb.reshape(nc, C, 3) \
+                    + cell_shift[:, k, None, :]
+                blocks.append(nb)
+                k += 1
+    xj = jnp.concatenate(blocks, axis=1)           # (nc, 27C, 3)
+    xi = cell_pos
+    xi2 = jnp.sum(xi * xi, axis=-1)                       # (nc, C)
+    xj2 = jnp.sum(xj * xj, axis=-1)                       # (nc, 27C)
+    S = jnp.einsum('ncd,nkd->nck', xi, xj, precision=HI,
+                   preferred_element_type=jnp.float32)
+    r2 = xi2[:, :, None] + xj2[:, None, :] - 2.0 * S
+    # see the kernel above: PAD filtered by magnitude, self by threshold
+    finite = (xi2[:, :, None] < 1e16) & (xj2[:, None, :] < 1e16)
+    valid = (r2 > 1e-3) & (r2 < rc2) & finite
+    r2s = jnp.where(valid, r2, 1.0)
+    r2i = 1.0 / r2s
+    r6i = r2i * r2i * r2i
+    fdivr = jnp.where(valid,
+                      r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2), 0.0)
+    e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift, 0.0)
+    w = jnp.sum(fdivr, axis=2)                            # (nc, C)
+    fxj = jnp.einsum('nck,nkd->ncd', fdivr, xj, precision=HI,
+                     preferred_element_type=jnp.float32)
+    F = w[:, :, None] * xi - fxj
+    pe = 0.5 * jnp.sum(e, axis=2)
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    xj_sq = jnp.stack([xj[..., a] * xj[..., b] for a, b in pairs],
+                      axis=-1)                            # (nc, 27C, 6)
+    fq = jnp.einsum('nck,nkp->ncp', fdivr, xj_sq, precision=HI,
+                    preferred_element_type=jnp.float32)
+    vir = jnp.stack(
+        [w * xi[..., a] * xi[..., b] - xi[..., a] * fxj[..., b]
+         - xi[..., b] * fxj[..., a] + fq[..., k]
+         for k, (a, b) in enumerate(pairs)], axis=-1)
+    return F, pe, 0.5 * vir

@@ -133,17 +133,13 @@ def build_spatial_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
         arr_t = jnp.concatenate([tr, tlf], axis=0)
         arr_ok = arr_t >= 0
         arr_rank = jnp.cumsum(arr_ok) - 1
+        # invalid arrival rows route out of bounds and are DROPPED (an
+        # in-bounds clamp would race with genuine writes to slot C-1)
         slot = jnp.where(arr_ok, n_stay + arr_rank, C)
         slot_ovf = jnp.any(jnp.where(arr_ok, slot, 0) >= C)
-        pos_s = pos_s.at[jnp.minimum(slot, C - 1)].set(
-            jnp.where((slot < C)[:, None], arr_p,
-                      pos_s[jnp.minimum(slot, C - 1)]))
-        vel_s = vel_s.at[jnp.minimum(slot, C - 1)].set(
-            jnp.where((slot < C)[:, None], arr_v,
-                      vel_s[jnp.minimum(slot, C - 1)]))
-        tag_s = tag_s.at[jnp.minimum(slot, C - 1)].set(
-            jnp.where(slot < C, arr_t,
-                      tag_s[jnp.minimum(slot, C - 1)]))
+        pos_s = pos_s.at[slot].set(arr_p, mode='drop')
+        vel_s = vel_s.at[slot].set(arr_v, mode='drop')
+        tag_s = tag_s.at[slot].set(arr_t, mode='drop')
         pos, vel, tag = pos_s, vel_s, tag_s
         owned = tag >= 0
 

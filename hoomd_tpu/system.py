@@ -241,8 +241,13 @@ class System:
                 state = cls.reduce_forces(state, cp)
             return state, nls
 
+        # fast-path specialization: single-type LJ + simple integrator
+        # routes to the cell-major Pallas engine (ops/fast_lj.py)
+        fast = self._maybe_build_fast(forces, nlists, methods,
+                                      has_mode_hooks, aniso, composites)
+
         program = {
-            'kind': 'md',
+            'kind': 'md', 'fast': fast,
             'forces': forces, 'nlists': nlists, 'methods': methods,
             'nl_cfgs': nl_cfgs,
             'run_chunk': jax.jit(run_chunk),
@@ -281,10 +286,144 @@ class System:
         dt_val = self.integrator_mode.dt if self.integrator_mode else 0.0
         self._dyn = {
             'dt': jnp.asarray(dt_val, dtype=self.real_dtype),
-            'forces': tuple(f._pack_params(self) for f in p['forces']),
-            'methods': tuple(m._pack_params(self) for m in p['methods']),
+            'forces': tuple(f._pack_params(self) for f in p.get('forces',
+                                                                ())),
+            'methods': tuple(m._pack_params(self) for m in p.get('methods',
+                                                                 ())),
         }
+        if p.get('fast'):
+            self._dyn['fast'] = self._fast_dyn()
         self._params_dirty = False
+
+    def _maybe_build_fast(self, forces, nlists, methods, has_mode_hooks,
+                          aniso, composites):
+        """Eligibility + construction of the cell-major LJ engine."""
+        import os
+        import jax
+        import jax.numpy as jnp
+        from .ops import pair_eval
+        from .ops.fast_lj import build_fast_lj_chunk, plan_fast_lj
+        # HOOMD_TPU_FAST: 'auto' (TPU only), 'on' (any backend),
+        # 'interpret' (any backend, Pallas interpret mode), 'off'
+        mode_env = os.environ.get('HOOMD_TPU_FAST', 'auto')
+        if mode_env == 'off':
+            return None
+        if jax.default_backend() != 'tpu' and mode_env not in (
+                'on', 'interpret'):
+            return None
+        interpret = (mode_env == 'interpret'
+                     and jax.default_backend() != 'tpu')
+        if (len(forces) != 1 or len(methods) != 1 or aniso
+                or has_mode_hooks or composites
+                or len(self.particle_types) != 1):
+            return None
+        f = forces[0]
+        if getattr(f, '_evaluator', None) is not pair_eval.lj:
+            return None
+        if f.mode not in ('none', 'shift'):
+            return None
+        nl = f._nlist
+        if nl is None or nl._cfg is None or nl._cfg.excl_tags is not None \
+                or nl._cfg.diameter_shift:
+            return None
+        snap = self.snapshot_template
+        if (snap.particles.body >= 0).any():
+            return None
+        m = methods[0]
+        kind = type(m).__name__
+        if kind not in ('nve', 'langevin', 'nvt'):
+            return None
+        if kind == 'nve' and (m.limit is not None or m.zero_force):
+            return None
+        if kind == 'langevin' and (m.dscale or m.noiseless_t):
+            return None
+        if len(m.group.member_tags) != self.state.N:
+            return None
+        box = self.state.box
+        import numpy as _np
+        if box.dimensions != 3 or _np.abs(_np.asarray(box.tilt)).max() \
+                > 1e-12:
+            return None
+        N = self.state.N
+        rcut = float(f._rcut_matrix(self.particle_types)[0, 0])
+        r_buff = nl.r_buff
+        L = _np.asarray(box.L)
+        cell_dim, ncells, C = plan_fast_lj(N, L, rcut, r_buff)
+        if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
+            return None      # box too small for the stencil invariant
+        C = max(C, self._grow.get('fast_C', 0))
+        impl = os.environ.get('HOOMD_TPU_FAST_IMPL', 'xla')
+        to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
+            N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
+            rcut=rcut, method_kind=kind,
+            method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
+            interpret=interpret, impl=impl)
+        return {'to_fast': to_fast, 'refresh': refresh,
+                'run_chunk': run_chunk, 'to_state': to_state,
+                'C': C, 'method': m, 'kind': kind, 'rcut': rcut}
+
+    def _fast_dyn(self):
+        import jax.numpy as jnp
+        fast = self._program['fast']
+        f = self._program['forces'][0]
+        fp = self._dyn['forces'][0]
+        lj1 = fp['tables']['lj1'][0, 0]
+        lj2 = fp['tables']['lj2'][0, 0]
+        rc = fp['rcut'][0, 0]
+        rc2 = rc * rc
+        if f.mode == 'shift':
+            r6i = 1.0 / (rc2 * rc2 * rc2)
+            e_shift = r6i * (lj1 * r6i - lj2)
+        else:
+            e_shift = jnp.zeros((), self.real_dtype)
+        mp = self._dyn['methods'][0]
+        out = {'lj': jnp.stack([lj1, lj2, rc2, e_shift]),
+               'dt': self._dyn['dt']}
+        kind = fast['kind']
+        if kind in ('langevin', 'nvt'):
+            out['kT'] = mp['kT']
+        else:
+            out['kT'] = (jnp.zeros((1,), self.real_dtype),
+                         jnp.ones((1,), self.real_dtype))
+        out['tau'] = mp.get('tau', jnp.ones((), self.real_dtype))
+        gam = mp.get('gamma')
+        out['gamma'] = (gam[0] if gam is not None
+                        else jnp.ones((), self.real_dtype))
+        return out
+
+    def _run_fast_chunk(self, chunk):
+        """Execute one chunk on the cell-major engine, with the usual
+        grow-and-retry protocol on cell-capacity overflow."""
+        import jax.numpy as jnp
+        for attempt in range(4):
+            fast = self._program['fast']
+            m = fast['method']
+            aux = self._method_aux_by_obj.get(m) or m._init_aux(self.state)
+            if not isinstance(aux, dict):
+                aux = {}
+            fdyn = self._dyn['fast']
+            carry = fast['to_fast'](self.state, aux)
+            carry = fast['refresh'](carry, fdyn)
+            carry = fast['run_chunk'](carry, fdyn,
+                                      jnp.asarray(chunk, jnp.int32))
+            if not bool(carry.overflow):
+                self.state = fast['to_state'](carry, self.state)
+                self._method_aux_by_obj[m] = carry.aux
+                # rebuild the method-aux tuple in program order
+                self._method_aux = tuple(
+                    self._method_aux_by_obj.get(mm, a)
+                    for mm, a in zip(self._program['methods'],
+                                     self._method_aux))
+                self._forces_fresh = True
+                return
+            self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
+            self._rebuild_program()
+            self._pack_dyn()
+        raise RuntimeError(
+            "fast LJ engine: cell capacity still overflowing after "
+            "repeated growth — this usually means the dynamics diverged "
+            "(NaN positions collapse into one cell); check dt and the "
+            "initial configuration")
 
     def _ensure_ready(self):
         if self._program is None or self._dirty_flag:
@@ -383,6 +522,19 @@ class System:
             chunk = max(chunk, 1)
 
             t_chunk = time.perf_counter()
+            if self._program['kind'] == 'md' and self._program.get('fast'):
+                self._run_fast_chunk(chunk)
+                cur += chunk
+                if prof is not None:
+                    import jax as _jax
+                    _jax.block_until_ready(self.state.pos)
+                    prof['device_s'] += time.perf_counter() - t_chunk
+                    prof['chunks'] += 1
+                if deadline and time.perf_counter() > deadline:
+                    if not quiet:
+                        print("** walltime limit reached **")
+                    break
+                continue
             if self._program['kind'] == 'hpmc':
                 state0 = self.state
                 for _ in range(8):
@@ -550,6 +702,10 @@ class System:
         """Total PE of one force (reference ForceCompute::calcEnergySum):
         recomputed on demand from the current state."""
         self._ensure_ready()
+        if self._program.get('fast'):
+            # the fast engine leaves the general neighbor list stale;
+            # refresh it (cond-gated, cheap if still within the skin)
+            self._prep_forces()
         p = self._program
         if force not in p['forces']:
             return 0.0

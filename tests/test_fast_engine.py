@@ -1,0 +1,137 @@
+"""Cell-major fast LJ engine vs the general engine (CPU interpret mode;
+compiled Pallas on TPU).  Chaotic trajectories can't be compared pointwise
+beyond a few steps at f32, so parity is asserted on single evaluations and
+on conserved/statistical quantities."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _build(fast, a=1.3, n=4, dt=0.002, method='nve', seed=3):
+    os.environ['HOOMD_TPU_FAST'] = 'on' if fast else 'off'
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    hoomd.context.initialize('--notice-level=0')
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=a), n=n)
+    system = hoomd.context.current.system
+    rng = np.random.RandomState(seed)
+    snap = system.take_snapshot()
+    snap.particles.position[:] += rng.uniform(
+        -0.05, 0.05, snap.particles.position.shape)
+    v = rng.normal(0, 0.5, (snap.particles.N, 3))
+    v -= v.mean(axis=0)
+    snap.particles.velocity[:] = v
+    system.restore_snapshot(snap)
+    nl = md.nlist.cell(r_buff=0.4)
+    lj = md.pair.lj(r_cut=2.0, nlist=nl)
+    lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+    lj.set_params(mode='shift')
+    md.integrate.mode_standard(dt=dt)
+    if method == 'nve':
+        md.integrate.nve(group=hoomd.group.all())
+    elif method == 'nvt':
+        md.integrate.nvt(group=hoomd.group.all(), kT=1.0, tau=0.5)
+    else:
+        md.integrate.langevin(group=hoomd.group.all(), kT=1.0, seed=7)
+    return hoomd, system
+
+
+@pytest.fixture(autouse=True)
+def _restore_env():
+    yield
+    os.environ.pop('HOOMD_TPU_FAST', None)
+
+
+def test_single_eval_parity():
+    hoomd, sys1 = _build(False, dt=0.0)
+    hoomd.run(1, quiet=True)
+    assert not sys1._program.get('fast')
+    o1 = np.asarray(sys1.state.rtag)
+    f1 = np.asarray(sys1.state.net_force)[o1]
+    pe1 = float(np.asarray(sys1.state.net_pe).sum())
+
+    hoomd, sys2 = _build(True, dt=0.0)
+    hoomd.run(1, quiet=True)
+    assert sys2._program.get('fast')
+    o2 = np.asarray(sys2.state.rtag)
+    f2 = np.asarray(sys2.state.net_force)[o2]
+    pe2 = float(np.asarray(sys2.state.net_pe).sum())
+
+    scale = max(np.abs(f1).max(), 1.0)
+    assert np.abs(f1 - f2).max() < 2e-4 * scale
+    assert pe1 == pytest.approx(pe2, abs=1e-2)
+
+
+def test_fast_nve_energy_conservation():
+    """Rebuilds + kernel + integration conserve energy end-to-end."""
+    hoomd, system = _build(True, dt=0.002)
+    hoomd.run(10, quiet=True)
+    assert system._program.get('fast')
+
+    def e():
+        q = system.thermo_quantities()
+        return q['kinetic_energy'] + q['potential_energy']
+    e0 = e()
+    hoomd.run(300, quiet=True)
+    e1 = e()
+    N = system.state.N
+    assert abs(e1 - e0) / N < 1e-3
+
+
+def test_fast_nvt_temperature():
+    hoomd, system = _build(True, dt=0.004, method='nvt')
+    hoomd.run(1500, quiet=True)
+    temps = []
+    for _ in range(25):
+        hoomd.run(50, quiet=True)
+        temps.append(system.thermo_quantities()['temperature'])
+    # N=64: canonical T fluctuations are ~sqrt(2/3N) ~ 10%, so the mean
+    # over a short window carries real statistical error
+    assert np.mean(temps) == pytest.approx(1.0, rel=0.15)
+
+
+def test_fast_langevin_temperature():
+    hoomd, system = _build(True, dt=0.004, method='langevin')
+    hoomd.run(600, quiet=True)
+    temps = []
+    for _ in range(10):
+        hoomd.run(40, quiet=True)
+        temps.append(system.thermo_quantities()['temperature'])
+    assert np.mean(temps) == pytest.approx(1.0, rel=0.12)
+
+
+def test_fast_logger_and_force_energy():
+    """Logger quantities (which recompute via the general path) agree with
+    the fast engine's cached energies."""
+    hoomd, system = _build(True, dt=0.002)
+    lg = hoomd.analyze.log(filename=None,
+                           quantities=['potential_energy',
+                                       'pair_lj_energy'],
+                           period=10 ** 9)
+    hoomd.run(20, quiet=True)
+    pe = system.thermo_quantities()['potential_energy']
+    lj_e = lg.query('pair_lj_energy')
+    assert pe == pytest.approx(lj_e, rel=1e-3, abs=1e-2)
+
+
+def test_fast_ineligible_configs_fall_back():
+    """Two types / exclusions / other methods must use the general path."""
+    os.environ['HOOMD_TPU_FAST'] = 'on'
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    hoomd.context.initialize('--notice-level=0')
+    snap = hoomd.data.make_snapshot(
+        16, hoomd.data.boxdim(L=10), particle_types=['A', 'B'])
+    rng = np.random.RandomState(0)
+    snap.particles.position[:] = rng.uniform(-4, 4, (16, 3))
+    snap.particles.typeid[:8] = 1
+    hoomd.init.read_snapshot(snap)
+    nl = md.nlist.cell()
+    lj = md.pair.lj(r_cut=2.0, nlist=nl)
+    lj.pair_coeff.set(['A', 'B'], ['A', 'B'], epsilon=1.0, sigma=1.0)
+    md.integrate.mode_standard(dt=0.001)
+    md.integrate.nve(group=hoomd.group.all())
+    hoomd.run(2, quiet=True)
+    assert not hoomd.context.current.system._program.get('fast')

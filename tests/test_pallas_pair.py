@@ -30,7 +30,7 @@ def test_cell_pair_kernel_matches_bruteforce():
     e_shift = rc6i * (lj1 * rc6i - lj2)
     params = jnp.asarray([lj1, lj2, rc * rc, e_shift], jnp.float32)
 
-    f_cell, pe_cell = cell_pair_lj(
+    f_cell, pe_cell, vir_cell = cell_pair_lj(
         cell_pos, jnp.asarray(adj), jnp.asarray(shifts, jnp.float32),
         params, ncells=ncells, C=C, interpret=True)
 
@@ -60,6 +60,13 @@ def test_cell_pair_kernel_matches_bruteforce():
     scale = np.abs(f_ref).max()
     np.testing.assert_allclose(force, f_ref, atol=2e-4 * scale)
     np.testing.assert_allclose(pe, e_ref, rtol=2e-4, atol=1e-5)
+    # virial trace vs oracle
+    w_ref = 0.5 * (fdivr * r2 * within).sum(axis=1)
+    vir = np.zeros((N, 6))
+    vir[pid[sel]] = np.asarray(vir_cell).reshape(-1, 6)[sel]
+    w_got = vir[:, 0] + vir[:, 3] + vir[:, 5]
+    np.testing.assert_allclose(w_got, w_ref, rtol=5e-4,
+                               atol=1e-4 * max(1.0, np.abs(w_ref).max()))
 
 
 def test_cell_pair_kernel_small_grid_duplicates():
@@ -82,7 +89,7 @@ def test_cell_pair_kernel_small_grid_duplicates():
     cell_pos, cell_pid, ovf = build_cell_layout(pos, box, cell_dim, C)
     adj, shifts = build_cell_shifts(cell_dim, np.array([L] * 3))
     params = jnp.asarray([4.0, 4.0, rc * rc, 0.0], jnp.float32)
-    f_cell, pe_cell = cell_pair_lj(
+    f_cell, pe_cell, vir_cell = cell_pair_lj(
         cell_pos, jnp.asarray(adj), jnp.asarray(shifts, jnp.float32),
         params, ncells=ncells, C=C, interpret=True)
     pid = np.asarray(cell_pid).reshape(-1)
