@@ -6,10 +6,10 @@ Prints ONE JSON line:
 vs_baseline is against the 1e8 particle-steps/sec/chip north star
 (BASELINE.md).
 
-Runs on whatever JAX platform is active (the driver provides one real TPU
-chip).  State point: the classic LJ liquid benchmark rho*=0.8442, T*=1.2,
-r_cut=2.5, r_buff=0.4 (matches the glotzerlab hoomd-benchmarks lj-liquid
-configuration class).
+State point: the classic LJ liquid rho*=0.8442, T*=1.2, r_cut=2.5,
+r_buff=0.4, dt=0.005 (the glotzerlab hoomd-benchmarks lj-liquid class).
+The sc lattice start is melted gently first (Langevin, small dt) — a
+violent melt at full dt is unstable in any engine at f32.
 """
 
 from __future__ import annotations
@@ -20,6 +20,8 @@ import time
 
 
 def main():
+    import numpy as np
+
     import hoomd_tpu as hoomd
     from hoomd_tpu import md
 
@@ -31,8 +33,6 @@ def main():
     system = hoomd.context.current.system
     N = system.state.N
 
-    # thermal velocities
-    import numpy as np
     rng = np.random.RandomState(1)
     snap = system.take_snapshot()
     v = rng.normal(0, np.sqrt(1.2), (N, 3))
@@ -44,11 +44,17 @@ def main():
     lj = md.pair.lj(r_cut=2.5, nlist=nl)
     lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
     lj.set_params(mode='shift')
-    md.integrate.mode_standard(dt=0.005)
-    md.integrate.nvt(group=hoomd.group.all(), kT=1.2, tau=0.5)
 
-    # warmup: compile + melt the lattice + settle nlist capacities
-    system.run(500, quiet=True)
+    # gentle melt: Langevin at small dt turns the unstable sc lattice into
+    # the liquid without kinetic blowup
+    mode = md.integrate.mode_standard(dt=0.001)
+    lan = md.integrate.langevin(group=hoomd.group.all(), kT=1.2, seed=7)
+    system.run(1000, quiet=True)
+    lan.disable()
+
+    mode.set_params(dt=0.005)
+    md.integrate.nvt(group=hoomd.group.all(), kT=1.2, tau=0.5)
+    system.run(500, quiet=True)          # compile + equilibrate
 
     steps = 3000
     t0 = time.perf_counter()
@@ -56,6 +62,7 @@ def main():
     elapsed = time.perf_counter() - t0
     tps = steps / elapsed
     pss = tps * N
+    q = system.thermo_quantities()
 
     print(json.dumps({
         "metric": "lj_melt_64k_nvt_particle_steps_per_sec",
@@ -64,8 +71,9 @@ def main():
         "vs_baseline": pss / 1.0e8,
         "extra": {"N": N, "tps": tps, "steps": steps,
                   "elapsed_s": elapsed,
-                  "n_rebuilds": int(system._nl_data[0].n_rebuilds),
-                  "temperature": system.thermo_quantities()['temperature']},
+                  "temperature": q['temperature'],
+                  "pe_per_particle": q['potential_energy'] / N,
+                  "fast_engine": bool(system._program.get('fast'))},
     }))
 
 

@@ -33,7 +33,7 @@ from .._config import PAD_COORD, int_dtype
 from .. import rng as rng_mod
 from .. import variant as variant_mod
 from .pallas_pair import (build_cell_shifts, cell_pair_lj,
-                          cell_pair_lj_xla)
+                          cell_pair_lj_pallas3d, cell_pair_lj_xla)
 
 
 @struct.dataclass
@@ -111,13 +111,32 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         return (take(pos_w, PAD_COORD), take(vel_f, 0), take(img_w, 0),
                 take(tag_f, -1), take(mass_f, 1), ovf)
 
-    def _forces(pos_cells, dyn):
+    def _forces(pos_cells, dyn, want_pv=True):
         if impl == 'pallas':
-            return cell_pair_lj(pos_cells.reshape(nc, C, 3), adj,
-                                shifts, dyn['lj'], ncells=nc, C=C,
-                                interpret=interpret)
-        return cell_pair_lj_xla(pos_cells.reshape(nc, C, 3), cell_dim,
-                                shifts, dyn['lj'])
+            out = cell_pair_lj(pos_cells.reshape(nc, C, 3), adj,
+                               shifts, dyn['lj'], ncells=nc, C=C,
+                               interpret=interpret)
+        elif impl == 'pallas3d':
+            if want_pv:
+                # pe/virial are only read at chunk boundaries; the
+                # (C, 6) virial layout is hostile to Mosaic, so the
+                # rare full evaluation uses the XLA formulation and
+                # only the force comes from the fast kernel
+                frc = cell_pair_lj_pallas3d(
+                    pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                    dyn['lj'], C=C, interpret=interpret, want_pv=False)
+                _, pe, vir = cell_pair_lj_xla(
+                    pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                    dyn['lj'])
+                return frc, pe, vir
+            return cell_pair_lj_pallas3d(
+                pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                dyn['lj'], C=C, interpret=interpret, want_pv=False)
+        else:
+            # unused pe/vir are dead-code-eliminated by XLA
+            out = cell_pair_lj_xla(pos_cells.reshape(nc, C, 3), cell_dim,
+                                   shifts, dyn['lj'])
+        return out if want_pv else out[0]
 
     def one_step(c: FastCarry, dyn):
         dt = dyn['dt']
@@ -145,9 +164,6 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         md2 = jnp.max(jnp.where(valid, jnp.sum(d * d, -1, keepdims=True),
                                 0.0))
         needs = md2 > (0.5 * r_buff) ** 2
-        import os as _os
-        if _os.environ.get('HOOMD_TPU_FAST_DEBUG') == 'always_rebuild':
-            needs = md2 > -1.0
 
         def do_rebuild(args):
             pos, vel, img, tag, mass, ovf, nr = args
@@ -165,8 +181,10 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         valid = (tag >= 0)[..., None]
         minv = 1.0 / mass[..., None]
 
-        # ---- forces (Pallas cell-pair kernel)
-        frc, pe, vir = _forces(pos, dyn)
+        # ---- forces (Pallas cell-pair kernel); pe/virial are NOT
+        # computed in the hot loop — refresh_forces fills them at chunk
+        # boundaries before any observer reads them
+        frc = _forces(pos, dyn, want_pv=False)
         frc = jnp.where(valid, frc, 0.0)
 
         # ---- step 2 (kick; thermostat post-scale / langevin bath)
@@ -196,7 +214,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 aux['xi'] = xi + 0.5 * dt * (T / kT0 - 1.0) \
                     / dyn['tau'] ** 2
 
-        return FastCarry(pos=pos, vel=vel, frc=frc, pe=pe, vir=vir,
+        return FastCarry(pos=pos, vel=vel, frc=frc, pe=c.pe, vir=c.vir,
                          img=img, tag=tag, mass=mass, ref_pos=ref,
                          timestep=c.timestep + 1, aux=aux,
                          overflow=ovf, n_rebuilds=nr)

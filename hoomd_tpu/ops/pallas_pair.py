@@ -279,3 +279,266 @@ def cell_pair_lj_xla(cell_pos, cell_dim, cell_shift, lj_params):
          - xi[..., b] * fxj[..., a] + fq[..., k]
          for k, (a, b) in enumerate(pairs)], axis=-1)
     return F, pe, 0.5 * vir
+
+
+def _kernel3d(lj_ref, xi_ref, *rest, want_pv=True):
+    """One cell vs its 27 stencil blocks, iterating blocks in-kernel.
+
+    Explicit per-tile dr (C, C, 3) in VMEM: no distance-by-matmul
+    cancellation, no HBM intermediates — VPU-resident throughput.
+    want_pv=False emits only the force (the MD hot loop never reads
+    pe/virial; they are refreshed once at chunk boundaries).
+    """
+    import jax
+    import jax.numpy as jnp
+    nb = 27
+    xj_refs = rest[:nb]
+    shift_ref = rest[nb]
+    f_ref = rest[nb + 1]
+    if want_pv:
+        pe_ref = rest[nb + 2]
+        vir_ref = rest[nb + 3]
+
+    C = xi_ref.shape[-2]
+    xi = xi_ref[0, 0, 0]                       # (C, 3)
+    lj1 = lj_ref[0, 0]
+    lj2 = lj_ref[0, 1]
+    rc2 = lj_ref[0, 2]
+    e_shift = lj_ref[0, 3]
+
+    F = jnp.zeros((C, 3), jnp.float32)
+    pe = jnp.zeros((C,), jnp.float32)
+    vir = jnp.zeros((C, 6), jnp.float32)
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    for k in range(nb):
+        xj = xj_refs[k][0, 0, 0] + shift_ref[0, 0, 0, k]   # (C, 3)
+        dr = xi[:, None, :] - xj[None, :, :]               # (C, C, 3)
+        r2 = jnp.sum(dr * dr, axis=-1)
+        # PAD slots sit at |x|~1e9 so their explicit dr gives r2~1e18,
+        # excluded by r2 < rc2; PAD-vs-PAD gives dr=0, excluded by the
+        # self threshold.  (No finite-mask needed: unlike the matmul
+        # formulation there is no cancellation at PAD magnitude.
+        # NB: a (C,1)&(1,C) bool broadcast here crashes Mosaic.)
+        valid = (r2 > 1e-6) & (r2 < rc2)
+        r2s = jnp.where(valid, r2, 1.0)
+        r2i = 1.0 / r2s
+        r6i = r2i * r2i * r2i
+        fdivr = jnp.where(valid,
+                          r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2),
+                          0.0)
+        F = F + jnp.sum(fdivr[:, :, None] * dr, axis=1)
+        if want_pv:
+            e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift, 0.0)
+            pe = pe + 0.5 * jnp.sum(e, axis=1)
+            vir = vir + jnp.stack(
+                [0.5 * jnp.sum(fdivr * dr[..., a] * dr[..., b], axis=1)
+                 for a, b in pairs], axis=-1)
+    f_ref[0, 0, 0] = F
+    if want_pv:
+        pe_ref[0, 0, 0] = pe[:, None]
+        vir_ref[0, 0, 0] = vir
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'interpret',
+                                    'want_pv'))
+def cell_pair_lj_pallas3d(cell_pos, cell_dim, cell_shift, lj_params, *,
+                          C, interpret=False, want_pv=True):
+    """Pallas cell-pair LJ over a 3D grid: stencil neighbors addressed by
+    modular index maps on the (iz, iy, ix) grid — no scalar prefetch, no
+    dynamic gathers.  cell_pos (ncells, C, 3) in the ix + nx*(iy + ny*iz)
+    layout of ops/cells.cell_index; cell_shift (ncells, 27, 3) from
+    build_cell_shifts.  Returns (force, pe, virial) like cell_pair_lj."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    g5 = cell_pos.reshape(nz, ny, nx, C, 3)
+    sh5 = cell_shift.reshape(nz, ny, nx, 27, 3)
+    offs = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)]
+
+    def mk_spec(k):
+        dz, dy, dx = offs[k]
+        return pl.BlockSpec(
+            (1, 1, 1, C, 3),
+            lambda iz, iy, ix, dz=dz, dy=dy, dx=dx: (
+                (iz + dz) % nz, (iy + dy) % ny, (ix + dx) % nx, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    own = pl.BlockSpec((1, 1, 1, C, 3),
+                       lambda iz, iy, ix: (iz, iy, ix, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, C, 3),
+                     lambda iz, iy, ix: (iz, iy, ix, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((nz, ny, nx, C, 3),
+                                      cell_pos.dtype)]
+    if want_pv:
+        out_specs += [
+            pl.BlockSpec((1, 1, 1, C, 1),
+                         lambda iz, iy, ix: (iz, iy, ix, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, C, 6),
+                         lambda iz, iy, ix: (iz, iy, ix, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((nz, ny, nx, C, 1), cell_pos.dtype),
+            jax.ShapeDtypeStruct((nz, ny, nx, C, 6), cell_pos.dtype),
+        ]
+    out = pl.pallas_call(
+        functools.partial(_kernel3d, want_pv=want_pv),
+        grid=(nz, ny, nx),
+        in_specs=(
+            [pl.BlockSpec((1, 4), lambda iz, iy, ix: (0, 0),
+                          memory_space=pltpu.SMEM)]
+            + [own]
+            + [mk_spec(k) for k in range(27)]
+            + [pl.BlockSpec((1, 1, 1, 27, 3),
+                            lambda iz, iy, ix: (iz, iy, ix, 0, 0),
+                            memory_space=pltpu.VMEM)]
+        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(lj_params.reshape(1, 4), g5, *[g5] * 27, sh5)
+    if want_pv:
+        f, pe, vir = out
+        return (f.reshape(nc, C, 3), pe.reshape(nc, C),
+                vir.reshape(nc, C, 6))
+    return out[0].reshape(nc, C, 3)
+
+
+def _kernel_row(lj_ref, *rest, nx, want_pv=True):
+    """One x-ROW of cells vs its 9 (dz, dy) neighbor rows; dx = -1/0/+1 is
+    resolved in-VMEM by a static rotation of the row, with the per-cell
+    periodic x-shift taken from the shift table.  Row blocks are ~8 KB, so
+    the pipeline runs 27x fewer (and much larger) DMAs than a
+    cell-per-grid-step formulation — which measured DMA-latency-bound.
+    """
+    import jax.numpy as jnp
+    nb = 9
+    xj_refs = rest[:nb]
+    shift_ref = rest[nb]
+    f_ref = rest[nb + 1]
+    if want_pv:
+        pe_ref = rest[nb + 2]
+        vir_ref = rest[nb + 3]
+
+    C = xj_refs[4].shape[-2]       # (1, 1, nx, C, 3); index 4 = (0, 0)
+    xi = xj_refs[4][0, 0]          # (nx, C, 3) own row
+    sh = shift_ref[0, 0]           # (nx, 27, 3)
+    lj1 = lj_ref[0, 0]
+    lj2 = lj_ref[0, 1]
+    rc2 = lj_ref[0, 2]
+    e_shift = lj_ref[0, 3]
+
+    F = jnp.zeros((nx, C, 3), jnp.float32)
+    pe = jnp.zeros((nx, C), jnp.float32)
+    vir = jnp.zeros((nx, C, 6), jnp.float32)
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    offs9 = [(dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+    for k9 in range(nb):
+        dz, dy = offs9[k9]
+        blk = xj_refs[k9][0, 0]    # (nx, C, 3)
+        for dx in (-1, 0, 1):
+            k27 = ((dz + 1) * 3 + (dy + 1)) * 3 + (dx + 1)
+            if dx == 0:
+                rolled = blk
+            elif dx == 1:
+                rolled = jnp.concatenate([blk[1:], blk[:1]], axis=0)
+            else:
+                rolled = jnp.concatenate([blk[-1:], blk[:-1]], axis=0)
+            # rolled[ix] = blk[(ix+dx) % nx]; per-cell image shift
+            xj = rolled + sh[:, k27][:, None, :]          # (nx, C, 3)
+            dr = xi[:, :, None, :] - xj[:, None, :, :]    # (nx, C, C, 3)
+            r2 = jnp.sum(dr * dr, axis=-1)
+            valid = (r2 > 1e-6) & (r2 < rc2)
+            r2s = jnp.where(valid, r2, 1.0)
+            r2i = 1.0 / r2s
+            r6i = r2i * r2i * r2i
+            fdivr = jnp.where(valid,
+                              r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2),
+                              0.0)
+            F = F + jnp.sum(fdivr[..., None] * dr, axis=2)
+            if want_pv:
+                e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift,
+                              0.0)
+                pe = pe + 0.5 * jnp.sum(e, axis=2)
+                vir = vir + jnp.stack(
+                    [0.5 * jnp.sum(fdivr * dr[..., a] * dr[..., b],
+                                   axis=2) for a, b in pairs], axis=-1)
+    f_ref[0, 0] = F
+    if want_pv:
+        pe_ref[0, 0] = pe[..., None]
+        vir_ref[0, 0] = vir
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'interpret',
+                                    'want_pv'))
+def cell_pair_lj_row(cell_pos, cell_dim, cell_shift, lj_params, *,
+                     C, interpret=False, want_pv=True):
+    """Row-blocked Pallas cell-pair LJ: grid (nz, ny), each step computes a
+    full x-row of cells against its 9 stencil rows.  Same contract as
+    cell_pair_lj_pallas3d."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    g5 = cell_pos.reshape(nz, ny, nx, C, 3)
+    sh5 = cell_shift.reshape(nz, ny, nx, 27, 3)
+    offs9 = [(dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def mk_spec(k):
+        dz, dy = offs9[k]
+        return pl.BlockSpec(
+            (1, 1, nx, C, 3),
+            lambda iz, iy, dz=dz, dy=dy: (
+                (iz + dz) % nz, (iy + dy) % ny, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    row_out = pl.BlockSpec((1, 1, nx, C, 3),
+                           lambda iz, iy: (iz, iy, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [row_out]
+    out_shape = [jax.ShapeDtypeStruct((nz, ny, nx, C, 3),
+                                      cell_pos.dtype)]
+    if want_pv:
+        out_specs += [
+            pl.BlockSpec((1, 1, nx, C, 1),
+                         lambda iz, iy: (iz, iy, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, C, 6),
+                         lambda iz, iy: (iz, iy, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((nz, ny, nx, C, 1), cell_pos.dtype),
+            jax.ShapeDtypeStruct((nz, ny, nx, C, 6), cell_pos.dtype),
+        ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_row, nx=nx, want_pv=want_pv),
+        grid=(nz, ny),
+        in_specs=(
+            [pl.BlockSpec((1, 4), lambda iz, iy: (0, 0),
+                          memory_space=pltpu.SMEM)]
+            + [mk_spec(k) for k in range(9)]
+            + [pl.BlockSpec((1, 1, nx, 27, 3),
+                            lambda iz, iy: (iz, iy, 0, 0, 0),
+                            memory_space=pltpu.VMEM)]
+        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(lj_params.reshape(1, 4), *[g5] * 9, sh5)
+    if want_pv:
+        f, pe, vir = out
+        return (f.reshape(nc, C, 3), pe.reshape(nc, C),
+                vir.reshape(nc, C, 6))
+    return out[0].reshape(nc, C, 3)

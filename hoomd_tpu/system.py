@@ -39,6 +39,8 @@ class System:
 
     def __init__(self, snapshot):
         self.snapshot_template = snapshot
+        self._fast_carry = None      # resident cell-major carry (fast engine)
+        self._fast_state_stale = False
         self.state = state_from_snapshot(snapshot)
         self.particle_types = list(snapshot.particles.types)
         self.forces = []
@@ -62,6 +64,42 @@ class System:
         self.hpmc_integrator = None
         self._hpmc_counters = None
         self.composites = []
+
+    # -- state residency -----------------------------------------------------
+    # When the fast cell-major engine is active, the authoritative particle
+    # data lives in ``_fast_carry`` between chunks; ``state`` is materialized
+    # lazily on first access (one jitted scatter).  Any external assignment
+    # to ``state`` invalidates the carry (the writer changed particle data
+    # the carry doesn't know about).
+    @property
+    def state(self):
+        if self._fast_state_stale:
+            self._sync_fast_state()
+        return self._state_raw
+
+    @state.setter
+    def state(self, value):
+        self._state_raw = value
+        self._fast_carry = None
+        self._fast_state_stale = False
+
+    def _sync_fast_state(self):
+        self._fast_state_stale = False
+        fast = self._program['fast']
+        # the hot loop computes forces only; fill pe/virial at the
+        # current positions before materializing the State
+        self._fast_carry = fast['refresh'](self._fast_carry,
+                                           self._dyn['fast'])
+        self._state_raw = fast['to_state'](self._fast_carry,
+                                           self._state_raw)
+        m = fast['method']
+        self._method_aux_by_obj[m] = self._fast_carry.aux
+        if self._method_aux is not None:
+            self._method_aux = tuple(
+                self._method_aux_by_obj.get(mm, a)
+                for mm, a in zip(self._program['methods'],
+                                 self._method_aux))
+        self._forces_fresh = True
 
     # -- registration ------------------------------------------------------
     def add_force(self, f):
@@ -127,6 +165,12 @@ class System:
     def _rebuild_program(self):
         import jax
         import jax.numpy as jnp
+
+        # a recompile may change the fast engine's layout (C, cell grid):
+        # materialize any resident carry into the state first
+        if self._fast_state_stale:
+            self._sync_fast_state()
+        self._fast_carry = None
 
         if self.hpmc_integrator is not None:
             prog = self.hpmc_integrator._build_program(self)
@@ -352,7 +396,13 @@ class System:
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
             return None      # box too small for the stencil invariant
         C = max(C, self._grow.get('fast_C', 0))
-        impl = os.environ.get('HOOMD_TPU_FAST_IMPL', 'xla')
+        impl = os.environ.get('HOOMD_TPU_FAST_IMPL')
+        if impl is None:
+            # the VMEM-resident stencil kernel is ~500x faster than the
+            # roll-based XLA formulation on TPU; XLA remains the portable
+            # path (CPU tests, interpret-free fallback)
+            impl = ('pallas3d' if jax.default_backend() == 'tpu'
+                    else 'xla')
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
@@ -393,29 +443,33 @@ class System:
 
     def _run_fast_chunk(self, chunk):
         """Execute one chunk on the cell-major engine, with the usual
-        grow-and-retry protocol on cell-capacity overflow."""
+        grow-and-retry protocol on cell-capacity overflow.  The carry stays
+        device-resident across chunks; State is materialized lazily by the
+        ``state`` property only when a host op actually reads it."""
         import jax.numpy as jnp
         for attempt in range(4):
             fast = self._program['fast']
             m = fast['method']
-            aux = self._method_aux_by_obj.get(m) or m._init_aux(self.state)
-            if not isinstance(aux, dict):
-                aux = {}
             fdyn = self._dyn['fast']
-            carry = fast['to_fast'](self.state, aux)
-            carry = fast['refresh'](carry, fdyn)
-            carry = fast['run_chunk'](carry, fdyn,
+            carry0 = self._fast_carry
+            if carry0 is None:
+                aux = self._method_aux_by_obj.get(m) \
+                    or m._init_aux(self._state_raw)
+                if not isinstance(aux, dict):
+                    aux = {}
+                carry0 = fast['to_fast'](self._state_raw, aux)
+                carry0 = fast['refresh'](carry0, fdyn)
+            carry = fast['run_chunk'](carry0, fdyn,
                                       jnp.asarray(chunk, jnp.int32))
             if not bool(carry.overflow):
-                self.state = fast['to_state'](carry, self.state)
-                self._method_aux_by_obj[m] = carry.aux
-                # rebuild the method-aux tuple in program order
-                self._method_aux = tuple(
-                    self._method_aux_by_obj.get(mm, a)
-                    for mm, a in zip(self._program['methods'],
-                                     self._method_aux))
-                self._forces_fresh = True
+                self._fast_carry = carry
+                self._fast_state_stale = True
                 return
+            # overflow: recover the pre-chunk state, grow capacity, retry
+            if not bool(carry0.overflow):
+                self._state_raw = fast['to_state'](carry0, self._state_raw)
+            self._fast_carry = None
+            self._fast_state_stale = False
             self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
             self._rebuild_program()
             self._pack_dyn()
@@ -488,8 +542,15 @@ class System:
         deadline = (t_wall0 + limit_hours * 3600.0) if limit_hours else None
 
         # initial force computation so step1 sees valid accelerations
-        if self._program['kind'] == 'md':
+        # (the fast engine computes its own via refresh on conversion)
+        if self._program['kind'] == 'md' and not self._program.get('fast'):
             self._prep_forces()
+
+        # the global Hilbert sorter is redundant under the fast engine: the
+        # carry IS spatially sorted (re-binned every Verlet rebuild), and
+        # firing it would force a carry round-trip each period
+        from .update import sort as _sort_cls
+        skip_sorter = bool(self._program.get('fast'))
 
         cur = start
         if not quiet:
@@ -497,6 +558,8 @@ class System:
         while cur < end:
             # fire host-side ops due at this step
             for op in self.analyzers + self.updaters:
+                if skip_sorter and isinstance(op, _sort_cls):
+                    continue
                 if op.enabled and op.period and \
                         (cur - op.phase) % op.period == 0:
                     t_op = time.perf_counter()
@@ -512,6 +575,8 @@ class System:
             # next host-boundary
             stops = [end]
             for op in self.analyzers + self.updaters:
+                if skip_sorter and isinstance(op, _sort_cls):
+                    continue
                 if op.enabled and op.period:
                     nxt = cur + op.period - ((cur - op.phase) % op.period)
                     stops.append(nxt)
@@ -632,11 +697,12 @@ class System:
         (reference ComputeThermo.cc:189-404).  Computed from the state's
         cached net_pe/net_virial — valid at chunk boundaries."""
         import jax.numpy as jnp
+        st = self.state      # materializes a resident fast carry first
         if not self._forces_fresh and self.forces:
             # forces never evaluated at these positions (fresh init/restore)
             self._ensure_ready()
             self._prep_forces()
-        st = self.state
+            st = self.state
         if member_tags is None:
             mask = jnp.ones((st.N,), dtype=bool)
             n_g = st.N
