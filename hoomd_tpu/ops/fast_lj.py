@@ -33,7 +33,8 @@ from .._config import PAD_COORD, int_dtype
 from .. import rng as rng_mod
 from .. import variant as variant_mod
 from .pallas_pair import (build_cell_shifts, cell_pair_lj,
-                          cell_pair_lj_pallas3d, cell_pair_lj_xla)
+                          cell_pair_lj_pallas3d, cell_pair_lj_planar,
+                          cell_pair_lj_row, cell_pair_lj_xla)
 
 
 @struct.dataclass
@@ -59,9 +60,12 @@ def plan_fast_lj(N, box_L, rcut, r_buff):
     cell_dim = tuple(max(1, int(np.floor(l / w))) for l in box_L)
     ncells = int(np.prod(cell_dim))
     mean = N / ncells
-    C = int(np.ceil(mean * 1.7)) + 8
-    # round capacity to the f32 sublane for friendlier tiling
-    C = ((C + 7) // 8) * 8
+    # capacity: mean + ~5 sigma of liquid occupancy fluctuations, rounded
+    # to the f32 sublane; the planar kernel's lane tile is 3C, so C=40
+    # (120 lanes of 128) is the sweet spot the formula aims for at
+    # benchmark densities.  Rare overflow recompiles with a larger C.
+    C = int(np.ceil(mean * 1.45)) + 6
+    C = max(16, ((C + 7) // 8) * 8)
     return cell_dim, ncells, C
 
 
@@ -116,22 +120,28 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             out = cell_pair_lj(pos_cells.reshape(nc, C, 3), adj,
                                shifts, dyn['lj'], ncells=nc, C=C,
                                interpret=interpret)
-        elif impl == 'pallas3d':
+        elif impl == 'planar':
+            return cell_pair_lj_planar(
+                pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                dyn['lj'], C=C, interpret=interpret, want_pv=want_pv)
+        elif impl in ('pallas3d', 'row'):
+            kfn = (cell_pair_lj_row if impl == 'row'
+                   else cell_pair_lj_pallas3d)
             if want_pv:
                 # pe/virial are only read at chunk boundaries; the
                 # (C, 6) virial layout is hostile to Mosaic, so the
                 # rare full evaluation uses the XLA formulation and
                 # only the force comes from the fast kernel
-                frc = cell_pair_lj_pallas3d(
-                    pos_cells.reshape(nc, C, 3), cell_dim, shifts,
-                    dyn['lj'], C=C, interpret=interpret, want_pv=False)
+                frc = kfn(pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                          dyn['lj'], C=C, interpret=interpret,
+                          want_pv=False)
                 _, pe, vir = cell_pair_lj_xla(
                     pos_cells.reshape(nc, C, 3), cell_dim, shifts,
                     dyn['lj'])
                 return frc, pe, vir
-            return cell_pair_lj_pallas3d(
-                pos_cells.reshape(nc, C, 3), cell_dim, shifts,
-                dyn['lj'], C=C, interpret=interpret, want_pv=False)
+            return kfn(pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                       dyn['lj'], C=C, interpret=interpret,
+                       want_pv=False)
         else:
             # unused pe/vir are dead-code-eliminated by XLA
             out = cell_pair_lj_xla(pos_cells.reshape(nc, C, 3), cell_dim,

@@ -413,25 +413,29 @@ def cell_pair_lj_pallas3d(cell_pos, cell_dim, cell_shift, lj_params, *,
     return out[0].reshape(nc, C, 3)
 
 
-def _kernel_row(lj_ref, *rest, nx, want_pv=True):
-    """One x-ROW of cells vs its 9 (dz, dy) neighbor rows; dx = -1/0/+1 is
-    resolved in-VMEM by a static rotation of the row, with the per-cell
-    periodic x-shift taken from the shift table.  Row blocks are ~8 KB, so
-    the pipeline runs 27x fewer (and much larger) DMAs than a
-    cell-per-grid-step formulation — which measured DMA-latency-bound.
+def _kernel_row(lj_ref, xj_ref, xi_ref, sh_ref, *rest, want_pv=True):
+    """Grid (nz, ny, 9): one x-row of cells vs ONE (dz, dy) stencil row per
+    step, accumulated into the revisited output block (innermost-dim
+    K-loop pattern).  dx = -1/0/+1 is resolved in-VMEM by a static
+    rotation of the row; the per-cell periodic shift row arrives as a
+    (nx, 1, 3, 3) slice of the shift table selected by the grid index.
+    Keeping the (dz, dy) loop on the grid (not unrolled in-kernel) bounds
+    the scoped-VMEM stack to ~3 tile chains — the 27-way unroll
+    overflowed the 16 MB scoped-vmem limit.
     """
     import jax.numpy as jnp
-    nb = 9
-    xj_refs = rest[:nb]
-    shift_ref = rest[nb]
-    f_ref = rest[nb + 1]
+    from jax.experimental import pallas as pl
+    f_ref = rest[0]
     if want_pv:
-        pe_ref = rest[nb + 2]
-        vir_ref = rest[nb + 3]
+        pe_ref = rest[1]
+        vir_ref = rest[2]
 
-    C = xj_refs[4].shape[-2]       # (1, 1, nx, C, 3); index 4 = (0, 0)
-    xi = xj_refs[4][0, 0]          # (nx, C, 3) own row
-    sh = shift_ref[0, 0]           # (nx, 27, 3)
+    ik = pl.program_id(2)
+    nx = xi_ref.shape[2]
+    C = xi_ref.shape[-2]
+    xi = xi_ref[0, 0]              # (nx, C, 3) own row
+    blk = xj_ref[0, 0]             # (nx, C, 3) stencil row (dz, dy)
+    sh3 = sh_ref[0, 0, :, 0]       # (nx, 3, 3): [:, dxi, :] image shifts
     lj1 = lj_ref[0, 0]
     lj2 = lj_ref[0, 1]
     rc2 = lj_ref[0, 2]
@@ -441,41 +445,48 @@ def _kernel_row(lj_ref, *rest, nx, want_pv=True):
     pe = jnp.zeros((nx, C), jnp.float32)
     vir = jnp.zeros((nx, C, 6), jnp.float32)
     pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-    offs9 = [(dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
-    for k9 in range(nb):
-        dz, dy = offs9[k9]
-        blk = xj_refs[k9][0, 0]    # (nx, C, 3)
-        for dx in (-1, 0, 1):
-            k27 = ((dz + 1) * 3 + (dy + 1)) * 3 + (dx + 1)
-            if dx == 0:
-                rolled = blk
-            elif dx == 1:
-                rolled = jnp.concatenate([blk[1:], blk[:1]], axis=0)
-            else:
-                rolled = jnp.concatenate([blk[-1:], blk[:-1]], axis=0)
-            # rolled[ix] = blk[(ix+dx) % nx]; per-cell image shift
-            xj = rolled + sh[:, k27][:, None, :]          # (nx, C, 3)
-            dr = xi[:, :, None, :] - xj[:, None, :, :]    # (nx, C, C, 3)
-            r2 = jnp.sum(dr * dr, axis=-1)
-            valid = (r2 > 1e-6) & (r2 < rc2)
-            r2s = jnp.where(valid, r2, 1.0)
-            r2i = 1.0 / r2s
-            r6i = r2i * r2i * r2i
-            fdivr = jnp.where(valid,
-                              r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2),
-                              0.0)
-            F = F + jnp.sum(fdivr[..., None] * dr, axis=2)
-            if want_pv:
-                e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift,
-                              0.0)
-                pe = pe + 0.5 * jnp.sum(e, axis=2)
-                vir = vir + jnp.stack(
-                    [0.5 * jnp.sum(fdivr * dr[..., a] * dr[..., b],
-                                   axis=2) for a, b in pairs], axis=-1)
-    f_ref[0, 0] = F
-    if want_pv:
-        pe_ref[0, 0] = pe[..., None]
-        vir_ref[0, 0] = vir
+    for dxi, dx in enumerate((-1, 0, 1)):
+        if dx == 0:
+            rolled = blk
+        elif dx == 1:
+            rolled = jnp.concatenate([blk[1:], blk[:1]], axis=0)
+        else:
+            rolled = jnp.concatenate([blk[-1:], blk[:-1]], axis=0)
+        # rolled[ix] = blk[(ix+dx) % nx]; add the per-cell image shift
+        xj = rolled + sh3[:, dxi][:, None, :]             # (nx, C, 3)
+        dr = xi[:, :, None, :] - xj[:, None, :, :]        # (nx, C, C, 3)
+        r2 = jnp.sum(dr * dr, axis=-1)
+        # PAD slots (|x|~1e9) give r2~1e18, excluded by r2 < rc2; no
+        # finite-mask needed with explicit dr (and (C,1)&(1,C) bool
+        # broadcasts crash Mosaic)
+        valid = (r2 > 1e-6) & (r2 < rc2)
+        r2s = jnp.where(valid, r2, 1.0)
+        r2i = 1.0 / r2s
+        r6i = r2i * r2i * r2i
+        fdivr = jnp.where(valid,
+                          r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2),
+                          0.0)
+        F = F + jnp.sum(fdivr[..., None] * dr, axis=2)
+        if want_pv:
+            e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift, 0.0)
+            pe = pe + 0.5 * jnp.sum(e, axis=2)
+            vir = vir + jnp.stack(
+                [0.5 * jnp.sum(fdivr * dr[..., a] * dr[..., b],
+                               axis=2) for a, b in pairs], axis=-1)
+
+    @pl.when(ik == 0)
+    def _init():
+        f_ref[0, 0] = F
+        if want_pv:
+            pe_ref[0, 0] = pe[..., None]
+            vir_ref[0, 0] = vir
+
+    @pl.when(ik > 0)
+    def _acc():
+        f_ref[0, 0] += F
+        if want_pv:
+            pe_ref[0, 0] += pe[..., None]
+            vir_ref[0, 0] += vir
 
 
 @functools.partial(jax.jit,
@@ -483,28 +494,32 @@ def _kernel_row(lj_ref, *rest, nx, want_pv=True):
                                     'want_pv'))
 def cell_pair_lj_row(cell_pos, cell_dim, cell_shift, lj_params, *,
                      C, interpret=False, want_pv=True):
-    """Row-blocked Pallas cell-pair LJ: grid (nz, ny), each step computes a
-    full x-row of cells against its 9 stencil rows.  Same contract as
-    cell_pair_lj_pallas3d."""
+    """Row-blocked Pallas cell-pair LJ: grid (nz, ny, 9) — each step one
+    x-row of cells against one of its 9 (dz, dy) stencil rows, with the
+    output row block revisited and accumulated over the innermost grid
+    dimension.  Same contract as cell_pair_lj_xla."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nx, ny, nz = cell_dim
     nc = nx * ny * nz
     g5 = cell_pos.reshape(nz, ny, nx, C, 3)
-    sh5 = cell_shift.reshape(nz, ny, nx, 27, 3)
-    offs9 = [(dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+    # (nz, ny, nx, 27, 3) -> (nz, ny, nx, 9, 3, 3): k27 = k9*3 + (dx+1)
+    sh6 = cell_shift.reshape(nz, ny, nx, 9, 3, 3)
 
-    def mk_spec(k):
-        dz, dy = offs9[k]
-        return pl.BlockSpec(
-            (1, 1, nx, C, 3),
-            lambda iz, iy, dz=dz, dy=dy: (
-                (iz + dz) % nz, (iy + dy) % ny, 0, 0, 0),
-            memory_space=pltpu.VMEM)
-
+    xj_spec = pl.BlockSpec(
+        (1, 1, nx, C, 3),
+        lambda iz, iy, ik: (
+            (iz + ik // 3 - 1) % nz, (iy + ik % 3 - 1) % ny, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    own_spec = pl.BlockSpec((1, 1, nx, C, 3),
+                            lambda iz, iy, ik: (iz, iy, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    sh_spec = pl.BlockSpec((1, 1, nx, 1, 3, 3),
+                           lambda iz, iy, ik: (iz, iy, 0, ik, 0, 0),
+                           memory_space=pltpu.VMEM)
     row_out = pl.BlockSpec((1, 1, nx, C, 3),
-                           lambda iz, iy: (iz, iy, 0, 0, 0),
+                           lambda iz, iy, ik: (iz, iy, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     out_specs = [row_out]
     out_shape = [jax.ShapeDtypeStruct((nz, ny, nx, C, 3),
@@ -512,10 +527,10 @@ def cell_pair_lj_row(cell_pos, cell_dim, cell_shift, lj_params, *,
     if want_pv:
         out_specs += [
             pl.BlockSpec((1, 1, nx, C, 1),
-                         lambda iz, iy: (iz, iy, 0, 0, 0),
+                         lambda iz, iy, ik: (iz, iy, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nx, C, 6),
-                         lambda iz, iy: (iz, iy, 0, 0, 0),
+                         lambda iz, iy, ik: (iz, iy, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
@@ -523,22 +538,203 @@ def cell_pair_lj_row(cell_pos, cell_dim, cell_shift, lj_params, *,
             jax.ShapeDtypeStruct((nz, ny, nx, C, 6), cell_pos.dtype),
         ]
     out = pl.pallas_call(
-        functools.partial(_kernel_row, nx=nx, want_pv=want_pv),
-        grid=(nz, ny),
-        in_specs=(
-            [pl.BlockSpec((1, 4), lambda iz, iy: (0, 0),
-                          memory_space=pltpu.SMEM)]
-            + [mk_spec(k) for k in range(9)]
-            + [pl.BlockSpec((1, 1, nx, 27, 3),
-                            lambda iz, iy: (iz, iy, 0, 0, 0),
-                            memory_space=pltpu.VMEM)]
-        ),
+        functools.partial(_kernel_row, want_pv=want_pv),
+        grid=(nz, ny, 9),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda iz, iy, ik: (0, 0),
+                         memory_space=pltpu.SMEM),
+            xj_spec, own_spec, sh_spec,
+        ],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(lj_params.reshape(1, 4), *[g5] * 9, sh5)
+    )(lj_params.reshape(1, 4), g5, g5, sh6)
     if want_pv:
         f, pe, vir = out
         return (f.reshape(nc, C, 3), pe.reshape(nc, C),
                 vir.reshape(nc, C, 6))
     return out[0].reshape(nc, C, 3)
+
+
+def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
+                   want_pv=True):
+    """Planar (SoA) row kernel: grid (nz, ny, 9), j-candidates packed into
+    the LANE dimension as a (nx, C, 3C) window tile.
+
+    The AoS formulation put the xyz triplet in lanes (3/128 = 2.3%% VPU
+    utilization — measured ~128 ms/call at 64k).  Planar components keep
+    every elementwise op on (nx, C, 3C) tiles: with C = 40 the window is
+    120 lanes = 94%% of one lane tile.  dx neighbors are sublane
+    rotations; periodic shifts: per-(dx, ix) x-row table, scalar y/z from
+    SMEM.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    f_ref = rest[0]
+    if want_pv:
+        pe_ref = rest[1]
+        vir_ref = rest[2]
+
+    ik = pl.program_id(2)
+    C = xj_ref.shape[-1]
+    lj1 = lj_ref[0, 0]
+    lj2 = lj_ref[0, 1]
+    rc2 = lj_ref[0, 2]
+    e_shift = lj_ref[0, 3]
+    sy = sy_ref[pl.program_id(1), ik % 3]
+    sz = sz_ref[pl.program_id(0), ik // 3]
+
+    def rolls(comp):                       # comp (nx, C)
+        rm = jnp.concatenate([comp[-1:], comp[:-1]], axis=0)   # dx=-1
+        rp = jnp.concatenate([comp[1:], comp[:1]], axis=0)     # dx=+1
+        return rm, comp, rp
+
+    bx, by, bz = (xj_ref[c, 0, 0] for c in range(3))   # (nx, C) each
+    xm, x0, xp = rolls(bx)
+    jx = jnp.concatenate([xm + sx_ref[0], x0,
+                          xp + sx_ref[2]], axis=-1)            # (nx, 3C)
+    ym, y0, yp = rolls(by)
+    jy = jnp.concatenate([ym, y0, yp], axis=-1) + sy
+    zm, z0, zp = rolls(bz)
+    jz = jnp.concatenate([zm, z0, zp], axis=-1) + sz
+
+    xix = xi_ref[0, 0, 0]                  # (nx, C, 1) pre-transposed
+    xiy = xi_ref[1, 0, 0]
+    xiz = xi_ref[2, 0, 0]
+    drx = xix - jx[:, None, :]             # (nx, C, 3C)
+    dry = xiy - jy[:, None, :]
+    drz = xiz - jz[:, None, :]
+    r2 = drx * drx + dry * dry + drz * drz
+    # PAD slots (|x|~1e9) give r2~1e18, excluded by r2 < rc2; PAD-PAD
+    # and self pairs by the lower threshold (explicit dr is exact)
+    valid = (r2 > 1e-6) & (r2 < rc2)
+    r2s = jnp.where(valid, r2, 1.0)
+    r2i = 1.0 / r2s
+    r6i = r2i * r2i * r2i
+    fdivr = jnp.where(valid,
+                      r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2), 0.0)
+    Fx = jnp.sum(fdivr * drx, axis=-1)     # (nx, C)
+    Fy = jnp.sum(fdivr * dry, axis=-1)
+    Fz = jnp.sum(fdivr * drz, axis=-1)
+    F = jnp.stack([Fx, Fy, Fz])            # (3, nx, C)
+
+    @pl.when(ik == 0)
+    def _init():
+        f_ref[:, 0, 0] = F
+
+    @pl.when(ik > 0)
+    def _acc():
+        f_ref[:, 0, 0] += F
+
+    if want_pv:
+        e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift, 0.0)
+        pe = 0.5 * jnp.sum(e, axis=-1)
+        vir = 0.5 * jnp.stack(
+            [jnp.sum(fdivr * drx * drx, axis=-1),
+             jnp.sum(fdivr * drx * dry, axis=-1),
+             jnp.sum(fdivr * drx * drz, axis=-1),
+             jnp.sum(fdivr * dry * dry, axis=-1),
+             jnp.sum(fdivr * dry * drz, axis=-1),
+             jnp.sum(fdivr * drz * drz, axis=-1)])   # (6, nx, C)
+
+        @pl.when(ik == 0)
+        def _initpv():
+            pe_ref[0, 0] = pe
+            vir_ref[:, 0, 0] = vir
+
+        @pl.when(ik > 0)
+        def _accpv():
+            pe_ref[0, 0] += pe
+            vir_ref[:, 0, 0] += vir
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'interpret',
+                                    'want_pv'))
+def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
+                        C, interpret=False, want_pv=True):
+    """Planar row-blocked Pallas cell-pair LJ (the TPU hot-loop kernel).
+    Same contract as cell_pair_lj_xla; cell_shift is only used to read
+    the box lengths (shifts are rebuilt planar on the host side of jit).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dt = cell_pos.dtype
+    # planar (3, nz, ny, nx, C) and pre-transposed (3, nz, ny, nx, C, 1)
+    g = cell_pos.reshape(nz, ny, nx, C, 3)
+    gp = jnp.transpose(g, (4, 0, 1, 2, 3))
+    gt = gp[..., None]
+    # box lengths from the +x/+y/+z face shifts of the corner cell
+    # (shift table convention: build_cell_shifts)
+    Lx = cell_shift[nc - 1, 26, 0]
+    Ly = cell_shift[nc - 1, 26, 1]
+    Lz = cell_shift[nc - 1, 26, 2]
+    ar = jnp.arange(nx)
+    sx = jnp.stack([jnp.where(ar == 0, -Lx, 0.0),
+                    jnp.zeros((nx,), dt),
+                    jnp.where(ar == nx - 1, Lx, 0.0)])   # (3, nx)
+    sx = jnp.broadcast_to(sx[:, :, None], (3, nx, C))
+    ay = jnp.arange(ny)[:, None] + jnp.arange(3)[None, :] - 1
+    sy = (Ly * jnp.where(ay < 0, -1, 0)
+          + Ly * jnp.where(ay >= ny, 1, 0)).astype(dt)    # (ny, 3)
+    az = jnp.arange(nz)[:, None] + jnp.arange(3)[None, :] - 1
+    sz = (Lz * jnp.where(az < 0, -1, 0)
+          + Lz * jnp.where(az >= nz, 1, 0)).astype(dt)    # (nz, 3)
+
+    xj_spec = pl.BlockSpec(
+        (3, 1, 1, nx, C),
+        lambda iz, iy, ik: (
+            0, (iz + ik // 3 - 1) % nz, (iy + ik % 3 - 1) % ny, 0, 0),
+        memory_space=pltpu.VMEM)
+    xi_spec = pl.BlockSpec((3, 1, 1, nx, C, 1),
+                           lambda iz, iy, ik: (0, iz, iy, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sx_spec = pl.BlockSpec((3, nx, C), lambda iz, iy, ik: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((3, 1, 1, nx, C),
+                          lambda iz, iy, ik: (0, iz, iy, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [f_spec]
+    out_shape = [jax.ShapeDtypeStruct((3, nz, ny, nx, C), dt)]
+    if want_pv:
+        out_specs += [
+            pl.BlockSpec((1, 1, nx, C),
+                         lambda iz, iy, ik: (iz, iy, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 1, 1, nx, C),
+                         lambda iz, iy, ik: (0, iz, iy, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((nz, ny, nx, C), dt),
+            jax.ShapeDtypeStruct((6, nz, ny, nx, C), dt),
+        ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_planar, want_pv=want_pv),
+        grid=(nz, ny, 9),
+        in_specs=[
+            pl.BlockSpec((ny, 3), lambda iz, iy, ik: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nz, 3), lambda iz, iy, ik: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda iz, iy, ik: (0, 0),
+                         memory_space=pltpu.SMEM),
+            xj_spec, xi_spec, sx_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(sy, sz, lj_params.reshape(1, 4), gp, gt, sx)
+    if want_pv:
+        f, pe, vir = out
+        f = jnp.transpose(f.reshape(3, nc, C), (1, 2, 0))
+        vir = jnp.transpose(vir.reshape(6, nc, C), (1, 2, 0))
+        return f, pe.reshape(nc, C), vir
+    return jnp.transpose(out[0].reshape(3, nc, C), (1, 2, 0))

@@ -398,11 +398,12 @@ class System:
         C = max(C, self._grow.get('fast_C', 0))
         impl = os.environ.get('HOOMD_TPU_FAST_IMPL')
         if impl is None:
-            # the VMEM-resident stencil kernel is ~500x faster than the
-            # roll-based XLA formulation on TPU; XLA remains the portable
-            # path (CPU tests, interpret-free fallback)
-            impl = ('pallas3d' if jax.default_backend() == 'tpu'
-                    else 'xla')
+            # the planar (SoA) row kernel keeps every elementwise op on
+            # (nx, C, 3C) lane tiles (~94% VPU utilization at C=40); the
+            # AoS variants waste lanes on the xyz triplet and the XLA roll
+            # formulation materializes (nc, C, 27C) in HBM.  XLA remains
+            # the portable path (CPU tests, interpret-free fallback).
+            impl = 'planar' if jax.default_backend() == 'tpu' else 'xla'
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,

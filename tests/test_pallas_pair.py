@@ -106,3 +106,60 @@ def test_cell_pair_kernel_small_grid_duplicates():
     r6i = 1.0 / r2 ** 3
     e_ref = 0.5 * np.where(within, r6i * (4 * r6i - 4), 0.0).sum(axis=1)
     np.testing.assert_allclose(pe, e_ref, rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["planar", "row", "pallas3d"])
+def test_stencil_kernels_match_bruteforce(impl):
+    """The grid-stencil kernel family (no scalar prefetch) vs float64
+    brute force, including periodic wraps in all axes."""
+    import jax.numpy as jnp
+    from hoomd_tpu.box import Box
+    from hoomd_tpu.ops import cells
+    from hoomd_tpu.ops.pallas_pair import (build_cell_layout,
+                                           build_cell_shifts,
+                                           cell_pair_lj_pallas3d,
+                                           cell_pair_lj_planar,
+                                           cell_pair_lj_row)
+    fn = {"planar": cell_pair_lj_planar, "row": cell_pair_lj_row,
+          "pallas3d": cell_pair_lj_pallas3d}[impl]
+    rng = np.random.RandomState(0)
+    n, a = 6, 1.4
+    N, L, rc = n ** 3, n * 1.4, 2.0
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing='ij'),
+                    -1).reshape(-1, 3)
+    pos_np = ((grid + 0.5) * a - L / 2
+              + rng.uniform(-0.2, 0.2, (N, 3))).astype(np.float32)
+    box = Box.create(L)
+    cell_dim = cells.choose_cell_dim(np.array([L] * 3), rc)
+    C = 24
+    cell_pos, cell_pid, ovf = build_cell_layout(
+        jnp.asarray(pos_np), box, cell_dim, C)
+    assert not bool(ovf)
+    adj, shifts = build_cell_shifts(cell_dim, np.array([L] * 3))
+    params = jnp.asarray([4.0, 4.0, rc * rc, 0.0], jnp.float32)
+    f, pe, vir = fn(cell_pos, cell_dim, jnp.asarray(shifts, jnp.float32),
+                    params, C=C, interpret=True)
+    f_only = fn(cell_pos, cell_dim, jnp.asarray(shifts, jnp.float32),
+                params, C=C, interpret=True, want_pv=False)
+    assert np.abs(np.asarray(f_only) - np.asarray(f)).max() == 0.0
+
+    pid = np.asarray(cell_pid).reshape(-1)
+    sel = pid < N
+    force = np.zeros((N, 3))
+    force[pid[sel]] = np.asarray(f).reshape(-1, 3)[sel]
+    p64 = pos_np.astype(np.float64)
+    dr = p64[:, None] - p64[None, :]
+    dr -= L * np.round(dr / L)
+    r2 = (dr ** 2).sum(-1)
+    np.fill_diagonal(r2, 1e9)
+    w = r2 < rc * rc
+    r6 = 1.0 / r2 ** 3
+    fd = np.where(w, (48 * r6 - 24) * r6 / r2, 0.0)
+    f_ref = (fd[:, :, None] * dr).sum(1)
+    pe_ref = 0.5 * np.where(w, 4 * r6 * (r6 - 1), 0.0).sum()
+    vxx_ref = 0.5 * np.where(w, fd * dr[..., 0] * dr[..., 0], 0.0).sum()
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(force, f_ref, atol=5e-4 * scale)
+    assert float(np.asarray(pe).sum()) == pytest.approx(pe_ref, abs=1e-2)
+    vir_sum = np.asarray(vir).reshape(-1, 6)[sel].sum(0)
+    assert vir_sum[0] == pytest.approx(vxx_ref, rel=1e-3)
