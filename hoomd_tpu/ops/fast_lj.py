@@ -81,6 +81,12 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     nc = int(np.prod(cell_dim))
     M = nc * C
     L_np = np.asarray(box.L, dtype=np.float64)
+    # the stencil covers all pairs within the actual cell width at
+    # rebuild time, which is >= rcut + r_buff by construction; using the
+    # real slack as the Verlet skin stretches the rebuild cadence for
+    # free (rebuilds are the dominant non-kernel cost)
+    skin = float(min(L_np[d] / cell_dim[d] for d in range(3)) - rcut)
+    skin = max(skin, r_buff)
     adj_np, shift_np = build_cell_shifts(cell_dim, L_np)
     adj = jnp.asarray(adj_np)
     shifts = jnp.asarray(shift_np, dtype)
@@ -94,26 +100,68 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         return c3[..., 0] + cell_dim[0] * (
             c3[..., 1] + cell_dim[1] * c3[..., 2])
 
+    same_width = (jnp.dtype(dtype).itemsize
+                  == jnp.dtype(idt).itemsize)
+
     def _rebin(pos_f, vel_f, img_f, tag_f, mass_f):
-        """Flattened arrays -> fresh cell-major layout."""
+        """Flattened arrays -> fresh cell-major layout.
+
+        ONE multi-operand lax.sort carries every per-particle column with
+        the cell key (ints bitcast to the real dtype — the sort compares
+        only the key), ranks come from an associative scan, and ONE wide
+        row-scatter places the sorted rows into padded slots.  This
+        replaces argsort + searchsorted + 5 gathers, which measured ~2x
+        slower end-to-end on TPU (1-D gathers are ~0.75 ms each at
+        M~110k; the 12-operand sort is ~1.8 ms total)."""
         valid = tag_f >= 0
         pos_w, img_w = box.wrap(pos_f, img_f)
-        cid = jnp.where(valid, _cid_flat(pos_w), nc)
-        order = jnp.argsort(cid).astype(idt)
-        scid = cid[order]
-        first = jnp.searchsorted(scid, scid, side='left').astype(idt)
-        rank = jnp.arange(M, dtype=idt) - first
+        cid = jnp.where(valid, _cid_flat(pos_w), nc).astype(idt)
+        if not same_width:     # f64 mode: original gather-based path
+            order = jnp.argsort(cid).astype(idt)
+            scid = cid[order]
+            first = jnp.searchsorted(scid, scid, side='left').astype(idt)
+            rank = jnp.arange(M, dtype=idt) - first
+            ok = (rank < C) & (scid < nc)
+            slot = jnp.where(ok, scid * C + rank, M)
+            src = jnp.full((M,), M, idt).at[slot].set(order, mode='drop')
+            ovf = jnp.any((scid < nc) & (rank >= C))
+
+            def take(a, fill):
+                pad = jnp.concatenate(
+                    [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)])
+                return pad[src]
+            return (take(pos_w, PAD_COORD), take(vel_f, 0),
+                    take(img_w, 0), take(tag_f, -1), take(mass_f, 1),
+                    ovf)
+
+        def bc(a):
+            return jax.lax.bitcast_convert_type(a, dtype)
+        cols = (cid, pos_w[:, 0], pos_w[:, 1], pos_w[:, 2],
+                vel_f[:, 0], vel_f[:, 1], vel_f[:, 2],
+                bc(img_w[:, 0]), bc(img_w[:, 1]), bc(img_w[:, 2]),
+                bc(tag_f), mass_f)
+        s = jax.lax.sort(cols, num_keys=1)
+        scid = s[0]
+        idx = jnp.arange(M, dtype=idt)
+        b = jnp.concatenate([jnp.ones((1,), bool),
+                             scid[1:] != scid[:-1]])
+        first = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(b, idx, 0))
+        rank = idx - first
         ok = (rank < C) & (scid < nc)
         slot = jnp.where(ok, scid * C + rank, M)
-        src = jnp.full((M,), M, idt).at[slot].set(order, mode='drop')
         ovf = jnp.any((scid < nc) & (rank >= C))
+        payload = jnp.stack(s[1:], axis=-1)                  # (M, 11)
+        fill = jnp.concatenate([
+            jnp.full((3,), PAD_COORD, dtype), jnp.zeros((3,), dtype),
+            bc(jnp.zeros((3,), idt)), bc(jnp.full((1,), -1, idt)),
+            jnp.ones((1,), dtype)])
+        out = jnp.tile(fill, (M, 1)).at[slot].set(payload, mode='drop')
 
-        def take(a, fill):
-            pad = jnp.concatenate(
-                [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)])
-            return pad[src]
-        return (take(pos_w, PAD_COORD), take(vel_f, 0), take(img_w, 0),
-                take(tag_f, -1), take(mass_f, 1), ovf)
+        def ubc(a):
+            return jax.lax.bitcast_convert_type(a, idt)
+        return (out[:, 0:3], out[:, 3:6], ubc(out[:, 6:9]),
+                ubc(out[:, 9]), out[:, 10], ovf)
 
     def _forces(pos_cells, dyn, want_pv=True):
         if impl == 'pallas':
@@ -173,7 +221,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         d = pos - c.ref_pos
         md2 = jnp.max(jnp.where(valid, jnp.sum(d * d, -1, keepdims=True),
                                 0.0))
-        needs = md2 > (0.5 * r_buff) ** 2
+        needs = md2 > (0.5 * skin) ** 2
 
         def do_rebuild(args):
             pos, vel, img, tag, mass, ovf, nr = args
