@@ -729,7 +729,7 @@ def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=interpret,
     )(sy, sz, lj_params.reshape(1, 4), gp, gt, sx)
     if want_pv:
