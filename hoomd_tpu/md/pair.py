@@ -183,6 +183,22 @@ moliere = _make_pair_class('moliere', "Moliere screening (md/pair.py).")
 zbl = _make_pair_class('zbl', "ZBL screening (md/pair.py zbl).")
 
 
+class dlvo(pair):
+    """DLVO colloid pair (md/pair.py DLVO; EvaluatorPairDLVO.h):
+    screened electrostatics + Hamaker attraction between unequal spheres.
+    Uses particle diameters; enables the nlist diameter shift like slj."""
+    _evaluator = pair_eval.dlvo
+
+    def __init__(self, r_cut, nlist, d_max=None, name=None):
+        pair.__init__(self, r_cut, nlist, name=name)
+        nlist.diameter_shift = True
+        if d_max is not None:
+            nlist.d_max = d_max
+
+
+DLVO = dlvo
+
+
 class slj(pair):
     """Diameter-shifted LJ (md/pair.py slj): enables the nlist diameter
     shift so large particles get correctly padded cutoffs

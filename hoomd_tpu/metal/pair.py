@@ -20,8 +20,13 @@ from .._config import PAD_COORD, int_dtype
 from ..operation import Force
 
 
-def _read_setfl(filename, type_names):
-    """Parse a setfl/'alloy' EAM file (public DYNAMO format)."""
+def _read_setfl(filename, type_names, fs=False):
+    """Parse a setfl EAM file (public DYNAMO format).  ``fs=False``: the
+    'alloy' layout (one density array per element, duplicated across
+    neighbor types); ``fs=True``: Finnis-Sinclair layout — each element
+    section carries ``nelem`` density arrays rho[elem][other] (reference
+    EAMForceCompute.cc:188-211; density lookup rho[t_j][t_i],
+    EAMForceCompute.cc:433-435)."""
     with open(filename) as f:
         lines = f.read().split('\n')
     # 3 comment lines
@@ -37,16 +42,21 @@ def _read_setfl(filename, type_names):
     mass = []
     F = []
     rho = []
+    nrho_blk = nrho + (nelem * nr if fs else nr)
     while len(F) < nelem:
         hdr = lines[i].split()     # atomic number, mass, lattice, structure
         mass.append(float(hdr[1]))
         i += 1
         nums = []
-        while len(nums) < nrho + nr:
+        while len(nums) < nrho_blk:
             nums.extend(float(x) for x in lines[i].split())
             i += 1
         F.append(np.array(nums[:nrho]))
-        rho.append(np.array(nums[nrho:nrho + nr]))
+        blk = np.array(nums[nrho:nrho_blk])
+        if fs:
+            rho.append(blk.reshape(nelem, nr))      # rho[elem][other]
+        else:
+            rho.append(np.tile(blk, (nelem, 1)))
     # pair section: r*phi for i >= j ordering (i outer from 0..nelem-1)
     nums = []
     while i < len(lines):
@@ -56,7 +66,8 @@ def _read_setfl(filename, type_names):
     rphi = np.array(nums[:npair * nr]).reshape(npair, nr)
     return {'elements': elements, 'mass': mass, 'nrho': nrho,
             'drho': drho, 'nr': nr, 'dr': dr, 'rcut': rcut,
-            'F': np.array(F), 'rho': np.array(rho), 'rphi': rphi}
+            'F': np.array(F), 'rho': np.array(rho),   # (ne, ne, nr)
+            'rphi': rphi}
 
 
 class eam(Force):
@@ -69,11 +80,7 @@ class eam(Force):
         self._log_base = 'pair_eam_energy'
         if type not in ('alloy', 'fs'):
             raise ValueError("eam type must be 'alloy' or 'fs'")
-        if type == 'fs':
-            raise NotImplementedError(
-                "eam 'fs' files: per-pair densities not yet implemented; "
-                "'alloy' is supported")
-        self._data = _read_setfl(file, None)
+        self._data = _read_setfl(file, None, fs=(type == 'fs'))
         self._nlist = nlist
         nlist.subscribe(self)
         context.current.system.add_force(self)
@@ -105,9 +112,10 @@ class eam(Force):
         for i in range(nt):
             for j in range(nt):
                 rphi[i, j] = d['rphi'][pidx(order[i], order[j])]
+        rho = d['rho'][np.ix_(order, order)]                  # (nt,nt,nr)
         return {
             'F': jnp.asarray(d['F'][order], dtype=dt),        # (nt, nrho)
-            'rho': jnp.asarray(d['rho'][order], dtype=dt),    # (nt, nr)
+            'rho': jnp.asarray(rho, dtype=dt),                # (nt,nt,nr)
             'rphi': jnp.asarray(rphi, dtype=dt),              # (nt,nt,nr)
             'drho': jnp.asarray(d['drho'], dt),
             'dr': jnp.asarray(d['dr'], dt),
@@ -149,8 +157,10 @@ class eam(Force):
             ti = state.typeid[:, None]
             tj = t_pad[j]
 
-            # pass 1: density at each particle
-            rho_tab_j = params['rho'][tj]            # (N,K,nr)
+            # pass 1: density at each particle: rho[t_j][t_i]
+            # (reference EAMForceCompute.cc:433-435)
+            ti_b = jnp.broadcast_to(ti, (N, K))
+            rho_tab_j = params['rho'][tj, ti_b]      # (N,K,nr)
             rho_ij, drho_ij = interp(rho_tab_j, r, params['dr'], nr)
             rho_i = jnp.sum(jnp.where(valid, rho_ij, 0.0), axis=1)
 
@@ -160,7 +170,7 @@ class eam(Force):
 
             # pass 2: forces
             Fp_pad = jnp.concatenate([Fp_i, jnp.zeros((1,), rdt)])
-            rho_tab_i = params['rho'][jnp.broadcast_to(ti, (N, K))]
+            rho_tab_i = params['rho'][ti_b, tj]      # rho[t_i][t_j]
             rho_ji, drho_ji = interp(rho_tab_i, r, params['dr'], nr)
             rphi_tab = params['rphi'][ti, tj]        # (N,K,nr)
             rphi, drphi = interp(rphi_tab, r, params['dr'], nr)

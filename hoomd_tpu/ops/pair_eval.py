@@ -314,6 +314,52 @@ class dpd_conservative:
         return fdivr, e
 
 
+class dlvo:
+    """DLVO colloid potential (reference EvaluatorPairDLVO.h:62-155):
+    screened-electrostatic repulsion between spheres of radii a1, a2 plus
+    the unretarded Hamaker sphere-sphere attraction.  Diameter-dependent;
+    the cutoff test uses r < r_cut + delta like slj."""
+    coeff_names = ('kappa', 'Z', 'A')
+    defaults = {}
+    needs_charge = False
+    needs_diameter = True
+    needs_both_diameters = True
+
+    @staticmethod
+    def derive(p):
+        return {'kappa': p['kappa'], 'Z': p['Z'], 'A': p['A']}
+
+    @staticmethod
+    def energy_force(r2, p):
+        r = jnp.sqrt(r2)
+        di, dj = p['di'], p['dj']
+        radsum = 0.5 * (di + dj)
+        radsub = 0.5 * (di - dj)
+        radprod = 0.25 * di * dj
+        kappa, Z, A = p['kappa'], p['Z'], p['A']
+        rmds = r - radsum
+        rmdsqs = r2 - radsum * radsum
+        rmdsqm = r2 - radsub * radsub
+        safe = (rmdsqs > 1e-12) & (rmdsqm > 1e-12)
+        rmdsqs = jnp.where(safe, rmdsqs, 1.0)
+        rmdsqm = jnp.where(safe, rmdsqm, 1.0)
+        exp_val = jnp.exp(-kappa * rmds)
+        forcerep_divr = kappa * radprod / radsum * Z * exp_val / r
+        radsumsq = 0.25 * (di * di + dj * dj)
+        radsubsq = 0.25 * (di * di - dj * dj)
+        t1 = r2 * r2 + radsubsq * radsubsq - 2.0 * r2 * radsumsq
+        t1 = jnp.where(jnp.abs(t1) > 1e-12, t1, 1.0)
+        forceatr_divr = -(32.0 / 3.0) * A * radprod ** 3 / (t1 * t1)
+        f = forcerep_divr + forceatr_divr
+        e = (r * forcerep_divr / jnp.where(kappa != 0, kappa, 1.0)
+             - radprod / rmdsqs * A / 3.0
+             - radprod / rmdsqm * A / 3.0
+             - jnp.log(jnp.maximum(rmdsqs / rmdsqm, 1e-30)) * A / 6.0)
+        f = jnp.where(safe, f, 0.0)
+        e = jnp.where(safe, e, 0.0)
+        return f, e
+
+
 class moliere:
     """Moliere screened Coulomb (EvaluatorPairMoliere.h; md/pair.py moliere).
     V = Zi Zj e^2/(4 pi eps0 r) * sum_k c_k exp(-d_k r / aF)."""

@@ -56,6 +56,9 @@ def pair_force_nlist(pos, typeid, charge, diameter, nbr_idx, box, evaluator,
     if evaluator.needs_diameter:
         d_pad = jnp.concatenate([diameter, jnp.ones((1,), dtype=dtype)])
         p['delta'] = 0.5 * (diameter[:, None] + d_pad[j]) - 1.0
+        if getattr(evaluator, 'needs_both_diameters', False):
+            p['di'] = diameter[:, None] + 0.0 * d_pad[j]
+            p['dj'] = d_pad[j] + 0.0 * diameter[:, None]
 
     valid = (j < N) & (r2 < rc2) & (rc2 > 0.0)
     # keep masked lanes numerically tame before the evaluator sees them
