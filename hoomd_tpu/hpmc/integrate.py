@@ -733,3 +733,141 @@ class simple_polygon(convex_polygon):
                     "simple_polygon: non-convex polygons not yet "
                     "implemented; decompose into convex pieces")
         return convex_polygon._tables(self, system)
+
+
+class _gjk_shape(_aniso_hpmc):
+    """Shared machinery for shapes tested with batched GJK distance
+    (hpmc/gjk.py): overlap iff the certified distance lower bound between
+    the convex cores is <= the summed sweep radii.  Ties inside the GJK
+    tolerance band resolve toward overlap (MC-safe: never accepts a move
+    the exact test would reject)."""
+
+    def _core_support(self, system, t_table, q, t):
+        """Return (support_fn, 'any point' seed offset fn)."""
+        raise NotImplementedError
+
+    def _sweep_radius_table(self, system):
+        raise NotImplementedError
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from .gjk import gjk_distance
+        Rs = self._sweep_radius_table(system)
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            # batch (M, C)
+            M, Cc = dr.shape[:2]
+            qi = jnp.broadcast_to(q_i[:, None, :], (M, Cc, 4))
+            supA, seedA = self._core_support(system, qi, ti)
+            supB, seedB = self._core_support(system, q_j, tj)
+
+            def sup(d):
+                return dr + supA(d) - supB(-d)
+            x0 = dr + seedA - seedB
+            lo, hi = gjk_distance(sup, x0)
+            rsum = Rs[ti] + Rs[tj]
+            return lo <= rsum + 1e-6
+        return overlap
+
+
+class ellipsoid(_gjk_shape):
+    """Hard ellipsoids (reference hpmc.integrate.ellipsoid,
+    ShapeEllipsoid.h — the reference uses XenoCollide MPR; here batched
+    GJK over the closed-form ellipsoid support function).
+    shape_param.set('A', a=..., b=..., c=...)."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4,
+                 implicit=False):
+        _gjk_shape.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                            nselect=nselect)
+
+    def _abc_table(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        A = np.zeros((len(types), 3))
+        for i, t in enumerate(types):
+            p = self.shape_param[t]
+            for k, nm in enumerate(('a', 'b', 'c')):
+                v = p.get(nm)
+                if v is None:
+                    raise RuntimeError(
+                        f"ellipsoid: semi-axis {nm} not set for {t!r}")
+                A[i, k] = v
+        return jnp.asarray(A, jnp.float32)
+
+    def _interaction_diameter(self, system):
+        return 2.0 * float(np.asarray(self._abc_table(system)).max())
+
+    def _sweep_radius_table(self, system):
+        import jax.numpy as jnp
+        return jnp.zeros((len(system.particle_types),), jnp.float32)
+
+    def _core_support(self, system, q, t):
+        import jax.numpy as jnp
+        from .gjk import ellipsoid_support
+        abc = self._abc_table(system)[t]
+        return ellipsoid_support(q, abc), jnp.zeros_like(abc)
+
+
+class convex_spheropolyhedron(_gjk_shape):
+    """Convex spheropolyhedra = convex polytope swept by a sphere
+    (reference hpmc.integrate.convex_spheropolyhedron,
+    ShapeSpheropolyhedron.h).  Includes spherocylinders (2 vertices) and
+    spheres (1 vertex).  shape_param.set('A', vertices=[...],
+    sweep_radius=R)."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4,
+                 implicit=False, max_verts=None):
+        _gjk_shape.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                            nselect=nselect)
+
+    _dim = 3
+
+    def _vert_table(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        nv = max(max(len(self.shape_param[t].get('vertices',
+                                                 [(0, 0, 0)])), 1)
+                 for t in types)
+        V = np.zeros((len(types), nv, 3))
+        for i, t in enumerate(types):
+            v = np.asarray(self.shape_param[t].get('vertices',
+                                                   [(0, 0, 0)]),
+                           dtype=float)
+            if v.ndim == 1:
+                v = v[None]
+            if self._dim == 2:
+                v3 = np.zeros((len(v), 3))
+                v3[:, :2] = v[:, :2]
+                v = v3
+            V[i, :len(v)] = v
+            V[i, len(v):] = v[0]      # pad with a real vertex
+        return jnp.asarray(V, jnp.float32)
+
+    def _sweep_radius_table(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        R = np.array([float(self.shape_param[t].get('sweep_radius', 0.0))
+                      for t in types])
+        return jnp.asarray(R, jnp.float32)
+
+    def _interaction_diameter(self, system):
+        V = np.asarray(self._vert_table(system))
+        R = np.asarray(self._sweep_radius_table(system))
+        return 2.0 * float((np.linalg.norm(V, axis=2).max(axis=1)
+                            + R).max())
+
+    def _core_support(self, system, q, t):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        from .gjk import polytope_support
+        V = self._vert_table(system)[t]              # (..., NV, 3)
+        vw = Q.rotate(q[..., None, :], V)            # world frame
+        return polytope_support(vw), vw[..., 0, :]
+
+
+class convex_spheropolygon(convex_spheropolyhedron):
+    """2D convex spheropolygons (reference ShapeSpheropolygon.h):
+    vertices in the xy plane + sweep_radius; rounded discs from a single
+    vertex.  Same GJK machinery with z = 0."""
+    _dim = 2

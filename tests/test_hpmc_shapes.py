@@ -185,3 +185,167 @@ def test_overlap_fn_batched_shapes():
     assert out2.shape == (M, C)
     assert out2[:, 0].all()
     assert not out2[:, 1:].any()
+
+
+def _poly_distance_oracle(PA, PB, rng):
+    from scipy.optimize import minimize
+    nA, nB = len(PA), len(PB)
+
+    def f(x):
+        p = x[:nA] @ PA - x[nA:] @ PB
+        return p @ p
+    cons = [{'type': 'eq', 'fun': lambda x: x[:nA].sum() - 1},
+            {'type': 'eq', 'fun': lambda x: x[nA:].sum() - 1}]
+    best = None
+    for _ in range(3):
+        x0 = np.abs(rng.rand(nA + nB)) + 1e-3
+        x0[:nA] /= x0[:nA].sum()
+        x0[nA:] /= x0[nA:].sum()
+        r = minimize(f, x0, bounds=[(0, 1)] * (nA + nB),
+                     constraints=cons, method='SLSQP',
+                     options={'maxiter': 300, 'ftol': 1e-14})
+        v = np.sqrt(max(r.fun, 0))
+        best = v if best is None else min(best, v)
+    return best
+
+
+def test_spheropolyhedron_overlap_vs_oracle():
+    """GJK overlap (core distance <= Rsum) vs a scipy QP distance oracle
+    for randomly oriented sphero-tetrahedra."""
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=4.0), n=3)
+    R = 0.25
+    mc = hpmc.integrate.convex_spheropolyhedron(seed=1, d=0.1, a=0.1)
+    mc.shape_param.set('A', vertices=TETRA, sweep_radius=R)
+    system = hoomd.context.current.system
+    fn = mc._make_overlap_fn(system)
+    rng = np.random.RandomState(4)
+    n_checked, mismatches = 0, []
+    for trial in range(80):
+        qa, qb = rand_quat(rng), rand_quat(rng)
+        dx = rng.uniform(-2.2, 2.2, 3)
+        va = np.array([rot_np(qa, np.array(v)) for v in TETRA]) + dx
+        vb = np.array([rot_np(qb, np.array(v)) for v in TETRA])
+        dist = _poly_distance_oracle(va, vb, rng)
+        if abs(dist - 2 * R) < 2e-2:      # skip marginal contacts
+            continue
+        ref = dist <= 2 * R
+        got = bool(np.asarray(fn(
+            jnp.asarray(dx, jnp.float32).reshape(1, 1, 3),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            None, None, None,
+            q_i=jnp.asarray(qa, jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray(qb, jnp.float32).reshape(1, 1, 4)))[0, 0])
+        n_checked += 1
+        if got != ref:
+            mismatches.append((trial, dx, dist, got, ref))
+    assert n_checked > 40
+    assert not mismatches, mismatches[:3]
+
+
+def _ellipsoid_overlap_oracle(abc1, q1, x1, abc2, q2, x2):
+    """Perram-Wertheim contact function: overlap iff
+    max_l l(1-l) r^T (l B + (1-l) A)^{-1} r < 1, A = R diag(abc^2) R^T."""
+    from scipy.optimize import minimize_scalar
+
+    def mat(abc, q):
+        w, x, y, z = q
+        Rm = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)]])
+        return Rm @ np.diag(np.asarray(abc) ** 2) @ Rm.T
+    A, B = mat(abc1, q1), mat(abc2, q2)
+    r = np.asarray(x2) - np.asarray(x1)
+
+    def negF(l):
+        M = l * B + (1 - l) * A
+        return -l * (1 - l) * r @ np.linalg.solve(M, r)
+    res = minimize_scalar(negF, bounds=(1e-9, 1 - 1e-9), method='bounded',
+                          options={'xatol': 1e-12})
+    return -res.fun < 1.0
+
+
+def test_ellipsoid_overlap_vs_perram_wertheim():
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=5.0), n=3)
+    abc = (1.0, 0.6, 0.4)
+    mc = hpmc.integrate.ellipsoid(seed=1, d=0.1, a=0.1)
+    mc.shape_param.set('A', a=abc[0], b=abc[1], c=abc[2])
+    system = hoomd.context.current.system
+    fn = mc._make_overlap_fn(system)
+    rng = np.random.RandomState(7)
+    n_checked, mismatches = 0, []
+    for trial in range(80):
+        qa, qb = rand_quat(rng), rand_quat(rng)
+        dx = rng.uniform(-2.0, 2.0, 3)
+        ref = _ellipsoid_overlap_oracle(abc, qa, dx, abc, qb,
+                                        np.zeros(3))
+        near = _ellipsoid_overlap_oracle(
+            abc, qa, dx * 0.99, abc, qb, np.zeros(3)) != \
+            _ellipsoid_overlap_oracle(abc, qa, dx * 1.01, abc, qb,
+                                      np.zeros(3))
+        if near:
+            continue
+        got = bool(np.asarray(fn(
+            jnp.asarray(dx, jnp.float32).reshape(1, 1, 3),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            None, None, None,
+            q_i=jnp.asarray(qa, jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray(qb, jnp.float32).reshape(1, 1, 4)))[0, 0])
+        n_checked += 1
+        if got != ref:
+            mismatches.append((trial, dx, got, ref))
+    assert n_checked > 40
+    assert not mismatches, mismatches[:3]
+
+
+def test_spherocylinder_mc_no_overlaps():
+    """MC with spherocylinders (2-vertex spheropolyhedra) runs and leaves
+    no overlapping pair (segment-segment distance oracle)."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=2.2), n=4)
+    R, H = 0.3, 0.5       # radius, half-length
+    mc = hpmc.integrate.convex_spheropolyhedron(seed=5, d=0.12, a=0.3,
+                                                nselect=2)
+    mc.shape_param.set('A', vertices=[(0, 0, -H), (0, 0, H)],
+                       sweep_radius=R)
+    hoomd.run(60, quiet=True)
+    system = hoomd.context.current.system
+    snap = system.take_snapshot()
+    pos = snap.particles.position
+    q = snap.particles.orientation
+    L = snap.box.Lx
+    N = len(pos)
+
+    def seg_dist(p1, d1, p2, d2):
+        # closest distance between segments [p1±d1], [p2±d2]
+        from scipy.optimize import minimize
+        f = lambda t: np.linalg.norm((p1 + t[0] * d1) - (p2 + t[1] * d2))
+        best = 1e9
+        for t0 in ([0, 0], [1, -1], [-1, 1]):
+            r = minimize(f, t0, bounds=[(-1, 1), (-1, 1)])
+            best = min(best, r.fun)
+        return best
+    axes = np.array([rot_np(qq, np.array([0, 0, H])) for qq in q])
+    bad = 0
+    for i in range(N):
+        for j in range(i + 1, N):
+            dr = pos[i] - pos[j]
+            dr -= L * np.round(dr / L)
+            if np.linalg.norm(dr) > 2 * (H + R) + 0.1:
+                continue
+            d = seg_dist(dr, axes[i], np.zeros(3), axes[j])
+            if d < 2 * R - 1e-3:
+                bad += 1
+    assert bad == 0
+    # rotations actually happened
+    assert np.abs(q[:, 1:]).max() > 1e-3
