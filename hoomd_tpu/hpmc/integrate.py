@@ -168,6 +168,10 @@ class mode_hpmc:
         # two same-class movers could overlap — the checkerboard argument
         # (IntegratorHPMCMonoGPU.cuh cell sets) requires even dimensions.
         cell_dim = list(cells_ops.choose_cell_dim(L, w_min, dims3))
+        # tiny shapes would explode the grid; past ~32 cells/axis the
+        # checkerboard gains nothing (reference CellList also caps its
+        # dimensions to keep memory bounded)
+        cell_dim = [min(c, 32) for c in cell_dim]
         for ax in range(dims3):
             cell_dim[ax] = max(2, 2 * (cell_dim[ax] // 2))
         cell_dim = tuple(cell_dim)

@@ -114,21 +114,161 @@ class boxmc(Updater):
 
 
 class muvt(Updater):
-    """Grand-canonical insertions/deletions (reference UpdaterMuVT.h).
-    Requires dynamic particle number — arrives with the capacity-slot
-    mechanism in a later round."""
+    """Grand-canonical insertions/deletions for hard spheres (reference
+    UpdaterMuVT.h, hpmc/update.py muvt).  Each fire attempts ``n_trial``
+    insert/delete moves at the fugacities set with ``set_fugacity``;
+    particle number changes go through snapshot rebuilds at the host
+    boundary (the device program recompiles on N changes, so muvt is a
+    periodic updater, not a per-step move — same cadence semantics as the
+    reference's MPI-rank-serial implementation).  Anisotropic shapes are
+    not yet supported."""
 
-    def __init__(self, mc, seed, period=1, transfer_types=None, ngibbs=1):
-        raise NotImplementedError(
-            "hpmc.update.muvt: grand-canonical moves not yet implemented")
+    def __init__(self, mc, seed, period=1, transfer_types=None,
+                 ngibbs=1, n_trial=16):
+        if ngibbs != 1:
+            raise NotImplementedError(
+                "hpmc.update.muvt: Gibbs-ensemble partition exchange "
+                "(ngibbs > 1) not yet implemented")
+        from .integrate import sphere as _sphere
+        if not isinstance(mc, _sphere):
+            raise NotImplementedError(
+                "hpmc.update.muvt currently supports sphere shapes")
+        Updater.__init__(self, period, 0)
+        self.mc = mc
+        self._rng = np.random.RandomState(int(seed))
+        self.transfer_types = transfer_types
+        self.n_trial = int(n_trial)
+        self._fugacity = {}
+        self.n_inserted = 0
+        self.n_removed = 0
+        self.n_attempted = 0
+        context.current.system.register_updater(self)
+
+    def set_fugacity(self, type, fugacity):
+        self._fugacity[type] = variant.as_variant(fugacity)
+
+    def update(self, system, timestep):
+        from .. import data as data_mod
+        snap = system.take_snapshot()
+        types = list(snap.particles.types)
+        ttypes = self.transfer_types or [
+            t for t in types if t in self._fugacity]
+        if not ttypes:
+            return
+        box = snap.box
+        L = np.array([box.Lx, box.Ly, box.Lz])
+        V = float(np.prod(L))
+        pos = list(np.asarray(snap.particles.position))
+        tid = list(np.asarray(snap.particles.typeid))
+        diam = {i: float(self.mc.shape_param[t].get('diameter', 1.0))
+                for i, t in enumerate(types)}
+        changed = False
+        for _ in range(self.n_trial):
+            self.n_attempted += 1
+            t_name = ttypes[self._rng.randint(len(ttypes))]
+            t_id = types.index(t_name)
+            z = self._fugacity[t_name].value(timestep)
+            n_t = sum(1 for x in tid if x == t_id)
+            if self._rng.rand() < 0.5:
+                # insertion
+                x = (self._rng.rand(3) - 0.5) * L
+                ok = True
+                ri = 0.5 * diam[t_id]
+                for p, tj in zip(pos, tid):
+                    d = x - p
+                    d -= L * np.round(d / L)
+                    if np.dot(d, d) < (ri + 0.5 * diam[tj]) ** 2:
+                        ok = False
+                        break
+                if ok and self._rng.rand() < z * V / (n_t + 1):
+                    pos.append(x)
+                    tid.append(t_id)
+                    self.n_inserted += 1
+                    changed = True
+            elif n_t > 0:
+                # deletion
+                cand = [i for i, x in enumerate(tid) if x == t_id]
+                i = cand[self._rng.randint(len(cand))]
+                if self._rng.rand() < n_t / (z * V):
+                    pos.pop(i)
+                    tid.pop(i)
+                    self.n_removed += 1
+                    changed = True
+        if not changed:
+            return
+        new = data_mod.make_snapshot(
+            len(pos), data_mod.boxdim(Lx=box.Lx, Ly=box.Ly, Lz=box.Lz),
+            particle_types=types)
+        new.particles.position[:] = np.asarray(pos)
+        new.particles.typeid[:] = np.asarray(tid)
+        for i, t in enumerate(np.asarray(tid)):
+            new.particles.diameter[i] = diam[int(t)]
+        system.restore_snapshot(new)
 
 
 class clusters(Updater):
-    """Geometric cluster moves (reference UpdaterClusters.h)."""
+    """Geometric cluster moves for hard spheres (reference
+    UpdaterClusters.h, Liu & Luijten PRL 92, 035504): point-reflect the
+    cluster containing a random seed about a random pivot; the cluster is
+    the connected component of the relation "reflected i overlaps j",
+    which is symmetric under point reflection, so the move is
+    rejection-free for hard particles without external fields."""
 
     def __init__(self, mc, seed, period=1):
-        raise NotImplementedError(
-            "hpmc.update.clusters: cluster moves not yet implemented")
+        from .integrate import sphere as _sphere
+        if not isinstance(mc, _sphere):
+            raise NotImplementedError(
+                "hpmc.update.clusters currently supports sphere shapes")
+        Updater.__init__(self, period, 0)
+        self.mc = mc
+        self._rng = np.random.RandomState(int(seed))
+        self.n_moves = 0
+        self.total_cluster_size = 0
+        context.current.system.register_updater(self)
+
+    def get_info(self):
+        n = max(self.n_moves, 1)
+        return {'moves': self.n_moves,
+                'average_cluster_size': self.total_cluster_size / n}
+
+    def update(self, system, timestep):
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+        snap = system.take_snapshot()
+        types = list(snap.particles.types)
+        pos = np.asarray(snap.particles.position).copy()
+        tid = np.asarray(snap.particles.typeid)
+        N = len(pos)
+        L = np.array([snap.box.Lx, snap.box.Ly, snap.box.Lz])
+        radii = np.array(
+            [0.5 * float(self.mc.shape_param[t].get('diameter', 1.0))
+             for t in types])[tid]
+        pivot = (self._rng.rand(3) - 0.5) * L
+        refl = 2.0 * pivot - pos
+        # adjacency: reflected i overlaps original j (blocked O(N^2))
+        rows, cols = [], []
+        B = 1024
+        for s in range(0, N, B):
+            d = refl[s:s + B, None, :] - pos[None, :, :]
+            d -= L * np.round(d / L)
+            r2 = np.sum(d * d, axis=-1)
+            rsum = radii[s:s + B, None] + radii[None, :]
+            hit = r2 < rsum * rsum
+            r, c = np.nonzero(hit)
+            rows.append(r + s)
+            cols.append(c)
+        rows = np.concatenate(rows) if rows else np.zeros(0, int)
+        cols = np.concatenate(cols) if cols else np.zeros(0, int)
+        g = coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(N, N))
+        ncomp, labels = connected_components(g, directed=False)
+        seed_i = self._rng.randint(N)
+        member = labels == labels[seed_i]
+        new_pos = np.where(member[:, None], refl, pos)
+        new_pos -= L * np.round(new_pos / L)      # wrap
+        snap.particles.position[:] = new_pos
+        system.restore_snapshot(snap)
+        self.n_moves += 1
+        self.total_cluster_size += int(member.sum())
 
 
 class remove_drift(Updater):
