@@ -136,6 +136,44 @@ class mode_hpmc:
         """Max center-to-center distance at which two shapes can overlap."""
         raise NotImplementedError
 
+    def count_overlaps(self, system=None):
+        """Number of overlapping pairs in the current configuration
+        (reference IntegratorHPMCMono::countOverlaps).  Blocked all-pairs
+        sweep with the shape's overlap kernel — used by box updaters and
+        sanity checks, not the per-step path."""
+        import jax
+        import jax.numpy as jnp
+        from .. import context as _ctx
+        system = system or _ctx.current.system
+        fn = self._make_overlap_fn(system)
+        st = system.state
+        N = st.N
+        pos = st.pos
+        tid = st.typeid
+        q = st.orientation
+        B = 256
+        nb = -(-N // B)
+        pad = nb * B - N
+        pos_p = jnp.concatenate([pos, jnp.full((pad, 3), 1e8,
+                                               pos.dtype)])
+        tid_p = jnp.concatenate([tid, jnp.zeros((pad,), tid.dtype)])
+        q_p = jnp.concatenate(
+            [q, jnp.tile(jnp.asarray([1., 0, 0, 0], q.dtype),
+                         (pad, 1))])
+        rows_all = jnp.arange(nb * B).reshape(nb, B)
+        jcol = jnp.arange(N)
+
+        def block(rows):
+            dr = st.box.min_image(pos_p[rows][:, None, :]
+                                  - pos[None, :, :])
+            hit = fn(dr, tid_p[rows][:, None],
+                     jnp.broadcast_to(tid[None, :], (B, N)), st, None,
+                     None, q_i=q_p[rows],
+                     q_j=jnp.broadcast_to(q[None], (B, N, 4)))
+            tri = (rows[:, None] < jcol[None, :])
+            return jnp.sum(jnp.where(hit & tri, 1, 0))
+        return int(jnp.sum(jax.lax.map(block, rows_all)))
+
     def _make_overlap_fn(self, system):
         """Returns overlap(dr (M,C,3), ti (M,1), tj (M,C)) -> bool (M,C):
         True where shapes overlap."""
@@ -161,6 +199,11 @@ class mode_hpmc:
         if patch is not None:
             diam = max(diam, patch.r_cut)
         w_min = diam + 2.0 * d_max
+        # tilted (sheared) boxes shrink the perpendicular slab width of a
+        # fraction-space cell by 1/sqrt(1+t^2); pad the requirement so the
+        # stencil invariant survives boxmc shear moves
+        tilt = np.abs(np.asarray(state.box.tilt))
+        w_min = w_min * float(np.sqrt(1.0 + np.max(tilt) ** 2))
         L = np.asarray(state.box.L)
         dims3 = state.box.dimensions
         # EVEN cell counts only: with an odd count the first and last cells

@@ -65,20 +65,129 @@ class boxmc(Updater):
                          'weight': weight or 1}
         return self._vol
 
-    def aspect(self, *a, **k):
-        raise NotImplementedError("boxmc.aspect: not yet implemented")
+    def aspect(self, delta=None, weight=None):
+        """Constant-volume aspect-ratio moves (reference
+        UpdaterBoxMC::update_aspect): one axis scaled by 1+u*delta, the
+        others by the inverse square root."""
+        if delta is not None:
+            self._aspect = {'delta': float(delta), 'weight': weight or 1}
+        return getattr(self, '_aspect', None)
 
-    shear = aspect
-    length = aspect
+    def shear(self, delta=None, weight=None, reduce=0.0):
+        """Box tilt (shear) moves (reference UpdaterBoxMC::update_shear):
+        random walk on xy/xz/yz at constant volume.  ``delta`` may be a
+        scalar or a 3-tuple per tilt component."""
+        if delta is not None:
+            d = np.broadcast_to(np.asarray(delta, float), (3,)).copy()
+            self._shear = {'delta': d, 'weight': weight or 1}
+        return getattr(self, '_shear', None)
+
+    def length(self, delta=None, weight=None):
+        """Independent per-axis length moves at varying volume
+        (reference UpdaterBoxMC::update_L)."""
+        if delta is not None:
+            d = np.broadcast_to(np.asarray(delta, float), (3,)).copy()
+            self._length = {'delta': d, 'weight': weight or 1}
+        return getattr(self, '_length', None)
 
     def get_volume_acceptance(self):
         t = self.accepted + self.rejected
         return self.accepted / t if t else 0.0
 
+    def _accept_if_valid(self, system, st, trial, d_log_prob):
+        """Metropolis on the box move: boltzmann arg + hard-particle
+        overlap veto via the integrator's overlap kernel."""
+        if np.log(self._rng.rand() + 1e-300) > d_log_prob:
+            self.rejected += 1
+            return False
+        system.state = trial
+        try:
+            bad = self.mc.count_overlaps(system) > 0
+        except NotImplementedError:
+            bad = _overlap_exists(system, self.mc)
+        if bad:
+            system.state = st
+            self.rejected += 1
+            return False
+        self.accepted += 1
+        system._dirty()            # box changed: re-grid MC cells
+        return True
+
+    def _try_aspect(self, system, timestep):
+        import jax.numpy as jnp
+        st = system.state
+        dlt = self._aspect['delta']
+        ax = self._rng.randint(3 if st.box.dimensions == 3 else 2)
+        s1 = 1.0 + self._rng.uniform(-dlt, dlt)
+        if st.box.dimensions == 3:
+            s_others = 1.0 / np.sqrt(s1)
+            scale = np.full(3, s_others)
+        else:
+            scale = np.array([1.0, 1.0, 1.0])
+            scale[:2] = 1.0 / s1
+            scale[2] = 1.0
+        scale[ax] = s1
+        dt = st.pos.dtype
+        sc = jnp.asarray(scale, dt)
+        trial = st.replace(pos=st.pos * sc,
+                           box=st.box.replace(L=st.box.L * sc))
+        self._accept_if_valid(system, st, trial, 0.0)
+
+    def _try_shear(self, system, timestep):
+        import jax.numpy as jnp
+        st = system.state
+        dlt = self._shear['delta']
+        comp = self._rng.randint(3 if st.box.dimensions == 3 else 1)
+        dtilt = self._rng.uniform(-dlt[comp], dlt[comp])
+        tilt = np.asarray(st.box.tilt).copy()
+        tilt[comp] += dtilt
+        dt = st.pos.dtype
+        frac = st.box.make_fraction(st.pos)
+        new_box = st.box.replace(tilt=jnp.asarray(tilt, dt))
+        trial = st.replace(pos=new_box.from_fraction(frac), box=new_box)
+        self._accept_if_valid(system, st, trial, 0.0)
+
+    def _try_length(self, system, timestep):
+        import jax.numpy as jnp
+        st = system.state
+        dlt = self._length['delta']
+        ax = self._rng.randint(3 if st.box.dimensions == 3 else 2)
+        L = np.asarray(st.box.L).copy()
+        V = float(st.box.volume())
+        L_new = L.copy()
+        L_new[ax] += self._rng.uniform(-dlt[ax], dlt[ax])
+        if L_new[ax] <= 0:
+            self.rejected += 1
+            return
+        V_new = V * L_new[ax] / L[ax]
+        betaP = self.betaP.value(timestep)
+        arg = -betaP * (V_new - V) + st.N * np.log(V_new / V)
+        dt = st.pos.dtype
+        sc = jnp.asarray(L_new / L, dt)
+        trial = st.replace(pos=st.pos * sc,
+                           box=st.box.replace(L=jnp.asarray(L_new, dt)))
+        self._accept_if_valid(system, st, trial, arg)
+
     def update(self, system, timestep):
         import jax.numpy as jnp
-        if self._vol['mode'] is None:
+        moves = []
+        if self._vol['mode'] is not None:
+            moves += ['vol'] * self._vol['weight']
+        if getattr(self, '_aspect', None):
+            moves += ['aspect'] * self._aspect['weight']
+        if getattr(self, '_shear', None):
+            moves += ['shear'] * self._shear['weight']
+        if getattr(self, '_length', None):
+            moves += ['length'] * self._length['weight']
+        if not moves:
             return
+        pick = moves[self._rng.randint(len(moves))]
+        if pick == 'aspect':
+            return self._try_aspect(system, timestep)
+        if pick == 'shear':
+            return self._try_shear(system, timestep)
+        if pick == 'length':
+            return self._try_length(system, timestep)
         st = system.state
         V = float(st.box.volume())
         N = st.N

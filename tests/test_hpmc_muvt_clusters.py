@@ -81,3 +81,28 @@ def test_clusters_preserve_hard_sphere_validity():
     r2 = np.sum(d * d, -1)
     np.fill_diagonal(r2, 1e9)
     assert r2.min() > (1.0 - 1e-5) ** 2       # still no overlaps
+
+
+def test_boxmc_aspect_shear_length():
+    """Aspect/shear/length box moves run, deform the box, and never leave
+    an overlapping configuration."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.context.initialize("--notice-level=0")
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.6), n=4)
+    mc = hpmc.integrate.sphere(seed=2, d=0.1)
+    mc.shape_param.set('A', diameter=1.0)
+    bmc = hpmc.update.boxmc(mc=mc, betaP=1.0, seed=9)
+    bmc.aspect(delta=0.05, weight=1)
+    bmc.shear(delta=0.03, weight=1)
+    bmc.length(delta=0.05, weight=1)
+    system = hoomd.context.current.system
+    L0 = np.asarray(system.state.box.L).copy()
+    hoomd.run(40, quiet=True)
+    st = system.state
+    L1 = np.asarray(st.box.L)
+    tilt1 = np.asarray(st.box.tilt)
+    assert bmc.accepted > 0
+    moved = (np.abs(L1 - L0).max() > 1e-4) or (np.abs(tilt1).max() > 1e-4)
+    assert moved
+    assert mc.count_overlaps(system) == 0
