@@ -180,16 +180,90 @@ class rigid:
 
 
 class distance:
-    """Exact distance constraints (reference ForceDistanceConstraint.h
-    solves a sparse linear system with Eigen SparseLU each step).
-    Not yet implemented in hoomd_tpu; use stiff harmonic bonds or rigid
-    bodies instead."""
+    """Pairwise distance constraints (reference md.constrain.distance,
+    ForceDistanceConstraint.h).  The reference solves the constraint-force
+    linear system with Eigen SparseLU each step; the TPU-native equivalent
+    is iterative SHAKE position projection + RATTLE-style velocity and
+    force projections expressed as fixed-count lax.fori_loop sweeps with
+    scatter-add updates (Jacobi style with under-relaxation, so shared
+    atoms converge).  Constraints are read from the snapshot's
+    ``constraints`` group data (tags + target distance).  Pair exclusions
+    are not added automatically; exclude constrained pairs on the
+    neighbor list if the pair potential should not act across them."""
+
+    n_iter = 40
+    omega = 0.7
 
     def __init__(self, exclude_from_nlist=True):
-        raise NotImplementedError(
-            "constrain.distance: exact distance constraints not yet "
-            "implemented; use md.bond.harmonic with large k or "
-            "constrain.rigid")
+        context.current.system.add_composite(self)
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        snap = system.snapshot_template
+        g = np.asarray(snap.constraints.group,
+                       dtype=np.int64).reshape(-1, 2)
+        d0 = np.asarray(snap.constraints.value, dtype=float).reshape(-1)
+        dt = system.real_dtype
+        return {'a': jnp.asarray(g[:, 0], jnp.int32),
+                'b': jnp.asarray(g[:, 1], jnp.int32),
+                'd0': jnp.asarray(d0, dt)}
+
+    @classmethod
+    def update_constituents(cls, state, params):
+        import jax
+        import jax.numpy as jnp
+        a = state.rtag[params['a']]
+        b = state.rtag[params['b']]
+        d0sq = params['d0'] ** 2
+        inv_ma = 1.0 / state.mass[a]
+        inv_mb = 1.0 / state.mass[b]
+        im = inv_ma + inv_mb
+
+        def shake(_, pos):
+            d = state.box.min_image(pos[a] - pos[b])
+            dd = jnp.sum(d * d, axis=-1)
+            g = cls.omega * (dd - d0sq) / (2.0 * jnp.maximum(dd, 1e-12)
+                                           * im)
+            corr = g[:, None] * d
+            pos = pos.at[a].add(-corr * inv_ma[:, None])
+            pos = pos.at[b].add(corr * inv_mb[:, None])
+            return pos
+        pos = jax.lax.fori_loop(0, cls.n_iter, shake, state.pos)
+
+        def rattle(_, vel):
+            d = state.box.min_image(pos[a] - pos[b])
+            dd = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
+            lam = cls.omega * jnp.sum((vel[a] - vel[b]) * d, -1) \
+                / (dd * im)
+            corr = lam[:, None] * d
+            vel = vel.at[a].add(-corr * inv_ma[:, None])
+            vel = vel.at[b].add(corr * inv_mb[:, None])
+            return vel
+        vel = jax.lax.fori_loop(0, 12, rattle, state.vel)
+        return state.replace(pos=pos, vel=vel)
+
+    @classmethod
+    def reduce_forces(cls, state, params):
+        import jax
+        import jax.numpy as jnp
+        a = state.rtag[params['a']]
+        b = state.rtag[params['b']]
+        inv_ma = 1.0 / state.mass[a]
+        inv_mb = 1.0 / state.mass[b]
+        im = inv_ma + inv_mb
+        d = state.box.min_image(state.pos[a] - state.pos[b])
+        dd = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
+
+        def proj(_, frc):
+            lam = cls.omega * jnp.sum(
+                (frc[a] * inv_ma[:, None] - frc[b] * inv_mb[:, None])
+                * d, -1) / (dd * im)
+            corr = lam[:, None] * d
+            frc = frc.at[a].add(-corr)
+            frc = frc.at[b].add(corr)
+            return frc
+        frc = jax.lax.fori_loop(0, 12, proj, state.net_force)
+        return state.replace(net_force=frc)
 
 
 class _manifold:
