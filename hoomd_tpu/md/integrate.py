@@ -427,13 +427,16 @@ class npt(_method):
     the reference; integrate.py npt).
 
     Martyna-Tobias-Klein barostat + Nose-Hoover thermostat with per-axis
-    barostat velocities nu for orthorhombic boxes.  ``couple`` ties axes
-    together ('xyz' isotropic default, 'xy'/'xz'/'yz' partial, 'none'
-    fully anisotropic); x/y/z flags select which box lengths respond.
-    Box-shear (tilt) barostatting is not yet implemented.
+    barostat velocities nu; ``couple`` ties axes together ('xyz'
+    isotropic default, 'xy'/'xz'/'yz' partial, 'none' fully
+    anisotropic); x/y/z flags select which box lengths respond and
+    xy/xz/yz enable the tilt (shear) degrees of freedom, which relax the
+    off-diagonal stress to zero through the upper-triangular barostat
+    matrix (first order in the Trotter expansion, reference
+    TwoStepNPTMTK.cc anisotropic couplings).
 
-    Internal state (xi, eta, nu) persists in aux like the reference's
-    IntegratorVariables.
+    Internal state (xi, eta, nu, nu_t) persists in aux like the
+    reference's IntegratorVariables.
     """
 
     def __init__(self, group, kT=None, tau=None, P=None, tauP=None,
@@ -441,9 +444,8 @@ class npt(_method):
                  yz=False, all=False, nph=False, rescale_all=False,
                  gamma=0.0):
         _method.__init__(self, group)
-        if xy or xz or yz or all:
-            raise NotImplementedError("npt: tilt (shear) barostatting not "
-                                      "yet implemented in hoomd_tpu")
+        if all:
+            x = y = z = xy = xz = yz = True
         if P is None or tauP is None:
             raise ValueError("npt requires P and tauP")
         if not nph and (kT is None or tau is None):
@@ -454,6 +456,7 @@ class npt(_method):
         self.tauP = float(tauP)
         self.couple = couple if couple != 'all' else 'xyz'
         self.axes = (bool(x), bool(y), bool(z))
+        self.tilt_axes = (bool(xy), bool(xz), bool(yz))
         self.nph = bool(nph)
         self.rescale_all = bool(rescale_all)
 
@@ -478,13 +481,15 @@ class npt(_method):
         p['tauP'] = jnp.asarray(self.tauP, dtype=rdt)
         p['ndof'] = jnp.asarray(self._ndof(system), dtype=rdt)
         p['axes'] = jnp.asarray(self.axes)
+        p['tilt_axes'] = jnp.asarray(self.tilt_axes)
         return p
 
     def _init_aux(self, state):
         import jax.numpy as jnp
         z = jnp.zeros((), dtype=state.pos.dtype)
         return {'xi': z, 'eta': z,
-                'nu': jnp.zeros((3,), dtype=state.pos.dtype)}
+                'nu': jnp.zeros((3,), dtype=state.pos.dtype),
+                'nu_t': jnp.zeros((3,), dtype=state.pos.dtype)}
 
     def _couple_nu(self, nu):
         import jax.numpy as jnp
@@ -526,7 +531,19 @@ class npt(_method):
                                 * jnp.sum(state.vel ** 2, -1), 0.0))
         nu = aux['nu'] + 0.5 * dt * (V * (P_axes - P0) + ke2 / g) / W
         nu = jnp.where(params['axes'], self._couple_nu(nu), 0.0)
-        return nu
+        # tilt DOF: off-diagonal stress (xy, xz, yz) drives nu_t toward
+        # zero shear stress (no external off-diagonal target)
+        mvv = jnp.stack([
+            jnp.sum(state.mass * state.vel[:, 0] * state.vel[:, 1]),
+            jnp.sum(state.mass * state.vel[:, 0] * state.vel[:, 2]),
+            jnp.sum(state.mass * state.vel[:, 1] * state.vel[:, 2])])
+        vir_off = jnp.stack([jnp.sum(state.net_virial[:, 1]),
+                             jnp.sum(state.net_virial[:, 2]),
+                             jnp.sum(state.net_virial[:, 4])])
+        P_off = (mvv + vir_off) / V
+        nu_t = aux['nu_t'] + 0.5 * dt * (V * P_off) / W
+        nu_t = jnp.where(params['tilt_axes'], nu_t, 0.0)
+        return nu, nu_t
 
     def _thermo_half(self, state, aux, params, dt):
         import jax.numpy as jnp
@@ -536,32 +553,57 @@ class npt(_method):
         T = self._group_temperature(state, params, params['ndof'])
         return aux['xi'] + 0.5 * dt * (T / kT0 - 1.0) / params['tau'] ** 2
 
+    @staticmethod
+    def _shear_vel(v, nu_t, dt):
+        """First-order off-diagonal barostat coupling on velocities."""
+        import jax.numpy as jnp
+        dvx = -0.5 * dt * (nu_t[0] * v[:, 1] + nu_t[1] * v[:, 2])
+        dvy = -0.5 * dt * (nu_t[2] * v[:, 2])
+        return v + jnp.stack([dvx, dvy, jnp.zeros_like(dvx)], axis=-1)
+
     def _step1(self, state, aux, params, dt, key):
         import jax.numpy as jnp
         g = params['ndof']
-        nu = self._update_barostat(state, aux, params, dt)
+        nu, nu_t = self._update_barostat(state, aux, params, dt)
         xi = self._thermo_half(state, aux, params, dt)
         mask = self._mask(state, params)[:, None]
         # velocity scale: thermostat + barostat (MTK correction sum(nu)/g)
         fac = jnp.exp(-0.5 * dt * (xi + nu[None, :]
                                    + jnp.sum(nu) / g))
         v = jnp.where(mask, state.vel * fac, state.vel)
+        v = jnp.where(mask, self._shear_vel(v, nu_t, dt), v)
         a = state.net_force / state.mass[:, None]
         v = jnp.where(mask, v + 0.5 * dt * a, v)
-        # drift with box flow
+        # drift with box flow (diagonal exact, tilt first-order)
         ex = jnp.exp(dt * nu)[None, :]
         ex_half = jnp.exp(0.5 * dt * nu)[None, :]
+        shear = jnp.stack([
+            dt * (nu_t[0] * state.pos[:, 1] + nu_t[1] * state.pos[:, 2]),
+            dt * (nu_t[2] * state.pos[:, 2]),
+            jnp.zeros_like(state.pos[:, 0])], axis=-1)
         if self.rescale_all:
-            pos = state.pos * ex + dt * v * ex_half
+            pos = state.pos * ex + shear + dt * v * ex_half
         else:
-            pos = jnp.where(mask, state.pos * ex + dt * v * ex_half,
+            pos = jnp.where(mask,
+                            state.pos * ex + shear + dt * v * ex_half,
                             state.pos)
-        newL = state.box.L * jnp.exp(dt * nu)
-        box = state.box.replace(L=newL)
+        L = state.box.L
+        newL = L * jnp.exp(dt * nu)
+        # box matrix h: h01 = xy*Ly, h02 = xz*Lz, h12 = yz*Lz; the
+        # upper-triangular flow h' = (I + dt nu_full) exp(dt diag) h
+        t = state.box.tilt
+        exv = jnp.exp(dt * nu)
+        h01 = exv[0] * t[0] * L[1] + dt * nu_t[0] * L[1]
+        h02 = exv[0] * t[1] * L[2] + dt * (nu_t[0] * t[2] * L[2]
+                                           + nu_t[1] * L[2])
+        h12 = exv[1] * t[2] * L[2] + dt * nu_t[2] * L[2]
+        new_tilt = jnp.stack([h01 / newL[1], h02 / newL[2],
+                              h12 / newL[2]])
+        box = state.box.replace(L=newL, tilt=new_tilt)
         pos, image = box.wrap(pos, state.image)
         eta = aux['eta'] + dt * xi
         return (state.replace(pos=pos, vel=v, image=image, box=box),
-                {'xi': xi, 'eta': eta, 'nu': nu})
+                {'xi': xi, 'eta': eta, 'nu': nu, 'nu_t': nu_t})
 
     def _step2(self, state, aux, params, dt, key):
         import jax.numpy as jnp
@@ -570,14 +612,17 @@ class npt(_method):
         a = state.net_force / state.mass[:, None]
         v = jnp.where(mask, state.vel + 0.5 * dt * a, state.vel)
         nu = aux['nu']
+        nu_t = aux['nu_t']
         xi = aux['xi']
         fac = jnp.exp(-0.5 * dt * (xi + nu[None, :] + jnp.sum(nu) / g))
         v = jnp.where(mask, v * fac, v)
+        v = jnp.where(mask, self._shear_vel(v, nu_t, dt), v)
         state = state.replace(vel=v)
         xi = self._thermo_half(state, dict(aux, xi=xi), params, dt) \
             if not self.nph else xi
-        nu = self._update_barostat(state, dict(aux, nu=nu), params, dt)
-        return state, dict(aux, xi=xi, nu=nu)
+        nu, nu_t = self._update_barostat(
+            state, dict(aux, nu=nu, nu_t=nu_t), params, dt)
+        return state, dict(aux, xi=xi, nu=nu, nu_t=nu_t)
 
 
 class nph(npt):

@@ -135,3 +135,44 @@ def test_dpd_momentum_conservation():
     md.integrate.nve(group=hoomd.group.all())
     hoomd.run(500, quiet=True)
     assert system.thermo_quantities()['momentum'] < 1e-2
+
+
+def test_npt_triclinic_tilt():
+    """NPT with shear DOF (xy/xz/yz): pressure reaches the setpoint, the
+    tilt degrees of freedom move and stay bounded, and the mean
+    off-diagonal stress is ~0."""
+    import numpy as np
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    hoomd.context.initialize("--notice-level=0")
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.1), n=5)
+    system = hoomd.context.current.system
+    rng = np.random.RandomState(3)
+    snap = system.take_snapshot()
+    v = rng.normal(0, 1.0, (snap.particles.N, 3))
+    v -= v.mean(axis=0)
+    snap.particles.velocity[:] = v
+    system.restore_snapshot(snap)
+    nl = md.nlist.cell(r_buff=0.5)
+    lj = md.pair.lj(r_cut=2.5, nlist=nl)
+    lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+    lj.set_params(mode='shift')
+    md.integrate.mode_standard(dt=0.004)
+    md.integrate.npt(group=hoomd.group.all(), kT=1.0, tau=0.5, P=2.0,
+                     tauP=1.0, couple='none', xy=True, xz=True, yz=True)
+    hoomd.run(500, quiet=True)
+    Ps, tilts, Poffs = [], [], []
+    for _ in range(20):
+        hoomd.run(25, quiet=True)
+        q = system.thermo_quantities()
+        Ps.append(q['pressure'])
+        tilts.append(np.asarray(system.state.box.tilt).copy())
+        Poffs.append([q['pressure_xy'], q['pressure_xz'],
+                      q['pressure_yz']])
+    assert np.mean(Ps) == pytest.approx(2.0, rel=0.25)
+    tilts = np.asarray(tilts)
+    assert np.abs(tilts).max() < 0.5            # bounded
+    assert np.abs(tilts).max() > 1e-6           # actually moving
+    assert np.abs(np.mean(Poffs, axis=0)).max() < 0.6
+    q = system.thermo_quantities()
+    assert q['temperature'] == pytest.approx(1.0, rel=0.25)
