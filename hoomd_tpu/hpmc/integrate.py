@@ -918,3 +918,93 @@ class convex_spheropolygon(convex_spheropolyhedron):
     vertices in the xy plane + sweep_radius; rounded discs from a single
     vertex.  Same GJK machinery with z = 0."""
     _dim = 2
+
+
+class convex_polyhedron_union(_aniso_hpmc):
+    """Union of convex polyhedra (reference ShapeUnion<ShapeConvexPolyhedron>,
+    hpmc.integrate.convex_polyhedron_union): member polytopes at body-frame
+    positions/orientations; overlap iff ANY member pair overlaps (pairwise
+    batched GJK).  shape_param.set('A', vertices=[[...], [...]],
+    centers=[(x,y,z), ...], orientations=[(w,x,y,z), ...])."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4,
+                 capacity=4):
+        _aniso_hpmc.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                             nselect=nselect)
+
+    def _tables(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        nm = max(len(self.shape_param[t].get('centers', [(0, 0, 0)]))
+                 for t in types)
+        nv = 1
+        for t in types:
+            for vv in self.shape_param[t].get('vertices', [[(0, 0, 0)]]):
+                nv = max(nv, len(vv))
+        nt = len(types)
+        V = np.zeros((nt, nm, nv, 3))
+        C = np.zeros((nt, nm, 3))
+        Q = np.zeros((nt, nm, 4))
+        Q[..., 0] = 1.0
+        ACT = np.zeros((nt, nm), bool)
+        for i, t in enumerate(types):
+            p = self.shape_param[t]
+            cs = np.asarray(p.get('centers', [(0, 0, 0)]), float)
+            vs = p.get('vertices')
+            if vs is None:
+                raise RuntimeError(
+                    f"convex_polyhedron_union: vertices not set for "
+                    f"{t!r}")
+            qs = np.asarray(p.get('orientations',
+                                  [(1, 0, 0, 0)] * len(cs)), float)
+            for m, vv in enumerate(vs):
+                vv = np.asarray(vv, float)
+                V[i, m, :len(vv)] = vv
+                V[i, m, len(vv):] = vv[0]
+                C[i, m] = cs[m]
+                Q[i, m] = qs[m]
+                ACT[i, m] = True
+        return (jnp.asarray(V, jnp.float32), jnp.asarray(C, jnp.float32),
+                jnp.asarray(Q, jnp.float32), jnp.asarray(ACT))
+
+    def _interaction_diameter(self, system):
+        V, C, Q, ACT = self._tables(system)
+        V, C = np.asarray(V), np.asarray(C)
+        r = (np.linalg.norm(C, axis=-1)
+             + np.linalg.norm(V, axis=-1).max(-1)) * np.asarray(ACT)
+        return 2.0 * float(r.max())
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q_ops
+        from .gjk import gjk_distance, polytope_support
+        V, C, Qm, ACT = self._tables(system)
+        nm = V.shape[1]
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            M, Cc = dr.shape[:2]
+            qi = jnp.broadcast_to(q_i[:, None, :], (M, Cc, 4))
+            qj = q_j
+            hit = jnp.zeros((M, Cc), bool)
+            for ma in range(nm):
+                qa = Q_ops.multiply(qi, Qm[ti][..., ma, :])
+                ca = Q_ops.rotate(qi, C[ti][..., ma, :])
+                va = Q_ops.rotate(qa[..., None, :], V[ti][..., ma, :, :])
+                act_a = ACT[ti][..., ma]
+                for mb in range(nm):
+                    qb = Q_ops.multiply(qj, Qm[tj][..., mb, :])
+                    cb = Q_ops.rotate(qj, C[tj][..., mb, :])
+                    vb = Q_ops.rotate(qb[..., None, :],
+                                      V[tj][..., mb, :, :])
+                    act = act_a & ACT[tj][..., mb]
+                    d_ab = dr + ca - cb
+                    supA = polytope_support(va)
+                    supB = polytope_support(vb)
+
+                    def sup(d, supA=supA, supB=supB, d_ab=d_ab):
+                        return d_ab + supA(d) - supB(-d)
+                    x0 = d_ab + va[..., 0, :] - vb[..., 0, :]
+                    lo, hi = gjk_distance(sup, x0)
+                    hit = hit | (act & (lo <= 1e-6))
+            return hit
+        return overlap

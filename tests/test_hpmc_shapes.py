@@ -349,3 +349,53 @@ def test_spherocylinder_mc_no_overlaps():
     assert bad == 0
     # rotations actually happened
     assert np.abs(q[:, 1:]).max() > 1e-3
+
+
+def test_polyhedron_union_overlap():
+    """Union of two cubes per particle: overlap iff any member pair
+    overlaps (LP oracle per member pair)."""
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=6.0), n=3)
+    mc = hpmc.integrate.convex_polyhedron_union(seed=1, d=0.1, a=0.1)
+    centers = [(-0.8, 0, 0), (0.8, 0, 0)]
+    mc.shape_param.set('A', vertices=[CUBE, CUBE], centers=centers,
+                       orientations=[(1, 0, 0, 0), (1, 0, 0, 0)])
+    system = hoomd.context.current.system
+    fn = mc._make_overlap_fn(system)
+    rng = np.random.RandomState(11)
+    n_checked, mismatches = 0, []
+    for trial in range(60):
+        qa, qb = rand_quat(rng), rand_quat(rng)
+        dx = rng.uniform(-3.0, 3.0, 3)
+        ref = False
+        for ca in centers:
+            for cb in centers:
+                xa = rot_np(qa, np.array(ca)) + dx
+                xb = rot_np(qb, np.array(cb))
+                if lp_overlap(CUBE, qa, xa, CUBE, qb, xb):
+                    ref = True
+        near = False
+        for eps in (0.99, 1.01):
+            r2 = False
+            for ca in centers:
+                for cb in centers:
+                    xa = rot_np(qa, np.array(ca)) + dx * eps
+                    xb = rot_np(qb, np.array(cb))
+                    if lp_overlap(CUBE, qa, xa, CUBE, qb, xb):
+                        r2 = True
+            near = near or (r2 != ref)
+        if near:
+            continue
+        got = bool(np.asarray(fn(
+            jnp.asarray(dx, jnp.float32).reshape(1, 1, 3),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            None, None, None,
+            q_i=jnp.asarray(qa, jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray(qb, jnp.float32).reshape(1, 1, 4)))[0, 0])
+        n_checked += 1
+        if got != ref:
+            mismatches.append((trial, dx, got, ref))
+    assert n_checked > 30
+    assert not mismatches, mismatches[:3]
