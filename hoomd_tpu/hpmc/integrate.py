@@ -1008,3 +1008,118 @@ class convex_polyhedron_union(_aniso_hpmc):
                     hit = hit | (act & (lo <= 1e-6))
             return hit
         return overlap
+
+
+class polyhedron(_aniso_hpmc):
+    """General (possibly non-convex) triangle-mesh polyhedra (reference
+    hpmc.integrate.polyhedron, ShapePolyhedron.h — the reference walks a
+    GPUTree of triangles; here the test is a dense vectorized sweep,
+    adequate for the modest face counts HPMC shapes use).
+
+    Overlap = any edge of one mesh crosses a triangle of the other
+    (non-coplanar surface intersection), or one mesh's reference vertex
+    lies inside the other (ray-parity containment).
+    shape_param.set('A', vertices=[...], faces=[[i,j,k], ...])."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4):
+        _aniso_hpmc.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                             nselect=nselect)
+
+    def _tables(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        nf = 1
+        for t in types:
+            f = self.shape_param[t].get('faces')
+            if f is None:
+                raise RuntimeError(
+                    f"polyhedron: faces not set for {t!r}")
+            nf = max(nf, len(f))
+        nt = len(types)
+        FAR = 1e6
+        TRI = np.full((nt, nf, 3, 3), FAR)
+        V0 = np.zeros((nt, 3))
+        for i, t in enumerate(types):
+            v = np.asarray(self.shape_param[t].get('vertices'), float)
+            f = np.asarray(self.shape_param[t].get('faces'), int)
+            TRI[i, :len(f)] = v[f]
+            V0[i] = v[0]
+        return jnp.asarray(TRI, jnp.float32), jnp.asarray(V0, jnp.float32)
+
+    def _interaction_diameter(self, system):
+        out = 0.0
+        for t in system.particle_types:
+            v = np.asarray(self.shape_param[t].get('vertices'))
+            out = max(out, float(np.linalg.norm(v, axis=1).max()))
+        return 2.0 * out
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        TRI, V0 = self._tables(system)
+
+        def seg_tri_cross(p, q, a, b, c):
+            """Does segment p->q cross triangle abc?  Branch-free:
+            plane crossing with t in (0,1) + barycentric containment.
+            Degenerate padding triangles have zero normal -> excluded."""
+            n = jnp.cross(b - a, c - a)
+            nn = jnp.sum(n * n, -1)
+            denom = jnp.sum(n * (q - p), -1)
+            t = jnp.sum(n * (a - p), -1) / jnp.where(
+                jnp.abs(denom) > 1e-12, denom, 1.0)
+            x = p + t[..., None] * (q - p)
+            s1 = jnp.sum(jnp.cross(b - x, c - x) * n, -1)
+            s2 = jnp.sum(jnp.cross(c - x, a - x) * n, -1)
+            s3 = jnp.sum(jnp.cross(a - x, b - x) * n, -1)
+            inside = (s1 >= 0) & (s2 >= 0) & (s3 >= 0)
+            return inside & (t > 0) & (t < 1) \
+                & (jnp.abs(denom) > 1e-12) & (nn > 1e-12)
+
+        def ray_parity_inside(p, tri):
+            """Point containment by ray parity: tri (..., F, 3, 3).
+            The ray direction is deliberately irrational so axis-aligned
+            meshes never put it exactly on an edge/diagonal."""
+            ray = jnp.asarray([0.8775825, 0.42073549, 0.22984884])
+            a = tri[..., 0, :]
+            b = tri[..., 1, :]
+            c = tri[..., 2, :]
+            n = jnp.cross(b - a, c - a)
+            denom = jnp.sum(n * ray, -1)
+            t = jnp.sum(n * (a - p[..., None, :]), -1) / jnp.where(
+                jnp.abs(denom) > 1e-12, denom, 1.0)
+            x = p[..., None, :] + t[..., None] * ray
+            s1 = jnp.sum(jnp.cross(b - x, c - x) * n, -1)
+            s2 = jnp.sum(jnp.cross(c - x, a - x) * n, -1)
+            s3 = jnp.sum(jnp.cross(a - x, b - x) * n, -1)
+            hitf = (s1 >= 0) & (s2 >= 0) & (s3 >= 0) & (t > 0) \
+                & (jnp.abs(denom) > 1e-12)
+            return jnp.sum(jnp.where(hitf, 1, 0), -1) % 2 == 1
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            M, Cc = dr.shape[:2]
+            qi = jnp.broadcast_to(q_i[:, None, :], (M, Cc, 4))
+            tri_i = Q.rotate(qi[..., None, None, :], TRI[ti]) \
+                + dr[..., None, None, :]
+            tri_j = Q.rotate(q_j[..., None, None, :], TRI[tj])
+
+            def edges_cross(tA, tB):
+                # all 3 edges of every A-triangle vs every B-triangle
+                hit = jnp.zeros(tA.shape[:-3] + (1,), bool)[..., 0]
+                out = False
+                for e in range(3):
+                    p = tA[..., :, None, e, :]
+                    q = tA[..., :, None, (e + 1) % 3, :]
+                    a = tB[..., None, :, 0, :]
+                    b = tB[..., None, :, 1, :]
+                    c = tB[..., None, :, 2, :]
+                    h = seg_tri_cross(p, q, a, b, c)
+                    out = h if out is False else (out | h)
+                return jnp.any(out, axis=(-1, -2))
+            cross = edges_cross(tri_i, tri_j) | edges_cross(tri_j, tri_i)
+            # containment: A's reference vertex inside B or vice versa
+            va0 = Q.rotate(qi, V0[ti]) + dr
+            vb0 = Q.rotate(q_j, V0[tj])
+            inside = ray_parity_inside(va0, tri_j) \
+                | ray_parity_inside(vb0, tri_i)
+            return cross | inside
+        return overlap

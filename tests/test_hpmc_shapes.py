@@ -399,3 +399,78 @@ def test_polyhedron_union_overlap():
             mismatches.append((trial, dx, got, ref))
     assert n_checked > 30
     assert not mismatches, mismatches[:3]
+
+
+TETRA_FACES = [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+CUBE_FACES = [(0, 1, 2), (0, 2, 3), (4, 6, 5), (4, 7, 6),
+              (0, 4, 5), (0, 5, 1), (3, 2, 6), (3, 6, 7),
+              (1, 5, 6), (1, 6, 2), (0, 3, 7), (0, 7, 4)]
+
+
+def test_mesh_polyhedron_overlap_and_containment():
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=5.0), n=3)
+    mc = hpmc.integrate.polyhedron(seed=1, d=0.1, a=0.1)
+    mc.shape_param.set('A', vertices=TETRA, faces=TETRA_FACES)
+    system = hoomd.context.current.system
+    fn = mc._make_overlap_fn(system)
+    rng = np.random.RandomState(3)
+    n_checked, mismatches = 0, []
+    for trial in range(60):
+        qa, qb = rand_quat(rng), rand_quat(rng)
+        dx = rng.uniform(-1.4, 1.4, 3)
+        ref = lp_overlap(TETRA, qa, dx, TETRA, qb, np.zeros(3))
+        near = lp_overlap(TETRA, qa, dx * 0.99, TETRA, qb,
+                          np.zeros(3)) != \
+            lp_overlap(TETRA, qa, dx * 1.01, TETRA, qb, np.zeros(3))
+        if near:
+            continue
+        got = bool(np.asarray(fn(
+            jnp.asarray(dx, jnp.float32).reshape(1, 1, 3),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            None, None, None,
+            q_i=jnp.asarray(qa, jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray(qb, jnp.float32).reshape(1, 1, 4)))[0, 0])
+        n_checked += 1
+        if got != ref:
+            mismatches.append((trial, dx, got, ref))
+    assert n_checked > 30
+    assert not mismatches, mismatches[:3]
+
+
+def test_mesh_polyhedron_containment():
+    """A small tetra fully inside a big cube has no surface crossing:
+    only the ray-parity containment test can catch it."""
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.context.initialize("--notice-level=0")
+    snap = hoomd.data.make_snapshot(
+        8, hoomd.data.boxdim(L=30), particle_types=['big', 'small'])
+    snap.particles.position[:] = np.linspace(-10, 10, 8)[:, None] \
+        * np.array([1.0, 0, 0])
+    snap.particles.typeid[:4] = 0
+    snap.particles.typeid[4:] = 1
+    hoomd.init.read_snapshot(snap)
+    mc = hpmc.integrate.polyhedron(seed=1, d=0.05, a=0.05)
+    big = [(3 * x, 3 * y, 3 * z) for (x, y, z) in CUBE]
+    mc.shape_param.set('big', vertices=big, faces=CUBE_FACES)
+    small = [(0.2 * np.array(v)).tolist() for v in TETRA]
+    mc.shape_param.set('small', vertices=small, faces=TETRA_FACES)
+    system = hoomd.context.current.system
+    fn = mc._make_overlap_fn(system)
+
+    def check(dx):
+        return bool(np.asarray(fn(
+            jnp.asarray(dx, jnp.float32).reshape(1, 1, 3),
+            jnp.zeros((1, 1), jnp.int32),      # big is i
+            jnp.ones((1, 1), jnp.int32),       # small is j
+            None, None, None,
+            q_i=jnp.asarray([1., 0, 0, 0], jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray([1., 0, 0, 0],
+                            jnp.float32).reshape(1, 1, 4)))[0, 0])
+    assert check(np.zeros(3))           # small inside big -> overlap
+    assert check(np.array([1.0, 0.4, -0.3]))   # still inside
+    assert not check(np.array([5.0, 0, 0]))    # outside
