@@ -1123,3 +1123,170 @@ class polyhedron(_aniso_hpmc):
                 | ray_parity_inside(vb0, tri_i)
             return cross | inside
         return overlap
+
+
+class faceted_sphere(_gjk_shape):
+    """Sphere truncated by halfspaces n_i . x + b_i <= 0 (reference
+    hpmc.integrate.faceted_sphere, ShapeFacetedSphere.h:104-200).  The
+    support function enumerates the same candidates as the reference —
+    sphere point, per-plane sphere-circle points, precomputed
+    plane-plane-sphere vertices, user vertices — picks the valid one
+    with the largest projection, and feeds batched GJK.
+    shape_param.set('A', normals=[(nx,ny,nz), ...], offsets=[b, ...],
+    diameter=D, vertices=[...] (optional), origin=(0,0,0))."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4):
+        _gjk_shape.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                            nselect=nselect)
+
+    def _ftables(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        nt = len(types)
+        NP = max(len(self.shape_param[t].get('normals', [])) or 1
+                 for t in types)
+        NVu = max(len(self.shape_param[t].get('vertices', [])) or 1
+                  for t in types)
+        NA = 1
+        add_all = []
+        for t in types:
+            p = self.shape_param[t]
+            n = np.asarray(p.get('normals', []), float).reshape(-1, 3)
+            b = np.asarray(p.get('offsets', []), float).reshape(-1)
+            R = float(p.get('diameter', 1.0)) / 2.0
+            # plane-plane-sphere intersection vertices (reference
+            # initializeVertices, ShapeFacetedSphere.h:272-310)
+            verts = []
+            for i in range(len(n)):
+                for j in range(i + 1, len(n)):
+                    ni, nj = n[i], n[j]
+                    u = np.cross(ni, nj)
+                    uu = np.dot(u, u)
+                    if uu < 1e-12:
+                        continue
+                    # point on the intersection line closest to origin
+                    A = np.array([ni, nj, u])
+                    rhs = np.array([-b[i], -b[j], 0.0])
+                    try:
+                        x0 = np.linalg.solve(A, rhs)
+                    except np.linalg.LinAlgError:
+                        continue
+                    h2 = R * R - np.dot(x0, x0)
+                    if h2 <= 0:
+                        continue
+                    step = np.sqrt(h2 / uu) * u
+                    for v in (x0 + step, x0 - step):
+                        ok = all(np.dot(n[k], v) + b[k] <= 1e-9
+                                 for k in range(len(n))
+                                 if k not in (i, j))
+                        if ok:
+                            verts.append(v)
+            add_all.append(verts)
+            NA = max(NA, len(verts) or 1)
+        Nrm = np.zeros((nt, NP, 3))
+        Off = np.full((nt, NP), -1e9)    # inactive planes never cut
+        Rad = np.ones((nt,))
+        Org = np.zeros((nt, 3))
+        AV = np.zeros((nt, NA, 3))
+        AVm = np.zeros((nt, NA), bool)
+        UV = np.zeros((nt, NVu, 3))
+        UVm = np.zeros((nt, NVu), bool)
+        for i, t in enumerate(types):
+            p = self.shape_param[t]
+            n = np.asarray(p.get('normals', []), float).reshape(-1, 3)
+            b = np.asarray(p.get('offsets', []), float).reshape(-1)
+            Nrm[i, :len(n)] = n
+            Off[i, :len(n)] = b
+            Rad[i] = float(p.get('diameter', 1.0)) / 2.0
+            Org[i] = np.asarray(p.get('origin', (0, 0, 0)), float)
+            for k, v in enumerate(add_all[i]):
+                AV[i, k] = v
+                AVm[i, k] = True
+            uv = np.asarray(p.get('vertices', []),
+                            float).reshape(-1, 3)
+            UV[i, :len(uv)] = uv
+            UVm[i, :len(uv)] = True
+        f32 = jnp.float32
+        return (jnp.asarray(Nrm, f32), jnp.asarray(Off, f32),
+                jnp.asarray(Rad, f32), jnp.asarray(Org, f32),
+                jnp.asarray(AV, f32), jnp.asarray(AVm),
+                jnp.asarray(UV, f32), jnp.asarray(UVm))
+
+    def _interaction_diameter(self, system):
+        return max(float(self.shape_param[t].get('diameter', 1.0))
+                   for t in system.particle_types)
+
+    def _sweep_radius_table(self, system):
+        import jax.numpy as jnp
+        return jnp.zeros((len(system.particle_types),), jnp.float32)
+
+    def _core_support(self, system, q, t):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        Nrm, Off, Rad, Org, AV, AVm, UV, UVm = self._ftables(system)
+        n_t = Nrm[t]          # (..., P, 3)
+        b_t = Off[t]          # (..., P)
+        R = Rad[t][..., None]                     # (..., 1)
+        org = Org[t]
+        av, avm = AV[t], AVm[t]
+        uv, uvm = UV[t], UVm[t]
+
+        def inside_all(v, exclude=None):
+            # v (..., 3) against every ACTIVE plane
+            d = jnp.einsum('...pk,...k->...p', n_t, v) + b_t
+            ok = d <= 1e-6
+            return jnp.all(ok | (b_t <= -1e8), axis=-1)
+
+        def sup(d):
+            db = Q.rotate(Q.conjugate(q), d)
+            dn = db / jnp.sqrt(jnp.maximum(
+                jnp.sum(db * db, -1, keepdims=True), 1e-20))
+            s = R * dn                            # sphere support
+            cands = [s]
+            valids = [inside_all(s)]
+            scores = [jnp.sum(s * db, -1)]
+            # per-plane circle candidates
+            np_sq = jnp.maximum(jnp.sum(n_t * n_t, -1), 1e-12)
+            alpha = jnp.einsum('...pk,...k->...p', n_t, s)
+            arg = R * R - alpha * alpha / np_sq
+            arg2 = jnp.maximum(R * R - b_t * b_t / np_sq, 0.0)
+            invg = jnp.sqrt(arg2 / jnp.maximum(arg, 1e-12))
+            v_c = invg[..., None] * (s[..., None, :]
+                                     - (alpha / np_sq)[..., None]
+                                     * n_t) \
+                - (b_t / np_sq)[..., None] * n_t
+            v_deg = -(b_t / np_sq)[..., None] * n_t
+            v_c = jnp.where((arg > 1e-6 * R * R)[..., None], v_c, v_deg)
+            P = n_t.shape[-2]
+            for i in range(P):
+                vi = v_c[..., i, :]
+                # valid: inside all planes except i, plane i active
+                dots = jnp.einsum('...pk,...k->...p', n_t, vi) + b_t
+                mask = jnp.arange(P) == i
+                ok = jnp.all((dots <= 1e-5) | mask | (b_t <= -1e8),
+                             axis=-1) & (b_t[..., i] > -1e8)
+                cands.append(vi)
+                valids.append(ok)
+                scores.append(jnp.sum(vi * db, -1))
+            # plane-plane-sphere and user vertices
+            for tab, msk in ((av, avm), (uv, uvm)):
+                sc = jnp.einsum('...vk,...k->...v', tab, db)
+                sc = jnp.where(msk, sc, -jnp.inf)
+                best = jnp.argmax(sc, axis=-1)
+                vb = jnp.take_along_axis(
+                    tab, best[..., None, None].repeat(3, -1),
+                    axis=-2)[..., 0, :]
+                cands.append(vb)
+                valids.append(jnp.take_along_axis(
+                    msk, best[..., None], axis=-1)[..., 0])
+                scores.append(jnp.sum(vb * db, -1))
+            S = jnp.stack(scores, -1)
+            Vl = jnp.stack(valids, -1)
+            S = jnp.where(Vl, S, -jnp.inf)
+            k = jnp.argmax(S, -1)
+            C = jnp.stack(cands, -2)
+            v = jnp.take_along_axis(
+                C, k[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+            return Q.rotate(q, v - org)
+        seed = Q.rotate(q, -org)
+        return sup, seed

@@ -474,3 +474,39 @@ def test_mesh_polyhedron_containment():
     assert check(np.zeros(3))           # small inside big -> overlap
     assert check(np.array([1.0, 0.4, -0.3]))   # still inside
     assert not check(np.array([5.0, 0, 0]))    # outside
+
+
+def test_faceted_sphere_hemisphere():
+    """Hemispheres (unit sphere cut by x<=0 in body frame): analytic
+    overlap cases.  dr = x_i - x_j: particle i sits displaced by dx."""
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.context.initialize("--notice-level=0")
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=4.0), n=3)
+    mc = hpmc.integrate.faceted_sphere(seed=1, d=0.1, a=0.1)
+    mc.shape_param.set('A', normals=[(1.0, 0, 0)], offsets=[0.0],
+                       diameter=1.0)
+    system = hoomd.context.current.system
+    fn = mc._make_overlap_fn(system)
+
+    def check(dx, qa=(1, 0, 0, 0), qb=(1, 0, 0, 0)):
+        return bool(np.asarray(fn(
+            jnp.asarray(dx, jnp.float32).reshape(1, 1, 3),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            None, None, None,
+            q_i=jnp.asarray(qa, jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray(qb, jnp.float32).reshape(1, 1, 4)))[0, 0])
+    q180 = (0, 0, 0, 1)      # 180 deg about z: flat side flips to x>=0
+    # both flat sides at low x: i at +0.3 -> lens reaches x<=0: overlap
+    assert check([0.3, 0, 0])
+    # i at +0.6: i's ball needs x>0.1, j's halfspace x<=0: no overlap
+    assert not check([0.6, 0, 0])
+    # j flipped (occupies [0, .5]); i identity at 0.2 ([-0.3, .2]): lens
+    assert check([0.2, 0, 0], qb=q180)
+    # i flipped at 0.8 ([0.8, 1.3]) vs j identity ([-0.5, 0]): apart
+    assert not check([0.8, 0, 0], qa=q180)
+    # flat faces touching back-to-back: i flipped at -0.95, j identity:
+    # i occupies [-0.95, -0.45], j [-0.5, 0]: round-vs-round overlap
+    assert check([-0.95, 0, 0], qa=q180)
+    assert not check([-1.05, 0, 0], qa=q180)
