@@ -764,22 +764,90 @@ class convex_polygon(_aniso_hpmc):
 
 
 class simple_polygon(convex_polygon):
-    """Reference hpmc.integrate.simple_polygon: non-convex polygons need
-    triangle-pair tests; convex polygons are handled exactly — pass the
-    convex hull.  Non-convex input raises."""
+    """General simple (possibly non-convex) polygons (reference
+    hpmc.integrate.simple_polygon, ShapeSimplePolygon.h): overlap = any
+    boundary edge pair crosses, or one polygon\'s reference vertex lies
+    inside the other (2D ray-parity) — exact for simple polygons, no
+    convex decomposition needed."""
 
-    def _tables(self, system):
-        for t in system.particle_types:
-            v = np.asarray(self.shape_param[t].get('vertices'))
-            # convexity check: all cross products of consecutive edges
-            # share a sign
-            e = np.roll(v, -1, axis=0) - v
-            cr = np.cross(e, np.roll(e, -1, axis=0))
-            if not (np.all(cr >= -1e-9) or np.all(cr <= 1e-9)):
-                raise NotImplementedError(
-                    "simple_polygon: non-convex polygons not yet "
-                    "implemented; decompose into convex pieces")
-        return convex_polygon._tables(self, system)
+    def _tables_counted(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        NV = max(len(self.shape_param[t].get('vertices', [(0, 0)]))
+                 for t in types)
+        nt = len(types)
+        V = np.zeros((nt, NV, 3))
+        cnt = np.zeros((nt,), np.int32)
+        for i, t in enumerate(types):
+            v2 = np.asarray(self.shape_param[t].get('vertices'),
+                            dtype=float)
+            n = len(v2)
+            V[i, :n, :2] = v2
+            V[i, n:, :2] = v2[0]
+            cnt[i] = n
+        return jnp.asarray(V, jnp.float32), jnp.asarray(cnt)
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        V, counts = self._tables_counted(system)
+        NV = V.shape[1]
+
+        def edges_of(v, cnt):
+            kv = jnp.arange(NV)
+            nxt = jnp.where(kv + 1 < cnt[..., None], kv + 1, 0)
+            p1 = jnp.take_along_axis(
+                v, jnp.broadcast_to(nxt[..., None], v.shape), axis=-2)
+            mask = kv < cnt[..., None]
+            return v, p1, mask
+
+        def seg_cross(a0, a1, b0, b1):
+            """2D segment intersection (xy components), branch-free."""
+            def orient(p, q, r):
+                return ((q[..., 0] - p[..., 0])
+                        * (r[..., 1] - p[..., 1])
+                        - (q[..., 1] - p[..., 1])
+                        * (r[..., 0] - p[..., 0]))
+            d1 = orient(b0, b1, a0)
+            d2 = orient(b0, b1, a1)
+            d3 = orient(a0, a1, b0)
+            d4 = orient(a0, a1, b1)
+            return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+        def parity_inside(p, v, p1, mask):
+            """2D point-in-polygon by crossing parity along +x-ish ray
+            with an irrational slope."""
+            sl = 0.4793021
+            x0, y0 = p[..., 0], p[..., 1]
+            # edge endpoints relative to ray coords u = x - x0,
+            # w = y - y0 - sl*(x - x0); crossing iff w changes sign with
+            # the intersection at u > 0
+            ua = v[..., 0] - x0[..., None]
+            wa = v[..., 1] - y0[..., None] - sl * ua
+            ub = p1[..., 0] - x0[..., None]
+            wb = p1[..., 1] - y0[..., None] - sl * ub
+            t = wa / jnp.where(jnp.abs(wa - wb) > 1e-12, wa - wb, 1.0)
+            u_at = ua + t * (ub - ua)
+            crossing = (wa * wb < 0) & (u_at > 0) & mask
+            return jnp.sum(jnp.where(crossing, 1, 0), -1) % 2 == 1
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            qi = q_i[:, None, None, :]
+            qj = q_j[..., None, :]
+            vi = Q.rotate(qi, V[ti]) + dr[..., None, :]   # (M,C,NV,3)
+            vj = Q.rotate(qj, V[tj])
+            ci = jnp.broadcast_to(counts[ti], vi.shape[:-2])
+            cj = counts[tj]
+            vi0, vi1, mi = edges_of(vi, ci)
+            vj0, vj1, mj = edges_of(vj, cj)
+            cross = seg_cross(vi0[..., :, None, :], vi1[..., :, None, :],
+                              vj0[..., None, :, :], vj1[..., None, :, :])
+            cross = cross & mi[..., :, None] & mj[..., None, :]
+            any_cross = jnp.any(cross, axis=(-1, -2))
+            inside = parity_inside(vi[..., 0, :], vj, vj1, mj) \
+                | parity_inside(vj[..., 0, :], vi, vi1, mi)
+            return any_cross | inside
+        return overlap
 
 
 class _gjk_shape(_aniso_hpmc):

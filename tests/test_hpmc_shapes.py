@@ -510,3 +510,66 @@ def test_faceted_sphere_hemisphere():
     # i occupies [-0.95, -0.45], j [-0.5, 0]: round-vs-round overlap
     assert check([-0.95, 0, 0], qa=q180)
     assert not check([-1.05, 0, 0], qa=q180)
+
+
+def test_simple_polygon_nonconvex():
+    """Non-convex L-shapes: edge-crossing + 2D parity containment vs a
+    matplotlib.path + segment-orientation oracle."""
+    import jax.numpy as jnp
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    from matplotlib.path import Path
+    LS = [(x - 0.45, y - 0.45) for x, y in
+          [(0, 0), (1, 0), (1, 0.4), (0.4, 0.4), (0.4, 1), (0, 1)]]
+    hoomd.context.initialize("--notice-level=0")
+    snap = hoomd.data.make_snapshot(
+        9, hoomd.data.boxdim(L=20, dimensions=2))
+    snap.particles.position[:] = np.c_[
+        np.linspace(-8, 8, 9), np.zeros(9), np.zeros(9)]
+    hoomd.init.read_snapshot(snap)
+    mc = hpmc.integrate.simple_polygon(seed=1, d=0.1, a=0.1)
+    mc.shape_param.set('A', vertices=LS)
+    fn = mc._make_overlap_fn(hoomd.context.current.system)
+
+    def rot2(th, v):
+        c, s = np.cos(th), np.sin(th)
+        return np.array([c * v[0] - s * v[1], s * v[0] + c * v[1]])
+
+    def oracle(dx, tha, thb):
+        va = np.array([rot2(tha, np.array(v)) for v in LS]) + dx[:2]
+        vb = np.array([rot2(thb, np.array(v)) for v in LS])
+
+        def orient(p, q, r):
+            return (q[0] - p[0]) * (r[1] - p[1]) \
+                - (q[1] - p[1]) * (r[0] - p[0])
+        for i in range(len(va)):
+            a0, a1 = va[i], va[(i + 1) % len(va)]
+            for j in range(len(vb)):
+                b0, b1 = vb[j], vb[(j + 1) % len(vb)]
+                if orient(b0, b1, a0) * orient(b0, b1, a1) < 0 \
+                        and orient(a0, a1, b0) * orient(a0, a1, b1) < 0:
+                    return True
+        return Path(va).contains_point(vb[0]) \
+            or Path(vb).contains_point(va[0])
+    rng = np.random.RandomState(5)
+    nck, mis = 0, []
+    for trial in range(60):
+        tha, thb = rng.uniform(0, 2 * np.pi, 2)
+        dx = rng.uniform(-1.5, 1.5, 3)
+        dx[2] = 0
+        ref = oracle(dx, tha, thb)
+        if oracle(dx * 0.99, tha, thb) != oracle(dx * 1.01, tha, thb):
+            continue
+        qa = np.array([np.cos(tha / 2), 0, 0, np.sin(tha / 2)])
+        qb = np.array([np.cos(thb / 2), 0, 0, np.sin(thb / 2)])
+        got = bool(np.asarray(fn(
+            jnp.asarray(dx, jnp.float32).reshape(1, 1, 3),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+            None, None, None,
+            q_i=jnp.asarray(qa, jnp.float32).reshape(1, 4),
+            q_j=jnp.asarray(qb, jnp.float32).reshape(1, 1, 4)))[0, 0])
+        nck += 1
+        if got != ref:
+            mis.append((trial, dx, got, ref))
+    assert nck > 30
+    assert not mis, mis[:3]
