@@ -62,6 +62,11 @@ class log(Analyzer):
         thermo = _sys().thermo_quantities()
         if q in thermo:
             return thermo[q]
+        if q.startswith('mpcd_') and getattr(_sys(), 'mpcd', None):
+            mq = _sys().mpcd.thermo()
+            if q in mq:
+                v = mq[q]
+                return float(v) if np.ndim(v) == 0 else v
         for f in _sys().forces:
             if f.log_name == q:
                 return _sys().force_energy(f)

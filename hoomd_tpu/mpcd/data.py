@@ -40,3 +40,18 @@ class system_data:
             out.mass = self.snapshot.mass
             return out
         return self.snapshot
+
+    def thermo(self):
+        """Solvent thermodynamics (reference mpcd/CellThermoCompute.h
+        net quantities): kinetic energy, temperature (momentum-corrected
+        ndof like the reference's net_ke path), and total momentum."""
+        snap = self.take_snapshot()
+        m = snap.mass
+        v = snap.velocity
+        ke = 0.5 * m * float(np.sum(v * v))
+        mom = m * v.sum(axis=0)
+        ndof = 3.0 * max(snap.N, 1) - 3.0
+        T = 2.0 * (ke - 0.5 * float(np.dot(mom, mom)) / (m * snap.N)) \
+            / ndof
+        return {'mpcd_ke': ke, 'mpcd_temperature': T,
+                'mpcd_momentum': mom}

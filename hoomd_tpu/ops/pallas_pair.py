@@ -607,13 +607,18 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
     dry = xiy - jy[:, None, :]
     drz = xiz - jz[:, None, :]
     r2 = drx * drx + dry * dry + drz * drz
-    # PAD slots (|x|~1e9) give r2~1e18, excluded by r2 < rc2; PAD-PAD
-    # and self pairs by the lower threshold (explicit dr is exact)
-    valid = (r2 > 1e-6) & (r2 < rc2)
-    r2s = jnp.where(valid, r2, 1.0)
+    # PAD slots (|x|~1e9) give r2~1e18, excluded by r2 < rc2.  Self and
+    # PAD-PAD pairs have dr EXACTLY 0 (explicit dr), so their force
+    # contribution fdivr*dr vanishes without a mask — provided the clamp
+    # keeps fdivr FINITE in f32 (1e-3 -> fdivr ~ 5e22; inf*0 would be
+    # NaN).  Two real particles under r=0.032 sigma cannot occur in
+    # finite-energy LJ states.  The energy path masks self-pairs
+    # explicitly.
+    r2s = jnp.maximum(r2, 1e-3)
+    cut = r2 < rc2
     r2i = 1.0 / r2s
     r6i = r2i * r2i * r2i
-    fdivr = jnp.where(valid,
+    fdivr = jnp.where(cut,
                       r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2), 0.0)
     Fx = jnp.sum(fdivr * drx, axis=-1)     # (nx, C)
     Fy = jnp.sum(fdivr * dry, axis=-1)
@@ -629,6 +634,7 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
         f_ref[:, 0, 0] += F
 
     if want_pv:
+        valid = cut & (r2 > 1e-6)
         e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift, 0.0)
         pe = 0.5 * jnp.sum(e, axis=-1)
         vir = 0.5 * jnp.stack(

@@ -92,3 +92,27 @@ def test_solvent_streams():
     p1 = np.asarray(system._method_aux_by_obj[
         system._mpcd_method]['pos'])
     assert np.abs(p1 - p0).max() > 1e-3
+
+
+def test_mpcd_thermo_log_quantities():
+    """mpcd_temperature / mpcd_ke are loggable (reference
+    CellThermoCompute net quantities)."""
+    import numpy as np
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import mpcd
+    hoomd.context.initialize("--notice-level=0")
+    snap = hoomd.data.make_snapshot(8, hoomd.data.boxdim(L=10))
+    rng = np.random.RandomState(0)
+    snap.particles.position[:] = rng.uniform(-4, 4, (8, 3))
+    hoomd.init.read_snapshot(snap)
+    mpcd.init.make_random(N=2000, kT=1.0, seed=4)
+    mpcd.integrator(dt=0.005)
+    mpcd.collide.srd(seed=3, period=10, angle=130.0, kT=1.0)
+    mpcd.stream.bulk(period=10)
+    lg = hoomd.analyze.log(filename=None,
+                           quantities=['mpcd_temperature', 'mpcd_ke'],
+                           period=10 ** 9)
+    hoomd.run(100, quiet=True)
+    T = lg.query('mpcd_temperature')
+    assert 0.7 < T < 1.3
+    assert lg.query('mpcd_ke') > 0
