@@ -125,3 +125,57 @@ class active(Force):
             return f.astype(state.pos.dtype), z, \
                 jnp.zeros((state.N, 6), dtype=state.pos.dtype)
         return compute
+
+
+class dipole(Force):
+    """Constant external field acting on particle dipoles (reference
+    md.force.dipole / ConstExternalFieldDipoleForceCompute.cc:45-95):
+    each particle carries a dipole moment of magnitude ``p`` along its
+    body z axis; a uniform field exerts zero net force and torque
+    tau = p (m_hat x E).  Energy U = -p m_hat . E so rotational work is
+    conserved."""
+    is_aniso = True
+
+    def __init__(self, field_x, field_y, field_z, p, name=None):
+        Force.__init__(self, name)
+        self._log_base = 'external_field_dipole_energy'
+        self.field = (float(field_x), float(field_y), float(field_z))
+        self.p = float(p)
+        context.current.system.add_force(self)
+
+    def set_params(self, field_x=None, field_y=None, field_z=None,
+                   p=None):
+        fx, fy, fz = self.field
+        self.field = (float(field_x) if field_x is not None else fx,
+                      float(field_y) if field_y is not None else fy,
+                      float(field_z) if field_z is not None else fz)
+        if p is not None:
+            self.p = float(p)
+        context.current.system._refresh_params()
+
+    def _rcut_matrix(self, types):
+        return np.zeros((len(types), len(types)))
+
+    def _pack_params(self, system):
+        import jax.numpy as jnp
+        dt = system.real_dtype
+        return {'E': jnp.asarray(self.field, dtype=dt),
+                'p': jnp.asarray(self.p, dtype=dt)}
+
+    def _make_compute(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+
+        def compute(state, nl, params):
+            dt = state.pos.dtype
+            zhat = jnp.asarray([0.0, 0.0, 1.0], dt)
+            m = params['p'] * Q.rotate(state.orientation, zhat[None, :])
+            tq = jnp.cross(m, params['E'][None, :])
+            pe = -jnp.sum(m * params['E'][None, :], axis=-1)
+            zeros = jnp.zeros((state.N, 3), dt)
+            return (zeros, tq.astype(dt), pe.astype(dt),
+                    jnp.zeros((state.N, 6), dt))
+        return compute
+
+
+external_field_dipole = dipole

@@ -115,3 +115,50 @@ def test_hdf5_logger(tmp_path):
     data = np.load(f)
     assert len(data['timestep']) == 3
     assert np.isfinite(data['potential_energy']).all()
+
+
+def test_external_field_dipole():
+    """md.force.dipole: torque = p (m x E) exactly at fixed orientation;
+    rotational NVE conserves KE_rot + U = -m.E."""
+    import numpy as np
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    hoomd.context.initialize("--notice-level=0")
+    snap = hoomd.data.make_snapshot(4, hoomd.data.boxdim(L=10))
+    rng = np.random.RandomState(0)
+    snap.particles.position[:] = rng.uniform(-3, 3, (4, 3))
+    q = rng.normal(size=(4, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    snap.particles.orientation[:] = q
+    snap.particles.moment_inertia[:] = [[0.5, 0.5, 0.5]] * 4
+    snap.particles.angmom[:] = rng.normal(0, 0.3, (4, 4))
+    snap.particles.angmom[:, 0] = 0
+    hoomd.init.read_snapshot(snap)
+    md.force.dipole(field_x=0.3, field_y=-0.2, field_z=0.8, p=1.5)
+    md.integrate.mode_standard(dt=0.0, aniso=True)
+    md.integrate.nve(group=hoomd.group.all())
+    system = hoomd.context.current.system
+    hoomd.run(1, quiet=True)
+    st = system.state
+    o = np.asarray(st.rtag)
+    tq = np.asarray(st.net_torque)[o]
+
+    def rot_np(qq, v):
+        w = qq[0]
+        u = np.asarray(qq[1:])
+        t = 2 * np.cross(u, v)
+        return v + w * t + np.cross(u, t)
+    E = np.array([0.3, -0.2, 0.8])
+    for i in range(4):
+        m = 1.5 * rot_np(q[i], np.array([0, 0, 1.0]))
+        np.testing.assert_allclose(tq[i], np.cross(m, E), atol=1e-5)
+    system.integrator_mode.set_params(dt=0.001)
+    hoomd.run(1, quiet=True)
+
+    def etot():
+        qd = system.thermo_quantities()
+        return (qd['kinetic_energy'] + qd['potential_energy']
+                + qd.get('rotational_kinetic_energy', 0.0))
+    e0 = etot()
+    hoomd.run(1500, quiet=True)
+    assert abs(etot() - e0) < 1e-3
