@@ -33,8 +33,9 @@ from .._config import PAD_COORD, int_dtype
 from .. import rng as rng_mod
 from .. import variant as variant_mod
 from .pallas_pair import (build_cell_shifts, cell_pair_lj,
-                          cell_pair_lj_pallas3d, cell_pair_lj_planar,
-                          cell_pair_lj_row, cell_pair_lj_xla)
+                          cell_pair_lj_pallas3d, cell_pair_lj_row,
+                          cell_pair_lj_xla, cell_pair_planar,
+                          cell_pair_xla)
 
 
 @struct.dataclass
@@ -71,11 +72,15 @@ def plan_fast_lj(N, box_L, rcut, r_buff):
 
 def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         method_seed, dtype, interpret=False,
-                        impl='xla'):
+                        impl='xla', eval_name='lj',
+                        pnames=('lj1', 'lj2', 'rcut')):
     """Returns (to_fast, run_chunk, to_state_fields).
 
-    dyn layout: {'lj': (4,) [lj1, lj2, rc2, e_shift], 'dt': (),
-                 'kT': packed variant, 'tau': (), 'gamma': ()}.
+    dyn layout: {'pv': [rc2, e_shift, *pnames] evaluator params, 'lj':
+                 legacy (4,) LJ vector for the lj-only impls, 'dt': (),
+                 'kT': packed variant, 'tau': (), 'gamma': ()}.  Any
+    single-type, charge/diameter-free evaluator from ops/pair_eval runs
+    through the same planar stencil kernel ('planar'/'xla' impls).
     """
     idt = int_dtype()
     nc = int(np.prod(cell_dim))
@@ -169,9 +174,10 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                                shifts, dyn['lj'], ncells=nc, C=C,
                                interpret=interpret)
         elif impl == 'planar':
-            return cell_pair_lj_planar(
+            return cell_pair_planar(
                 pos_cells.reshape(nc, C, 3), cell_dim, shifts,
-                dyn['lj'], C=C, interpret=interpret, want_pv=want_pv)
+                dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
+                interpret=interpret, want_pv=want_pv)
         elif impl in ('pallas3d', 'row'):
             kfn = (cell_pair_lj_row if impl == 'row'
                    else cell_pair_lj_pallas3d)
@@ -192,8 +198,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                        want_pv=False)
         else:
             # unused pe/vir are dead-code-eliminated by XLA
-            out = cell_pair_lj_xla(pos_cells.reshape(nc, C, 3), cell_dim,
-                                   shifts, dyn['lj'])
+            out = cell_pair_xla(pos_cells.reshape(nc, C, 3), cell_dim,
+                                shifts, dyn['pv'], eval_name=eval_name,
+                                pnames=pnames)
         return out if want_pv else out[0]
 
     def one_step(c: FastCarry, dyn):

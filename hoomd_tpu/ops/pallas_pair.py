@@ -220,7 +220,19 @@ def build_cell_shifts(cell_dim, box_L):
 
 
 def cell_pair_lj_xla(cell_pos, cell_dim, cell_shift, lj_params):
-    """Pure-XLA formulation of the same cell-pair computation.
+    """LJ entry point for cell_pair_xla ([lj1, lj2, rc2, e_shift])."""
+    pv = jnp.stack([lj_params[2], lj_params[3], lj_params[0],
+                    lj_params[1]])
+    return cell_pair_xla(cell_pos, cell_dim, cell_shift, pv,
+                         eval_name='lj', pnames=('lj1', 'lj2'))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'eval_name', 'pnames'))
+def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
+                  eval_name, pnames):
+    """Pure-XLA formulation of the cell-pair computation for any
+    single-type pair evaluator (params_vec = [rc2, e_shift, *coeffs]).
 
     Stencil blocks are assembled with jnp.roll over the 3D cell grid —
     pure regular data movement, ZERO gathers (a row gather here lowers to
@@ -230,11 +242,14 @@ def cell_pair_lj_xla(cell_pos, cell_dim, cell_shift, lj_params):
     loop order).  Math and masking are identical to the Pallas kernel.
     """
     import jax
+    from . import pair_eval
     HI = jax.lax.Precision.HIGHEST   # TPU matmuls default to bf16
     nc, C, _ = cell_pos.shape
     nx, ny, nz = cell_dim
-    lj1, lj2, rc2, e_shift = (lj_params[0], lj_params[1], lj_params[2],
-                              lj_params[3])
+    rc2 = params_vec[0]
+    e_shift = params_vec[1]
+    pdict = {nm: params_vec[2 + k] for k, nm in enumerate(pnames)}
+    evaluator = getattr(pair_eval, eval_name)
     # cell id layout is ix + nx*(iy + ny*iz) (ops/cells.cell_index), so
     # as a 3D array the axes are (iz, iy, ix)
     g3 = cell_pos.reshape(nz, ny, nx, C, 3)
@@ -259,11 +274,9 @@ def cell_pair_lj_xla(cell_pos, cell_dim, cell_shift, lj_params):
     finite = (xi2[:, :, None] < 1e16) & (xj2[:, None, :] < 1e16)
     valid = (r2 > 1e-3) & (r2 < rc2) & finite
     r2s = jnp.where(valid, r2, 1.0)
-    r2i = 1.0 / r2s
-    r6i = r2i * r2i * r2i
-    fdivr = jnp.where(valid,
-                      r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2), 0.0)
-    e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift, 0.0)
+    f_raw, e_raw = evaluator.energy_force(r2s, pdict)
+    fdivr = jnp.where(valid, f_raw, 0.0)
+    e = jnp.where(valid, e_raw - e_shift, 0.0)
     w = jnp.sum(fdivr, axis=2)                            # (nc, C)
     fxj = jnp.einsum('nck,nkd->ncd', fdivr, xj, precision=HI,
                      preferred_element_type=jnp.float32)
@@ -559,7 +572,7 @@ def cell_pair_lj_row(cell_pos, cell_dim, cell_shift, lj_params, *,
 
 
 def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
-                   want_pv=True):
+                   want_pv=True, eval_name='lj', pnames=('lj1', 'lj2')):
     """Planar (SoA) row kernel: grid (nz, ny, 9), j-candidates packed into
     the LANE dimension as a (nx, C, 3C) window tile.
 
@@ -569,9 +582,16 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
     120 lanes = 94%% of one lane tile.  dx neighbors are sublane
     rotations; periodic shifts: per-(dx, ix) x-row table, scalar y/z from
     SMEM.
+
+    The pair math is pluggable: ``eval_name`` selects an evaluator from
+    ops/pair_eval whose ``energy_force(r2, p)`` runs elementwise inside
+    the kernel with scalar params read from SMEM (layout: [rc2, e_shift,
+    *pnames]) — any single-type, charge/diameter-free pair potential
+    rides the same stencil pipeline.
     """
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from . import pair_eval
     f_ref = rest[0]
     if want_pv:
         pe_ref = rest[1]
@@ -579,10 +599,10 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
 
     ik = pl.program_id(2)
     C = xj_ref.shape[-1]
-    lj1 = lj_ref[0, 0]
-    lj2 = lj_ref[0, 1]
-    rc2 = lj_ref[0, 2]
-    e_shift = lj_ref[0, 3]
+    rc2 = lj_ref[0, 0]
+    e_shift = lj_ref[0, 1]
+    pdict = {nm: lj_ref[0, 2 + k] for k, nm in enumerate(pnames)}
+    evaluator = getattr(pair_eval, eval_name)
     sy = sy_ref[pl.program_id(1), ik % 3]
     sz = sz_ref[pl.program_id(0), ik // 3]
 
@@ -616,10 +636,8 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
     # explicitly.
     r2s = jnp.maximum(r2, 1e-3)
     cut = r2 < rc2
-    r2i = 1.0 / r2s
-    r6i = r2i * r2i * r2i
-    fdivr = jnp.where(cut,
-                      r2i * r6i * (12.0 * lj1 * r6i - 6.0 * lj2), 0.0)
+    f_raw, e_raw = evaluator.energy_force(r2s, pdict)
+    fdivr = jnp.where(cut, f_raw, 0.0)
     Fx = jnp.sum(fdivr * drx, axis=-1)     # (nx, C)
     Fy = jnp.sum(fdivr * dry, axis=-1)
     Fz = jnp.sum(fdivr * drz, axis=-1)
@@ -635,7 +653,7 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
 
     if want_pv:
         valid = cut & (r2 > 1e-6)
-        e = jnp.where(valid, r6i * (lj1 * r6i - lj2) - e_shift, 0.0)
+        e = jnp.where(valid, e_raw - e_shift, 0.0)
         pe = 0.5 * jnp.sum(e, axis=-1)
         vir = 0.5 * jnp.stack(
             [jnp.sum(fdivr * drx * drx, axis=-1),
@@ -658,10 +676,34 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
 
 @functools.partial(jax.jit,
                    static_argnames=('cell_dim', 'C', 'interpret',
-                                    'want_pv'))
+                                    'want_pv', 'eval_name', 'pnames'))
+def cell_pair_planar(cell_pos, cell_dim, cell_shift, params_vec, *,
+                     C, eval_name, pnames, interpret=False,
+                     want_pv=True):
+    """Planar row-blocked Pallas cell-pair kernel for ANY single-type
+    pair evaluator (params_vec = [rc2, e_shift, *coeffs])."""
+    return _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift,
+                                  params_vec, C=C, eval_name=eval_name,
+                                  pnames=pnames, interpret=interpret,
+                                  want_pv=want_pv)
+
+
 def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
                         C, interpret=False, want_pv=True):
-    """Planar row-blocked Pallas cell-pair LJ (the TPU hot-loop kernel).
+    """LJ entry point kept for the original [lj1, lj2, rc2, e_shift]
+    param layout."""
+    import jax.numpy as jnp
+    pv = jnp.stack([lj_params[2], lj_params[3], lj_params[0],
+                    lj_params[1]])
+    return cell_pair_planar(cell_pos, cell_dim, cell_shift, pv, C=C,
+                            eval_name='lj', pnames=('lj1', 'lj2'),
+                            interpret=interpret, want_pv=want_pv)
+
+
+def _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift, params_vec, *,
+                           C, eval_name, pnames, interpret=False,
+                           want_pv=True):
+    """Planar row-blocked Pallas cell-pair kernel (the TPU hot loop).
     Same contract as cell_pair_lj_xla; cell_shift is only used to read
     the box lengths (shifts are rebuilt planar on the host side of jit).
     """
@@ -721,14 +763,16 @@ def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
             jax.ShapeDtypeStruct((6, nz, ny, nx, C), dt),
         ]
     out = pl.pallas_call(
-        functools.partial(_kernel_planar, want_pv=want_pv),
+        functools.partial(_kernel_planar, want_pv=want_pv,
+                          eval_name=eval_name, pnames=pnames),
         grid=(nz, ny, 9),
         in_specs=[
             pl.BlockSpec((ny, 3), lambda iz, iy, ik: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((nz, 3), lambda iz, iy, ik: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda iz, iy, ik: (0, 0),
+            pl.BlockSpec((1, 2 + len(pnames)),
+                         lambda iz, iy, ik: (0, 0),
                          memory_space=pltpu.SMEM),
             xj_spec, xi_spec, sx_spec,
         ],
@@ -737,7 +781,7 @@ def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=interpret,
-    )(sy, sz, lj_params.reshape(1, 4), gp, gt, sx)
+    )(sy, sz, params_vec.reshape(1, -1), gp, gt, sx)
     if want_pv:
         f, pe, vir = out
         f = jnp.transpose(f.reshape(3, nc, C), (1, 2, 0))

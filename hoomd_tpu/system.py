@@ -362,7 +362,14 @@ class System:
                 or len(self.particle_types) != 1):
             return None
         f = forces[0]
-        if getattr(f, '_evaluator', None) is not pair_eval.lj:
+        # any single-type, charge/diameter-free pair evaluator rides the
+        # planar stencil kernel; the math is injected from ops/pair_eval
+        FAST_EVALS = ('lj', 'gauss', 'yukawa', 'morse', 'mie',
+                      'buckingham', 'lj1208', 'force_shifted_lj',
+                      'dpd_conservative', 'moliere')
+        ev = getattr(f, '_evaluator', None)
+        eval_name = getattr(ev, '__name__', None)
+        if eval_name not in FAST_EVALS:
             return None
         if f.mode not in ('none', 'shift'):
             return None
@@ -396,7 +403,12 @@ class System:
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
             return None      # box too small for the stencil invariant
         C = max(C, self._grow.get('fast_C', 0))
-        impl = os.environ.get('HOOMD_TPU_FAST_IMPL')
+        # legacy LJ-only Pallas variants can't host other evaluators
+        impl_env = os.environ.get('HOOMD_TPU_FAST_IMPL')
+        if eval_name != 'lj' and impl_env in ('pallas', 'pallas3d',
+                                              'row'):
+            return None
+        impl = impl_env
         if impl is None:
             # the planar (SoA) row kernel keeps every elementwise op on
             # (nx, C, 3C) lane tiles (~94% VPU utilization at C=40); the
@@ -404,32 +416,41 @@ class System:
             # formulation materializes (nc, C, 27C) in HBM.  XLA remains
             # the portable path (CPU tests, interpret-free fallback).
             impl = 'planar' if jax.default_backend() == 'tpu' else 'xla'
+        pnames = tuple(sorted(
+            f._pack_params(self)['tables'].keys())) + ('rcut',)
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
             method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
-            interpret=interpret, impl=impl)
+            interpret=interpret, impl=impl, eval_name=eval_name,
+            pnames=pnames)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
-                'C': C, 'method': m, 'kind': kind, 'rcut': rcut}
+                'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
+                'eval_name': eval_name, 'pnames': pnames}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
         fast = self._program['fast']
         f = self._program['forces'][0]
         fp = self._dyn['forces'][0]
-        lj1 = fp['tables']['lj1'][0, 0]
-        lj2 = fp['tables']['lj2'][0, 0]
         rc = fp['rcut'][0, 0]
         rc2 = rc * rc
+        pnames = fast['pnames']
+        scal = {k: fp['tables'][k][0, 0] for k in fp['tables']}
+        scal['rcut'] = rc
         if f.mode == 'shift':
-            r6i = 1.0 / (rc2 * rc2 * rc2)
-            e_shift = r6i * (lj1 * r6i - lj2)
+            _, e_shift = f._evaluator.energy_force(rc2, scal)
         else:
             e_shift = jnp.zeros((), self.real_dtype)
+        pv = jnp.stack([rc2, e_shift] + [scal[k] for k in pnames])
         mp = self._dyn['methods'][0]
-        out = {'lj': jnp.stack([lj1, lj2, rc2, e_shift]),
-               'dt': self._dyn['dt']}
+        out = {'pv': pv, 'dt': self._dyn['dt']}
+        if fast.get('eval_name') == 'lj':
+            out['lj'] = jnp.stack([scal['lj1'], scal['lj2'], rc2,
+                                   e_shift])
+        else:
+            out['lj'] = pv   # unused by the generic impls
         kind = fast['kind']
         if kind in ('langevin', 'nvt'):
             out['kT'] = mp['kT']

@@ -135,3 +135,53 @@ def test_fast_ineligible_configs_fall_back():
     md.integrate.nve(group=hoomd.group.all())
     hoomd.run(2, quiet=True)
     assert not hoomd.context.current.system._program.get('fast')
+
+
+@pytest.mark.parametrize("pot,coeffs", [
+    ("gauss", dict(epsilon=1.0, sigma=0.8)),
+    ("morse", dict(D0=0.5, alpha=3.0, r0=1.0)),
+    ("yukawa", dict(epsilon=1.5, kappa=1.0)),
+    ("mie", dict(epsilon=1.0, sigma=1.0, n=12, m=6)),
+])
+def test_fast_engine_other_evaluators(pot, coeffs):
+    """Any single-type, charge/diameter-free pair evaluator rides the
+    planar stencil path: single-eval parity vs the general engine."""
+    import numpy as np
+
+    def build(fast):
+        os.environ['HOOMD_TPU_FAST'] = 'on' if fast else 'off'
+        import hoomd_tpu as hoomd
+        from hoomd_tpu import md
+        hoomd.context.initialize('--notice-level=0')
+        hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.3), n=4)
+        system = hoomd.context.current.system
+        rng = np.random.RandomState(7)
+        snap = system.take_snapshot()
+        snap.particles.position[:] += rng.uniform(
+            -0.05, 0.05, snap.particles.position.shape)
+        system.restore_snapshot(snap)
+        nl = md.nlist.cell(r_buff=0.4)
+        p = getattr(md.pair, pot)(r_cut=2.0, nlist=nl)
+        p.pair_coeff.set('A', 'A', **coeffs)
+        p.set_params(mode='shift')
+        md.integrate.mode_standard(dt=0.0)
+        md.integrate.nve(group=hoomd.group.all())
+        return hoomd, system
+
+    hoomd, s1 = build(False)
+    hoomd.run(1, quiet=True)
+    assert not s1._program.get('fast')
+    o1 = np.asarray(s1.state.rtag)
+    f1 = np.asarray(s1.state.net_force)[o1]
+    pe1 = float(np.asarray(s1.state.net_pe).sum())
+
+    hoomd, s2 = build(True)
+    hoomd.run(1, quiet=True)
+    assert s2._program.get('fast'), f"fast path not engaged for {pot}"
+    o2 = np.asarray(s2.state.rtag)
+    f2 = np.asarray(s2.state.net_force)[o2]
+    pe2 = float(np.asarray(s2.state.net_pe).sum())
+
+    scale = max(np.abs(f1).max(), 1.0)
+    assert np.abs(f1 - f2).max() < 2e-4 * scale
+    assert pe1 == pytest.approx(pe2, abs=1e-2, rel=1e-4)

@@ -163,3 +163,43 @@ def test_stencil_kernels_match_bruteforce(impl):
     assert float(np.asarray(pe).sum()) == pytest.approx(pe_ref, abs=1e-2)
     vir_sum = np.asarray(vir).reshape(-1, 6)[sel].sum(0)
     assert vir_sum[0] == pytest.approx(vxx_ref, rel=1e-3)
+
+
+@pytest.mark.parametrize("name,pnames,vals", [
+    ("gauss", ("epsilon", "sigma2"), [1.0, 0.64]),
+    ("morse", ("D0", "alpha", "r0"), [0.5, 3.0, 1.0]),
+    ("yukawa", ("epsilon", "kappa"), [1.5, 1.0]),
+])
+def test_generic_planar_kernel_matches_xla(name, pnames, vals):
+    """The evaluator-generic planar kernel vs the generic XLA roll
+    formulation on a physical (non-overlapping) configuration."""
+    import jax.numpy as jnp
+    from hoomd_tpu.box import Box
+    from hoomd_tpu.ops import cells
+    from hoomd_tpu.ops.pallas_pair import (build_cell_layout,
+                                           build_cell_shifts,
+                                           cell_pair_planar,
+                                           cell_pair_xla)
+    rng = np.random.RandomState(0)
+    n, a = 6, 1.4
+    N, L = n ** 3, n * 1.4
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing='ij'),
+                    -1).reshape(-1, 3)
+    pos_np = ((grid + 0.5) * a - L / 2
+              + rng.uniform(-0.2, 0.2, (N, 3))).astype(np.float32)
+    box = Box.create(L)
+    cell_dim = cells.choose_cell_dim(np.array([L] * 3), 2.0)
+    C = 24
+    cp, pid, ovf = build_cell_layout(jnp.asarray(pos_np), box,
+                                     cell_dim, C)
+    adj, sh = build_cell_shifts(cell_dim, np.array([L] * 3))
+    sh = jnp.asarray(sh, jnp.float32)
+    pv = jnp.asarray([4.0, 0.0] + vals, jnp.float32)
+    f1, pe1, v1 = cell_pair_planar(cp, cell_dim, sh, pv, C=C,
+                                   eval_name=name, pnames=tuple(pnames),
+                                   interpret=True)
+    f2, pe2, v2 = cell_pair_xla(cp, cell_dim, sh, pv, eval_name=name,
+                                pnames=tuple(pnames))
+    scale = max(float(jnp.max(jnp.abs(f2))), 1.0)
+    assert float(jnp.max(jnp.abs(f1 - f2))) < 5e-4 * scale
+    assert float(jnp.abs(jnp.sum(pe1) - jnp.sum(pe2))) < 1e-2
