@@ -47,6 +47,7 @@ class FastCarry:
     vir: jnp.ndarray        # (nc, C, 6)
     img: jnp.ndarray        # (nc, C, 3) int
     tag: jnp.ndarray        # (nc, C) int, -1 padding
+    typ: jnp.ndarray        # (nc, C) int, 0 padding
     mass: jnp.ndarray       # (nc, C)
     ref_pos: jnp.ndarray    # (nc, C, 3) at last rebuild
     timestep: jnp.ndarray   # ()
@@ -73,7 +74,7 @@ def plan_fast_lj(N, box_L, rcut, r_buff):
 def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         method_seed, dtype, interpret=False,
                         impl='xla', eval_name='lj',
-                        pnames=('lj1', 'lj2', 'rcut')):
+                        pnames=('lj1', 'lj2', 'rcut'), ntypes=1):
     """Returns (to_fast, run_chunk, to_state_fields).
 
     dyn layout: {'pv': [rc2, e_shift, *pnames] evaluator params, 'lj':
@@ -108,7 +109,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     same_width = (jnp.dtype(dtype).itemsize
                   == jnp.dtype(idt).itemsize)
 
-    def _rebin(pos_f, vel_f, img_f, tag_f, mass_f):
+    def _rebin(pos_f, vel_f, img_f, tag_f, typ_f, mass_f):
         """Flattened arrays -> fresh cell-major layout.
 
         ONE multi-operand lax.sort carries every per-particle column with
@@ -136,15 +137,15 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                     [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)])
                 return pad[src]
             return (take(pos_w, PAD_COORD), take(vel_f, 0),
-                    take(img_w, 0), take(tag_f, -1), take(mass_f, 1),
-                    ovf)
+                    take(img_w, 0), take(tag_f, -1), take(typ_f, 0),
+                    take(mass_f, 1), ovf)
 
         def bc(a):
             return jax.lax.bitcast_convert_type(a, dtype)
         cols = (cid, pos_w[:, 0], pos_w[:, 1], pos_w[:, 2],
                 vel_f[:, 0], vel_f[:, 1], vel_f[:, 2],
                 bc(img_w[:, 0]), bc(img_w[:, 1]), bc(img_w[:, 2]),
-                bc(tag_f), mass_f)
+                bc(tag_f), bc(typ_f), mass_f)
         s = jax.lax.sort(cols, num_keys=1)
         scid = s[0]
         idx = jnp.arange(M, dtype=idt)
@@ -156,19 +157,19 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         ok = (rank < C) & (scid < nc)
         slot = jnp.where(ok, scid * C + rank, M)
         ovf = jnp.any((scid < nc) & (rank >= C))
-        payload = jnp.stack(s[1:], axis=-1)                  # (M, 11)
+        payload = jnp.stack(s[1:], axis=-1)                  # (M, 12)
         fill = jnp.concatenate([
             jnp.full((3,), PAD_COORD, dtype), jnp.zeros((3,), dtype),
             bc(jnp.zeros((3,), idt)), bc(jnp.full((1,), -1, idt)),
-            jnp.ones((1,), dtype)])
+            bc(jnp.zeros((1,), idt)), jnp.ones((1,), dtype)])
         out = jnp.tile(fill, (M, 1)).at[slot].set(payload, mode='drop')
 
         def ubc(a):
             return jax.lax.bitcast_convert_type(a, idt)
         return (out[:, 0:3], out[:, 3:6], ubc(out[:, 6:9]),
-                ubc(out[:, 9]), out[:, 10], ovf)
+                ubc(out[:, 9]), ubc(out[:, 10]), out[:, 11], ovf)
 
-    def _forces(pos_cells, dyn, want_pv=True):
+    def _forces(pos_cells, typ_cells, dyn, want_pv=True):
         if impl == 'pallas':
             out = cell_pair_lj(pos_cells.reshape(nc, C, 3), adj,
                                shifts, dyn['lj'], ncells=nc, C=C,
@@ -177,7 +178,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             return cell_pair_planar(
                 pos_cells.reshape(nc, C, 3), cell_dim, shifts,
                 dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
-                interpret=interpret, want_pv=want_pv)
+                interpret=interpret, want_pv=want_pv, ntypes=ntypes,
+                cell_typ=(typ_cells.reshape(nc, C)
+                          if ntypes > 1 else None))
         elif impl in ('pallas3d', 'row'):
             kfn = (cell_pair_lj_row if impl == 'row'
                    else cell_pair_lj_pallas3d)
@@ -200,7 +203,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             # unused pe/vir are dead-code-eliminated by XLA
             out = cell_pair_xla(pos_cells.reshape(nc, C, 3), cell_dim,
                                 shifts, dyn['pv'], eval_name=eval_name,
-                                pnames=pnames)
+                                pnames=pnames, ntypes=ntypes,
+                                cell_typ=(typ_cells.reshape(nc, C)
+                                          if ntypes > 1 else None))
         return out if want_pv else out[0]
 
     def one_step(c: FastCarry, dyn):
@@ -231,17 +236,20 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         needs = md2 > (0.5 * skin) ** 2
 
         def do_rebuild(args):
-            pos, vel, img, tag, mass, ovf, nr = args
-            p, v, im, t, m, o = _rebin(
+            pos, vel, img, tag, typ, mass, ovf, nr = args
+            p, v, im, t, ty, m, o = _rebin(
                 pos.reshape(M, 3), vel.reshape(M, 3),
-                img.reshape(M, 3), tag.reshape(M), mass.reshape(M))
+                img.reshape(M, 3), tag.reshape(M), typ.reshape(M),
+                mass.reshape(M))
             return (p.reshape(nc, C, 3), v.reshape(nc, C, 3),
                     im.reshape(nc, C, 3), t.reshape(nc, C),
-                    m.reshape(nc, C), ovf | o, nr + 1)
+                    ty.reshape(nc, C), m.reshape(nc, C), ovf | o,
+                    nr + 1)
 
-        pos, vel, img, tag, mass, ovf, nr = jax.lax.cond(
+        pos, vel, img, tag, typ, mass, ovf, nr = jax.lax.cond(
             needs, do_rebuild, lambda a: a,
-            (pos, vel, c.img, c.tag, c.mass, c.overflow, c.n_rebuilds))
+            (pos, vel, c.img, c.tag, c.typ, c.mass, c.overflow,
+             c.n_rebuilds))
         ref = jnp.where(needs, pos, c.ref_pos)
         valid = (tag >= 0)[..., None]
         minv = 1.0 / mass[..., None]
@@ -249,7 +257,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         # ---- forces (Pallas cell-pair kernel); pe/virial are NOT
         # computed in the hot loop — refresh_forces fills them at chunk
         # boundaries before any observer reads them
-        frc = _forces(pos, dyn, want_pv=False)
+        frc = _forces(pos, typ, dyn, want_pv=False)
         frc = jnp.where(valid, frc, 0.0)
 
         # ---- step 2 (kick; thermostat post-scale / langevin bath)
@@ -280,8 +288,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                     / dyn['tau'] ** 2
 
         return FastCarry(pos=pos, vel=vel, frc=frc, pe=c.pe, vir=c.vir,
-                         img=img, tag=tag, mass=mass, ref_pos=ref,
-                         timestep=c.timestep + 1, aux=aux,
+                         img=img, tag=tag, typ=typ, mass=mass,
+                         ref_pos=ref, timestep=c.timestep + 1, aux=aux,
                          overflow=ovf, n_rebuilds=nr)
 
     def run_chunk(carry, dyn, nsteps):
@@ -293,7 +301,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     @jax.jit
     def to_fast(state, aux):
         pos_f = state.pos
-        p, v, im, t, m, ovf = _rebin(
+        p, v, im, t, ty, m, ovf = _rebin(
             jnp.concatenate([pos_f,
                              jnp.full((M - N, 3), PAD_COORD, dtype)]),
             jnp.concatenate([state.vel, jnp.zeros((M - N, 3), dtype)]),
@@ -301,6 +309,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                              jnp.zeros((M - N, 3), idt)]),
             jnp.concatenate([state.tag,
                              jnp.full((M - N,), -1, idt)]),
+            jnp.concatenate([state.typeid.astype(idt),
+                             jnp.zeros((M - N,), idt)]),
             jnp.concatenate([state.mass, jnp.ones((M - N,), dtype)]))
         shape3 = (nc, C, 3)
         # net_force is recomputed with refresh_forces after conversion
@@ -311,6 +321,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             pe=jnp.zeros((nc, C), dtype),
             vir=jnp.zeros((nc, C, 6), dtype),
             img=im.reshape(shape3), tag=t.reshape(nc, C),
+            typ=ty.reshape(nc, C),
             mass=m.reshape(nc, C),
             ref_pos=p.reshape(shape3),
             timestep=state.timestep, aux=aux,
@@ -319,7 +330,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
 
     @jax.jit
     def refresh_forces(carry, dyn):
-        frc, pe, vir = _forces(carry.pos, dyn)
+        frc, pe, vir = _forces(carry.pos, carry.typ, dyn)
         valid = (carry.tag >= 0)[..., None]
         return carry.replace(frc=jnp.where(valid, frc, 0.0), pe=pe,
                              vir=vir)

@@ -228,9 +228,10 @@ def cell_pair_lj_xla(cell_pos, cell_dim, cell_shift, lj_params):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('cell_dim', 'eval_name', 'pnames'))
+                   static_argnames=('cell_dim', 'eval_name', 'pnames',
+                                    'ntypes'))
 def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
-                  eval_name, pnames):
+                  eval_name, pnames, ntypes=1, cell_typ=None):
     """Pure-XLA formulation of the cell-pair computation for any
     single-type pair evaluator (params_vec = [rc2, e_shift, *coeffs]).
 
@@ -246,10 +247,12 @@ def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
     HI = jax.lax.Precision.HIGHEST   # TPU matmuls default to bf16
     nc, C, _ = cell_pos.shape
     nx, ny, nz = cell_dim
-    rc2 = params_vec[0]
-    e_shift = params_vec[1]
-    pdict = {nm: params_vec[2 + k] for k, nm in enumerate(pnames)}
     evaluator = getattr(pair_eval, eval_name)
+    # ntypes == 1: params_vec is (NPAR,) scalars.  ntypes > 1:
+    # params_vec is (NPAR, T, T) and per-pair values are looked up by
+    # the (i, j) type ids (this path runs at chunk boundaries, so the
+    # gathers are affordable).
+    mt = ntypes > 1
     # cell id layout is ix + nx*(iy + ny*iz) (ops/cells.cell_index), so
     # as a 3D array the axes are (iz, iy, ix)
     g3 = cell_pos.reshape(nz, ny, nx, C, 3)
@@ -264,6 +267,25 @@ def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
                 blocks.append(nb)
                 k += 1
     xj = jnp.concatenate(blocks, axis=1)           # (nc, 27C, 3)
+    if mt:
+        tblocks = []
+        t3 = cell_typ.reshape(nz, ny, nx, C)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    tb = jnp.roll(t3, shift=(-dz, -dy, -dx),
+                                  axis=(0, 1, 2))
+                    tblocks.append(tb.reshape(nc, C))
+        tj = jnp.concatenate(tblocks, axis=1)       # (nc, 27C)
+        ti = cell_typ                               # (nc, C)
+        rc2 = params_vec[0][ti[:, :, None], tj[:, None, :]]
+        e_shift = params_vec[1][ti[:, :, None], tj[:, None, :]]
+        pdict = {nm: params_vec[2 + k][ti[:, :, None], tj[:, None, :]]
+                 for k, nm in enumerate(pnames)}
+    else:
+        rc2 = params_vec[0]
+        e_shift = params_vec[1]
+        pdict = {nm: params_vec[2 + k] for k, nm in enumerate(pnames)}
     xi = cell_pos
     xi2 = jnp.sum(xi * xi, axis=-1)                       # (nc, C)
     xj2 = jnp.sum(xj * xj, axis=-1)                       # (nc, 27C)
@@ -572,7 +594,8 @@ def cell_pair_lj_row(cell_pos, cell_dim, cell_shift, lj_params, *,
 
 
 def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
-                   want_pv=True, eval_name='lj', pnames=('lj1', 'lj2')):
+                   want_pv=True, eval_name='lj', pnames=('lj1', 'lj2'),
+                   ntypes=1):
     """Planar (SoA) row kernel: grid (nz, ny, 9), j-candidates packed into
     the LANE dimension as a (nx, C, 3C) window tile.
 
@@ -592,6 +615,10 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from . import pair_eval
+    if ntypes > 1:
+        tj_ref = rest[0]
+        ti_ref = rest[1]
+        rest = rest[2:]
     f_ref = rest[0]
     if want_pv:
         pe_ref = rest[1]
@@ -599,9 +626,6 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
 
     ik = pl.program_id(2)
     C = xj_ref.shape[-1]
-    rc2 = lj_ref[0, 0]
-    e_shift = lj_ref[0, 1]
-    pdict = {nm: lj_ref[0, 2 + k] for k, nm in enumerate(pnames)}
     evaluator = getattr(pair_eval, eval_name)
     sy = sy_ref[pl.program_id(1), ik % 3]
     sz = sz_ref[pl.program_id(0), ik // 3]
@@ -620,6 +644,34 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
     zm, z0, zp = rolls(bz)
     jz = jnp.concatenate([zm, z0, zp], axis=-1) + sz
 
+    if ntypes == 1:
+        rc2 = lj_ref[0, 0]
+        e_shift = lj_ref[0, 1]
+        pdict = {nm: lj_ref[0, 2 + k] for k, nm in enumerate(pnames)}
+    else:
+        # per-pair coefficients via one-hot mixing: coeff_ij =
+        # sum_a 1[ti=a] * (sum_b tab[a,b] * 1[tj=b]); the inner sums are
+        # cheap (nx, 3C) planes, only the outer combination touches the
+        # big (nx, C, 3C) tile (T adds per coefficient)
+        T = ntypes
+        twm, tw0, twp = rolls(tj_ref[0, 0])
+        tw = jnp.concatenate([twm, tw0, twp], axis=-1)     # (nx, 3C)
+        ti = ti_ref[0, 0]                                  # (nx, C, 1)
+        ohj = [tw == float(b) for b in range(T)]
+        ohi = [ti == float(a) for a in range(T)]
+
+        def field(k):
+            acc = 0.0
+            for a in range(T):
+                inner = 0.0
+                for b in range(T):
+                    inner = inner + jnp.where(ohj[b],
+                                              lj_ref[k, a * T + b], 0.0)
+                acc = acc + jnp.where(ohi[a], inner[:, None, :], 0.0)
+            return acc
+        rc2 = field(0)
+        e_shift = field(1)
+        pdict = {nm: field(2 + k) for k, nm in enumerate(pnames)}
     xix = xi_ref[0, 0, 0]                  # (nx, C, 1) pre-transposed
     xiy = xi_ref[1, 0, 0]
     xiz = xi_ref[2, 0, 0]
@@ -676,16 +728,21 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
 
 @functools.partial(jax.jit,
                    static_argnames=('cell_dim', 'C', 'interpret',
-                                    'want_pv', 'eval_name', 'pnames'))
+                                    'want_pv', 'eval_name', 'pnames',
+                                    'ntypes'))
 def cell_pair_planar(cell_pos, cell_dim, cell_shift, params_vec, *,
                      C, eval_name, pnames, interpret=False,
-                     want_pv=True):
-    """Planar row-blocked Pallas cell-pair kernel for ANY single-type
-    pair evaluator (params_vec = [rc2, e_shift, *coeffs])."""
+                     want_pv=True, ntypes=1, cell_typ=None):
+    """Planar row-blocked Pallas cell-pair kernel for ANY
+    charge/diameter-free pair evaluator.  Single type: params_vec =
+    [rc2, e_shift, *coeffs].  Multi-type (ntypes > 1): params_vec is
+    (NPAR, T, T) per-pair tables and cell_typ (ncells, C) carries type
+    ids (one-hot mixed inside the kernel — Mosaic has no gathers)."""
     return _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift,
                                   params_vec, C=C, eval_name=eval_name,
                                   pnames=pnames, interpret=interpret,
-                                  want_pv=want_pv)
+                                  want_pv=want_pv, ntypes=ntypes,
+                                  cell_typ=cell_typ)
 
 
 def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
@@ -702,7 +759,7 @@ def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
 
 def _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift, params_vec, *,
                            C, eval_name, pnames, interpret=False,
-                           want_pv=True):
+                           want_pv=True, ntypes=1, cell_typ=None):
     """Planar row-blocked Pallas cell-pair kernel (the TPU hot loop).
     Same contract as cell_pair_lj_xla; cell_shift is only used to read
     the box lengths (shifts are rebuilt planar on the host side of jit).
@@ -762,26 +819,50 @@ def _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift, params_vec, *,
             jax.ShapeDtypeStruct((nz, ny, nx, C), dt),
             jax.ShapeDtypeStruct((6, nz, ny, nx, C), dt),
         ]
+    in_specs = [
+        pl.BlockSpec((ny, 3), lambda iz, iy, ik: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nz, 3), lambda iz, iy, ik: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    NP = 2 + len(pnames)
+    if ntypes == 1:
+        in_specs.append(pl.BlockSpec((1, NP),
+                                     lambda iz, iy, ik: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        par = params_vec.reshape(1, -1)
+        extra = ()
+    else:
+        in_specs.append(pl.BlockSpec((NP, ntypes * ntypes),
+                                     lambda iz, iy, ik: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        par = params_vec.reshape(NP, -1)
+        typf = cell_typ.astype(dt).reshape(nz, ny, nx, C)
+        typ_t = typf[..., None]
+        tj_spec = pl.BlockSpec(
+            (1, 1, nx, C),
+            lambda iz, iy, ik: (
+                (iz + ik // 3 - 1) % nz, (iy + ik % 3 - 1) % ny, 0, 0),
+            memory_space=pltpu.VMEM)
+        ti_spec = pl.BlockSpec((1, 1, nx, C, 1),
+                               lambda iz, iy, ik: (iz, iy, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        extra = (typf, typ_t)
+    in_specs += [xj_spec, xi_spec, sx_spec]
+    if ntypes > 1:
+        in_specs += [tj_spec, ti_spec]
     out = pl.pallas_call(
         functools.partial(_kernel_planar, want_pv=want_pv,
-                          eval_name=eval_name, pnames=pnames),
+                          eval_name=eval_name, pnames=pnames,
+                          ntypes=ntypes),
         grid=(nz, ny, 9),
-        in_specs=[
-            pl.BlockSpec((ny, 3), lambda iz, iy, ik: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nz, 3), lambda iz, iy, ik: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2 + len(pnames)),
-                         lambda iz, iy, ik: (0, 0),
-                         memory_space=pltpu.SMEM),
-            xj_spec, xi_spec, sx_spec,
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=interpret,
-    )(sy, sz, params_vec.reshape(1, -1), gp, gt, sx)
+    )(sy, sz, par, gp, gt, sx, *extra)
     if want_pv:
         f, pe, vir = out
         f = jnp.transpose(f.reshape(3, nc, C), (1, 2, 0))

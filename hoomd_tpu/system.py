@@ -359,7 +359,7 @@ class System:
                      and jax.default_backend() != 'tpu')
         if (len(forces) != 1 or len(methods) != 1 or aniso
                 or has_mode_hooks or composites
-                or len(self.particle_types) != 1):
+                or len(self.particle_types) > 4):
             return None
         f = forces[0]
         # any single-type, charge/diameter-free pair evaluator rides the
@@ -396,7 +396,7 @@ class System:
                 > 1e-12:
             return None
         N = self.state.N
-        rcut = float(f._rcut_matrix(self.particle_types)[0, 0])
+        rcut = float(np.max(f._rcut_matrix(self.particle_types)))
         r_buff = nl.r_buff
         L = _np.asarray(box.L)
         cell_dim, ncells, C = plan_fast_lj(N, L, rcut, r_buff)
@@ -416,6 +416,9 @@ class System:
             # formulation materializes (nc, C, 27C) in HBM.  XLA remains
             # the portable path (CPU tests, interpret-free fallback).
             impl = 'planar' if jax.default_backend() == 'tpu' else 'xla'
+        ntypes = len(self.particle_types)
+        if ntypes > 1 and impl in ('pallas', 'pallas3d', 'row'):
+            return None
         pnames = tuple(sorted(
             f._pack_params(self)['tables'].keys())) + ('rcut',)
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
@@ -423,32 +426,47 @@ class System:
             rcut=rcut, method_kind=kind,
             method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
             interpret=interpret, impl=impl, eval_name=eval_name,
-            pnames=pnames)
+            pnames=pnames, ntypes=ntypes)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
-                'eval_name': eval_name, 'pnames': pnames}
+                'eval_name': eval_name, 'pnames': pnames,
+                'ntypes': ntypes}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
         fast = self._program['fast']
         f = self._program['forces'][0]
         fp = self._dyn['forces'][0]
-        rc = fp['rcut'][0, 0]
-        rc2 = rc * rc
         pnames = fast['pnames']
-        scal = {k: fp['tables'][k][0, 0] for k in fp['tables']}
-        scal['rcut'] = rc
-        if f.mode == 'shift':
-            _, e_shift = f._evaluator.energy_force(rc2, scal)
+        T = fast.get('ntypes', 1)
+        if T == 1:
+            rc = fp['rcut'][0, 0]
+            rc2 = rc * rc
+            scal = {k: fp['tables'][k][0, 0] for k in fp['tables']}
+            scal['rcut'] = rc
+            if f.mode == 'shift':
+                _, e_shift = f._evaluator.energy_force(rc2, scal)
+            else:
+                e_shift = jnp.zeros((), self.real_dtype)
+            pv = jnp.stack([rc2, e_shift] + [scal[k] for k in pnames])
         else:
-            e_shift = jnp.zeros((), self.real_dtype)
-        pv = jnp.stack([rc2, e_shift] + [scal[k] for k in pnames])
+            rc = fp['rcut']                            # (T, T)
+            rc2 = rc * rc
+            tabs = {k: fp['tables'][k] for k in fp['tables']}
+            tabs['rcut'] = rc
+            if f.mode == 'shift':
+                _, e_shift = f._evaluator.energy_force(rc2, tabs)
+            else:
+                e_shift = jnp.zeros_like(rc2)
+            pv = jnp.stack([rc2, e_shift]
+                           + [tabs[k] for k in pnames])   # (NP, T, T)
         mp = self._dyn['methods'][0]
         out = {'pv': pv, 'dt': self._dyn['dt']}
-        if fast.get('eval_name') == 'lj':
-            out['lj'] = jnp.stack([scal['lj1'], scal['lj2'], rc2,
-                                   e_shift])
+        if fast.get('eval_name') == 'lj' and T == 1:
+            scal = {k: fp['tables'][k][0, 0] for k in fp['tables']}
+            out['lj'] = jnp.stack([scal['lj1'], scal['lj2'],
+                                   fp['rcut'][0, 0] ** 2, e_shift])
         else:
             out['lj'] = pv   # unused by the generic impls
         kind = fast['kind']

@@ -117,24 +117,72 @@ def test_fast_logger_and_force_energy():
 
 
 def test_fast_ineligible_configs_fall_back():
-    """Two types / exclusions / other methods must use the general path."""
+    """Diameter-dependent evaluators (slj) must use the general path."""
     os.environ['HOOMD_TPU_FAST'] = 'on'
     import hoomd_tpu as hoomd
     from hoomd_tpu import md
     hoomd.context.initialize('--notice-level=0')
-    snap = hoomd.data.make_snapshot(
-        16, hoomd.data.boxdim(L=10), particle_types=['A', 'B'])
+    snap = hoomd.data.make_snapshot(16, hoomd.data.boxdim(L=10))
     rng = np.random.RandomState(0)
     snap.particles.position[:] = rng.uniform(-4, 4, (16, 3))
-    snap.particles.typeid[:8] = 1
     hoomd.init.read_snapshot(snap)
     nl = md.nlist.cell()
-    lj = md.pair.lj(r_cut=2.0, nlist=nl)
-    lj.pair_coeff.set(['A', 'B'], ['A', 'B'], epsilon=1.0, sigma=1.0)
+    lj = md.pair.slj(r_cut=2.0, nlist=nl)
+    lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
     md.integrate.mode_standard(dt=0.001)
     md.integrate.nve(group=hoomd.group.all())
     hoomd.run(2, quiet=True)
     assert not hoomd.context.current.system._program.get('fast')
+
+
+def test_fast_engine_binary_mixture():
+    """Two-type LJ (Kob-Andersen-style asymmetric coefficients) rides the
+    fast path via one-hot coefficient mixing: single-eval parity vs the
+    general engine."""
+    import numpy as np
+
+    def build(fast):
+        os.environ['HOOMD_TPU_FAST'] = 'on' if fast else 'off'
+        import hoomd_tpu as hoomd
+        from hoomd_tpu import md
+        hoomd.context.initialize('--notice-level=0')
+        snap = hoomd.data.make_snapshot(
+            125, hoomd.data.boxdim(L=6.0), particle_types=['A', 'B'])
+        rng = np.random.RandomState(9)
+        g = np.stack(np.meshgrid(*[np.arange(5)] * 3,
+                                 indexing='ij'), -1).reshape(-1, 3)
+        snap.particles.position[:] = (g + 0.5) * 1.2 - 3.0 \
+            + rng.uniform(-0.1, 0.1, (125, 3))
+        snap.particles.typeid[:] = (rng.rand(125) < 0.2).astype(int)
+        hoomd.init.read_snapshot(snap)
+        nl = md.nlist.cell(r_buff=0.4)
+        lj = md.pair.lj(r_cut=2.5, nlist=nl)
+        lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+        lj.pair_coeff.set('A', 'B', epsilon=1.5, sigma=0.8,
+                          r_cut=2.0)
+        lj.pair_coeff.set('B', 'B', epsilon=0.5, sigma=0.88)
+        lj.set_params(mode='shift')
+        md.integrate.mode_standard(dt=0.0)
+        md.integrate.nve(group=hoomd.group.all())
+        return hoomd, hoomd.context.current.system
+
+    hoomd, s1 = build(False)
+    hoomd.run(1, quiet=True)
+    assert not s1._program.get('fast')
+    o1 = np.asarray(s1.state.rtag)
+    f1 = np.asarray(s1.state.net_force)[o1]
+    pe1 = float(np.asarray(s1.state.net_pe).sum())
+
+    hoomd, s2 = build(True)
+    hoomd.run(1, quiet=True)
+    assert s2._program.get('fast')
+    o2 = np.asarray(s2.state.rtag)
+    f2 = np.asarray(s2.state.net_force)[o2]
+    pe2 = float(np.asarray(s2.state.net_pe).sum())
+
+    scale = max(np.abs(f1).max(), 1.0)
+    assert np.abs(f1 - f2).max() < 2e-4 * scale
+    assert pe1 == pytest.approx(pe2, abs=1e-2, rel=1e-4)
 
 
 @pytest.mark.parametrize("pot,coeffs", [

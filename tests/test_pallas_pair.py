@@ -203,3 +203,57 @@ def test_generic_planar_kernel_matches_xla(name, pnames, vals):
     scale = max(float(jnp.max(jnp.abs(f2))), 1.0)
     assert float(jnp.max(jnp.abs(f1 - f2))) < 5e-4 * scale
     assert float(jnp.abs(jnp.sum(pe1) - jnp.sum(pe2))) < 1e-2
+
+
+def test_multitype_planar_kernel_matches_xla():
+    """One-hot coefficient mixing in the planar kernel vs the gathering
+    XLA formulation, 3 types with asymmetric coefficients + cutoffs."""
+    import jax.numpy as jnp
+    from hoomd_tpu.box import Box
+    from hoomd_tpu.ops import cells
+    from hoomd_tpu.ops.pallas_pair import (build_cell_layout,
+                                           build_cell_shifts,
+                                           cell_pair_planar,
+                                           cell_pair_xla)
+    from hoomd_tpu.ops.cells import bin_particles
+    rng = np.random.RandomState(1)
+    n, a = 6, 1.4
+    N, L = n ** 3, n * 1.4
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing='ij'),
+                    -1).reshape(-1, 3)
+    pos_np = ((grid + 0.5) * a - L / 2
+              + rng.uniform(-0.2, 0.2, (N, 3))).astype(np.float32)
+    tid_np = rng.randint(0, 3, N)
+    box = Box.create(L)
+    cell_dim = cells.choose_cell_dim(np.array([L] * 3), 2.0)
+    C = 24
+    cp, pid, ovf = build_cell_layout(jnp.asarray(pos_np), box,
+                                     cell_dim, C)
+    # types follow the same layout permutation
+    pidn = np.asarray(pid).reshape(-1)
+    typ = np.zeros(pidn.shape, np.int32)
+    sel = pidn < N
+    typ[sel] = tid_np[pidn[sel]]
+    typ = jnp.asarray(typ.reshape(cp.shape[0], C))
+    adj, sh = build_cell_shifts(cell_dim, np.array([L] * 3))
+    sh = jnp.asarray(sh, jnp.float32)
+    T = 3
+    eps = np.array([[1.0, 1.5, 0.7], [1.5, 0.5, 1.1], [0.7, 1.1, 2.0]])
+    sig = np.array([[1.0, 0.8, 0.9], [0.8, 0.88, 1.0],
+                    [0.9, 1.0, 0.75]])
+    rc = np.array([[2.0, 1.8, 1.9], [1.8, 2.0, 1.7], [1.9, 1.7, 2.0]])
+    s6 = sig ** 6
+    lj1 = 4 * eps * s6 * s6
+    lj2 = 4 * eps * s6
+    pv = jnp.asarray(np.stack([rc * rc, np.zeros((T, T)), lj1, lj2,
+                               rc]), jnp.float32)     # [rc2,eshift,*pn]
+    pn = ('lj1', 'lj2', 'rcut')
+    f1, pe1, v1 = cell_pair_planar(cp, cell_dim, sh, pv, C=C,
+                                   eval_name='lj', pnames=pn,
+                                   interpret=True, ntypes=T,
+                                   cell_typ=typ)
+    f2, pe2, v2 = cell_pair_xla(cp, cell_dim, sh, pv, eval_name='lj',
+                                pnames=pn, ntypes=T, cell_typ=typ)
+    scale = max(float(jnp.max(jnp.abs(f2))), 1.0)
+    assert float(jnp.max(jnp.abs(f1 - f2))) < 5e-4 * scale
+    assert float(jnp.abs(jnp.sum(pe1) - jnp.sum(pe2))) < 1e-2
