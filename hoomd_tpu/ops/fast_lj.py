@@ -35,7 +35,7 @@ from .. import variant as variant_mod
 from .pallas_pair import (build_cell_shifts, cell_pair_lj,
                           cell_pair_lj_pallas3d, cell_pair_lj_row,
                           cell_pair_lj_xla, cell_pair_planar,
-                          cell_pair_xla)
+                          cell_pair_planar_n3l, cell_pair_xla)
 
 
 @struct.dataclass
@@ -179,6 +179,22 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 pos_cells.reshape(nc, C, 3), cell_dim, shifts,
                 dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
                 interpret=interpret, want_pv=want_pv, ntypes=ntypes,
+                cell_typ=(typ_cells.reshape(nc, C)
+                          if ntypes > 1 else None))
+        elif impl == 'planar_n3l':
+            # half-stencil kernel is force-only; the rare pe/virial
+            # refresh (chunk boundaries) rides the full planar kernel
+            if want_pv:
+                return cell_pair_planar(
+                    pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                    dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
+                    interpret=interpret, want_pv=True, ntypes=ntypes,
+                    cell_typ=(typ_cells.reshape(nc, C)
+                              if ntypes > 1 else None))
+            return cell_pair_planar_n3l(
+                pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
+                interpret=interpret, ntypes=ntypes,
                 cell_typ=(typ_cells.reshape(nc, C)
                           if ntypes > 1 else None))
         elif impl in ('pallas3d', 'row'):

@@ -67,7 +67,7 @@ def _kernel(adj_ref, lj_ref, xi_ref, *rest):
     # distances via MXU: r2 = |xi|^2 + |xj|^2 - 2 xi.xj
     xi2 = jnp.sum(xi * xi, axis=-1, keepdims=True)          # (C,1)
     xj2 = jnp.sum(xj * xj, axis=-1, keepdims=True).T        # (1,27C)
-    S = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32,
+    S = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype,
                 precision=jax.lax.Precision.HIGHEST)
     r2 = xi2 + xj2 - 2.0 * S
 
@@ -87,7 +87,7 @@ def _kernel(adj_ref, lj_ref, xi_ref, *rest):
 
     # force via MXU: F_i = (sum_j fdivr) xi - fdivr @ xj
     w = jnp.sum(fdivr, axis=1, keepdims=True)               # (C,1)
-    fxj = jnp.dot(fdivr, xj, preferred_element_type=jnp.float32,
+    fxj = jnp.dot(fdivr, xj, preferred_element_type=xi.dtype,
                   precision=jax.lax.Precision.HIGHEST)
     F = w * xi - fxj
     f_ref[0] = F
@@ -99,7 +99,7 @@ def _kernel(adj_ref, lj_ref, xi_ref, *rest):
     #                     + (f @ (xj_a xj_b))
     pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
     xj_sq = jnp.stack([xj[:, a] * xj[:, b] for a, b in pairs], axis=-1)
-    fq = jnp.dot(fdivr, xj_sq, preferred_element_type=jnp.float32,
+    fq = jnp.dot(fdivr, xj_sq, preferred_element_type=xi.dtype,
                  precision=jax.lax.Precision.HIGHEST)
     vir = jnp.stack(
         [w[:, 0] * xi[:, a] * xi[:, b] - xi[:, a] * fxj[:, b]
@@ -290,7 +290,7 @@ def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
     xi2 = jnp.sum(xi * xi, axis=-1)                       # (nc, C)
     xj2 = jnp.sum(xj * xj, axis=-1)                       # (nc, 27C)
     S = jnp.einsum('ncd,nkd->nck', xi, xj, precision=HI,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=cell_pos.dtype)
     r2 = xi2[:, :, None] + xj2[:, None, :] - 2.0 * S
     # see the kernel above: PAD filtered by magnitude, self by threshold
     finite = (xi2[:, :, None] < 1e16) & (xj2[:, None, :] < 1e16)
@@ -301,14 +301,14 @@ def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
     e = jnp.where(valid, e_raw - e_shift, 0.0)
     w = jnp.sum(fdivr, axis=2)                            # (nc, C)
     fxj = jnp.einsum('nck,nkd->ncd', fdivr, xj, precision=HI,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=cell_pos.dtype)
     F = w[:, :, None] * xi - fxj
     pe = 0.5 * jnp.sum(e, axis=2)
     pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
     xj_sq = jnp.stack([xj[..., a] * xj[..., b] for a, b in pairs],
                       axis=-1)                            # (nc, 27C, 6)
     fq = jnp.einsum('nck,nkp->ncp', fdivr, xj_sq, precision=HI,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=cell_pos.dtype)
     vir = jnp.stack(
         [w * xi[..., a] * xi[..., b] - xi[..., a] * fxj[..., b]
          - xi[..., b] * fxj[..., a] + fq[..., k]
@@ -869,3 +869,239 @@ def _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift, params_vec, *,
         vir = jnp.transpose(vir.reshape(6, nc, C), (1, 2, 0))
         return f, pe.reshape(nc, C), vir
     return jnp.transpose(out[0].reshape(3, nc, C), (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# Newton's-third-law (half-stencil) planar kernel
+# ---------------------------------------------------------------------------
+#
+# The full planar kernel evaluates every pair twice (once from each side:
+# 9 (dz, dy) stencil rows x 3 dx).  This variant walks only the HALF
+# stencil {(0,0), (0,1), (1,-1), (1,0), (1,1)} — grid (nz, ny, 5) — and
+# scatters each pair's force to BOTH particles (the reference CPU path's
+# third_law optimization, md/PotentialPair.h:309, re-expressed for the
+# TPU: the j-side contributions cannot be accumulated into the revisited
+# output block because they belong to a different row, so they are
+# written to a per-(row, stencil) side buffer and folded with five
+# periodic rolls outside the kernel).  Within the self row (ik == 0) the
+# dx = -1 lane block is masked entirely and the same-cell block keeps
+# only slot-ordered pairs i < j.  Force-only (the MD hot loop); pe/virial
+# refreshes ride the full planar kernel at chunk boundaries.
+
+_N3L_OFFS = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def _kernel_planar_n3l(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref,
+                       *rest, eval_name='lj', pnames=('lj1', 'lj2'),
+                       ntypes=1):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from . import pair_eval
+    if ntypes > 1:
+        tj_ref = rest[0]
+        ti_ref = rest[1]
+        rest = rest[2:]
+    f_ref = rest[0]
+    fj_ref = rest[1]
+
+    ik = pl.program_id(2)
+    C = xj_ref.shape[-1]
+    evaluator = getattr(pair_eval, eval_name)
+    # (dz, dy) = ((ik+4)//3 - 1, (ik+4)%3 - 1): the half-stencil rows are
+    # the last five of the full kernel's 9-row enumeration
+    sy = sy_ref[pl.program_id(1), (ik + 4) % 3]
+    sz = sz_ref[pl.program_id(0), (ik + 4) // 3]
+
+    def rolls(comp):                       # comp (nx, C)
+        rm = jnp.concatenate([comp[-1:], comp[:-1]], axis=0)   # dx=-1
+        rp = jnp.concatenate([comp[1:], comp[:1]], axis=0)     # dx=+1
+        return rm, comp, rp
+
+    bx, by, bz = (xj_ref[c, 0, 0] for c in range(3))   # (nx, C) each
+    xm, x0, xp = rolls(bx)
+    jx = jnp.concatenate([xm + sx_ref[0], x0,
+                          xp + sx_ref[2]], axis=-1)            # (nx, 3C)
+    ym, y0, yp = rolls(by)
+    jy = jnp.concatenate([ym, y0, yp], axis=-1) + sy
+    zm, z0, zp = rolls(bz)
+    jz = jnp.concatenate([zm, z0, zp], axis=-1) + sz
+
+    if ntypes == 1:
+        rc2 = lj_ref[0, 0]
+        pdict = {nm: lj_ref[0, 2 + k] for k, nm in enumerate(pnames)}
+    else:
+        T = ntypes
+        twm, tw0, twp = rolls(tj_ref[0, 0])
+        tw = jnp.concatenate([twm, tw0, twp], axis=-1)     # (nx, 3C)
+        ti = ti_ref[0, 0]                                  # (nx, C, 1)
+        ohj = [tw == float(b) for b in range(T)]
+        ohi = [ti == float(a) for a in range(T)]
+
+        def field(k):
+            acc = 0.0
+            for a in range(T):
+                inner = 0.0
+                for b in range(T):
+                    inner = inner + jnp.where(ohj[b],
+                                              lj_ref[k, a * T + b], 0.0)
+                acc = acc + jnp.where(ohi[a], inner[:, None, :], 0.0)
+            return acc
+        rc2 = field(0)
+        pdict = {nm: field(2 + k) for k, nm in enumerate(pnames)}
+
+    xix = xi_ref[0, 0, 0]                  # (nx, C, 1) pre-transposed
+    xiy = xi_ref[1, 0, 0]
+    xiz = xi_ref[2, 0, 0]
+    drx = xix - jx[:, None, :]             # (nx, C, 3C)
+    dry = xiy - jy[:, None, :]
+    drz = xiz - jz[:, None, :]
+    r2 = drx * drx + dry * dry + drz * drz
+    # PAD/self handling identical to _kernel_planar (clamp keeps fdivr
+    # finite; fdivr * dr(=0) self terms vanish)
+    r2s = jnp.maximum(r2, 1e-3)
+    cut = r2 < rc2
+    f_raw, _ = evaluator.energy_force(r2s, pdict)
+    fdivr = jnp.where(cut, f_raw, 0.0)
+    # self-row masking: drop the dx=-1 block and keep only i < j within
+    # the same cell (2-D iotas, no bool-broadcast — Mosaic-safe)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 1)
+    isub = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 0)
+    keep = ((lane >= 2 * C)
+            | ((lane >= C) & (isub < lane - C))).astype(fdivr.dtype)
+    wm = jnp.where(ik == 0, keep, 1.0)     # (C, 3C)
+    fdivr = fdivr * wm[None]
+
+    px = fdivr * drx                       # (nx, C, 3C)
+    py = fdivr * dry
+    pz = fdivr * drz
+    F = jnp.stack([jnp.sum(px, axis=-1), jnp.sum(py, axis=-1),
+                   jnp.sum(pz, axis=-1)])  # (3, nx, C)
+
+    def foldx(G):                          # (nx, 3C) -> (nx, C)
+        Gm, G0, Gp = G[:, :C], G[:, C:2 * C], G[:, 2 * C:]
+        # dx=-1 pairs put j at ix-1: out[x] += Gm[x+1]; dx=+1: Gp[x-1]
+        return (jnp.concatenate([Gm[1:], Gm[:1]], axis=0) + G0
+                + jnp.concatenate([Gp[-1:], Gp[:-1]], axis=0))
+
+    Gj = jnp.stack([foldx(jnp.sum(px, axis=1)),
+                    foldx(jnp.sum(py, axis=1)),
+                    foldx(jnp.sum(pz, axis=1))])   # (3, nx, C)
+    fj_ref[:, 0, 0, 0] = -Gj
+
+    @pl.when(ik == 0)
+    def _init():
+        f_ref[:, 0, 0] = F
+
+    @pl.when(ik > 0)
+    def _acc():
+        f_ref[:, 0, 0] += F
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'interpret',
+                                    'eval_name', 'pnames', 'ntypes'))
+def cell_pair_planar_n3l(cell_pos, cell_dim, cell_shift, params_vec, *,
+                         C, eval_name, pnames, interpret=False,
+                         ntypes=1, cell_typ=None):
+    """Half-stencil planar Pallas kernel (force only) — ~1.8x fewer VPU
+    candidate evaluations than cell_pair_planar by Newton's third law.
+    Same params_vec contract as cell_pair_planar; returns (nc, C, 3)
+    forces."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dt = cell_pos.dtype
+    g = cell_pos.reshape(nz, ny, nx, C, 3)
+    gp = jnp.transpose(g, (4, 0, 1, 2, 3))
+    gt = gp[..., None]
+    Lx = cell_shift[nc - 1, 26, 0]
+    Ly = cell_shift[nc - 1, 26, 1]
+    Lz = cell_shift[nc - 1, 26, 2]
+    ar = jnp.arange(nx)
+    sx = jnp.stack([jnp.where(ar == 0, -Lx, 0.0),
+                    jnp.zeros((nx,), dt),
+                    jnp.where(ar == nx - 1, Lx, 0.0)])   # (3, nx)
+    sx = jnp.broadcast_to(sx[:, :, None], (3, nx, C))
+    ay = jnp.arange(ny)[:, None] + jnp.arange(3)[None, :] - 1
+    sy = (Ly * jnp.where(ay < 0, -1, 0)
+          + Ly * jnp.where(ay >= ny, 1, 0)).astype(dt)    # (ny, 3)
+    az = jnp.arange(nz)[:, None] + jnp.arange(3)[None, :] - 1
+    sz = (Lz * jnp.where(az < 0, -1, 0)
+          + Lz * jnp.where(az >= nz, 1, 0)).astype(dt)    # (nz, 3)
+
+    xj_spec = pl.BlockSpec(
+        (3, 1, 1, nx, C),
+        lambda iz, iy, ik: (
+            0, (iz + (ik + 4) // 3 - 1) % nz,
+            (iy + (ik + 4) % 3 - 1) % ny, 0, 0),
+        memory_space=pltpu.VMEM)
+    xi_spec = pl.BlockSpec((3, 1, 1, nx, C, 1),
+                           lambda iz, iy, ik: (0, iz, iy, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sx_spec = pl.BlockSpec((3, nx, C), lambda iz, iy, ik: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((3, 1, 1, nx, C),
+                          lambda iz, iy, ik: (0, iz, iy, 0, 0),
+                          memory_space=pltpu.VMEM)
+    fj_spec = pl.BlockSpec((3, 1, 1, 1, nx, C),
+                           lambda iz, iy, ik: (0, iz, iy, ik, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [f_spec, fj_spec]
+    out_shape = [jax.ShapeDtypeStruct((3, nz, ny, nx, C), dt),
+                 jax.ShapeDtypeStruct((3, nz, ny, 5, nx, C), dt)]
+    in_specs = [
+        pl.BlockSpec((ny, 3), lambda iz, iy, ik: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nz, 3), lambda iz, iy, ik: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    NP = 2 + len(pnames)
+    if ntypes == 1:
+        in_specs.append(pl.BlockSpec((1, NP),
+                                     lambda iz, iy, ik: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        par = params_vec.reshape(1, -1)
+        extra = ()
+    else:
+        in_specs.append(pl.BlockSpec((NP, ntypes * ntypes),
+                                     lambda iz, iy, ik: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        par = params_vec.reshape(NP, -1)
+        typf = cell_typ.astype(dt).reshape(nz, ny, nx, C)
+        typ_t = typf[..., None]
+        tj_spec = pl.BlockSpec(
+            (1, 1, nx, C),
+            lambda iz, iy, ik: (
+                (iz + (ik + 4) // 3 - 1) % nz,
+                (iy + (ik + 4) % 3 - 1) % ny, 0, 0),
+            memory_space=pltpu.VMEM)
+        ti_spec = pl.BlockSpec((1, 1, nx, C, 1),
+                               lambda iz, iy, ik: (iz, iy, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        extra = (typf, typ_t)
+    in_specs += [xj_spec, xi_spec, sx_spec]
+    if ntypes > 1:
+        in_specs += [tj_spec, ti_spec]
+    fi, fj = pl.pallas_call(
+        functools.partial(_kernel_planar_n3l, eval_name=eval_name,
+                          pnames=pnames, ntypes=ntypes),
+        grid=(nz, ny, 5),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(sy, sz, par, gp, gt, sx, *extra)
+    # fold the j-side buffer: contributions computed at row (iz, iy) for
+    # stencil (dz, dy) belong to row (iz+dz, iy+dy) -> periodic roll
+    F = fi
+    for k, (dz, dy) in enumerate(_N3L_OFFS):
+        part = fj[:, :, :, k]
+        if (dz, dy) != (0, 0):
+            part = jnp.roll(part, shift=(dz, dy), axis=(1, 2))
+        F = F + part
+    return jnp.transpose(F.reshape(3, nc, C), (1, 2, 0))

@@ -410,12 +410,16 @@ class System:
             return None
         impl = impl_env
         if impl is None:
-            # the planar (SoA) row kernel keeps every elementwise op on
+            # the planar (SoA) row kernels keep every elementwise op on
             # (nx, C, 3C) lane tiles (~94% VPU utilization at C=40); the
             # AoS variants waste lanes on the xyz triplet and the XLA roll
-            # formulation materializes (nc, C, 27C) in HBM.  XLA remains
-            # the portable path (CPU tests, interpret-free fallback).
-            impl = 'planar' if jax.default_backend() == 'tpu' else 'xla'
+            # formulation materializes (nc, C, 27C) in HBM.  The default
+            # is the Newton's-third-law half-stencil variant (5 of 9
+            # stencil rows, each pair evaluated once and scattered to
+            # both particles).  XLA remains the portable path (CPU
+            # tests, interpret-free fallback).
+            impl = 'planar_n3l' if jax.default_backend() == 'tpu' \
+                else 'xla'
         ntypes = len(self.particle_types)
         if ntypes > 1 and impl in ('pallas', 'pallas3d', 'row'):
             return None

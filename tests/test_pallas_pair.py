@@ -257,3 +257,50 @@ def test_multitype_planar_kernel_matches_xla():
     scale = max(float(jnp.max(jnp.abs(f2))), 1.0)
     assert float(jnp.max(jnp.abs(f1 - f2))) < 5e-4 * scale
     assert float(jnp.abs(jnp.sum(pe1) - jnp.sum(pe2))) < 1e-2
+
+
+def test_planar_n3l_kernel_matches_bruteforce():
+    """Half-stencil Newton's-third-law kernel vs brute force (interpret
+    mode; covers same-cell, neighbor and wrapped-image pairs)."""
+    import jax.numpy as jnp
+    from hoomd_tpu.box import Box
+    from hoomd_tpu.ops.pallas_pair import (build_cell_layout,
+                                           build_cell_shifts,
+                                           cell_pair_planar_n3l)
+
+    rng = np.random.RandomState(3)
+    for n, a, cd, C in [(8, 1.2, (3, 3, 3), 48), (6, 1.6, (2, 2, 2), 80)]:
+        g = np.arange(n) * a - n * a / 2
+        X, Y, Z = np.meshgrid(g, g, g, indexing='ij')
+        p = np.stack([X, Y, Z], -1).reshape(-1, 3)
+        p += rng.uniform(-0.12, 0.12, p.shape)
+        L = n * a
+        p -= L * np.round(p / L)
+        p = p.astype(np.float32)
+        N = len(p)
+        rc = 2.5
+        box = Box.create(L)
+        # brute-force oracle in f64
+        p64 = p.astype(np.float64)
+        dr = p64[:, None] - p64[None, :]
+        dr -= L * np.round(dr / L)
+        r2 = (dr ** 2).sum(-1)
+        np.fill_diagonal(r2, 1e9)
+        r6 = 1.0 / r2 ** 3
+        fdv = np.where(r2 < rc * rc, (48 * r6 - 24) * r6 / r2, 0.0)
+        F_bf = (fdv[:, :, None] * dr).sum(1)
+
+        pv = jnp.asarray([rc * rc, 0.0, 4.0, 4.0], jnp.float32)
+        _, shifts = build_cell_shifts(cd, np.array([L] * 3))
+        shifts = jnp.asarray(shifts, jnp.float32)
+        cp, pid, ovf = build_cell_layout(jnp.asarray(p), box, cd, C)
+        assert not bool(ovf)
+        F = cell_pair_planar_n3l(cp, cd, shifts, pv, C=C,
+                                 eval_name='lj', pnames=('lj1', 'lj2'),
+                                 interpret=True)
+        pid_f = np.asarray(pid).reshape(-1)
+        sel = pid_f < N
+        fn = np.asarray(F).reshape(-1, 3)[sel]
+        fbf = F_bf[pid_f[sel]]
+        scale = np.abs(fbf).max()
+        assert np.abs(fn - fbf).max() / scale < 2e-5
