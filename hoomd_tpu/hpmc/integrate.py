@@ -697,6 +697,72 @@ class sphere_union(_aniso_hpmc):
         return overlap
 
 
+class sphinx(_aniso_hpmc):
+    """Sphinx particles — intersections of positive spheres and
+    complements of negative ('dimple') spheres (reference
+    hpmc.integrate.sphinx, hpmc/ShapeSphinx.h:181, integrate.py:1536).
+    shape_param.set('A', centers=[(x,y,z), ...], diameters=[d0, d1, ...])
+    with negative diameters marking dimples.  Overlap: E.R. Chen's
+    sphere-arrangement separation algebra, vectorized over all subsets
+    of size <= 4 of the combined sphere set (see sphinx_overlap.py)."""
+
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4):
+        _aniso_hpmc.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
+                             nselect=nselect)
+
+    def _tables(self, system):
+        import jax.numpy as jnp
+        types = system.particle_types
+        ns = max(len(self.shape_param[t].get('centers', [(0, 0, 0)]))
+                 for t in types)
+        nt = len(types)
+        C = np.zeros((nt, ns, 3))
+        R = np.zeros((nt, ns))      # signed radii; zero = inert padding
+        for i, t in enumerate(types):
+            cs = np.asarray(self.shape_param[t].get('centers',
+                                                    [(0, 0, 0)]),
+                            np.float64).reshape(-1, 3)
+            ds = np.asarray(self.shape_param[t].get(
+                'diameters', [1.0] * len(cs)), np.float64)
+            C[i, :len(cs)] = cs
+            R[i, :len(cs)] = ds / 2.0
+        return jnp.asarray(C, jnp.float32), jnp.asarray(R, jnp.float32)
+
+    def _interaction_diameter(self, system):
+        # circumsphere: max over positive spheres of |center| + radius
+        C, R = self._tables(system)
+        Cn, Rn = np.asarray(C), np.asarray(R)
+        reach = np.where(Rn > 0, np.linalg.norm(Cn, axis=2) + Rn, 0.0)
+        return 2.0 * float(reach.max())
+
+    def _make_overlap_fn(self, system):
+        import jax.numpy as jnp
+        from ..ops import quat as Q
+        from .sphinx_overlap import arrangement_separated, subset_tables
+        C, R = self._tables(system)
+        S = C.shape[1]
+        tables = subset_tables(2 * S)
+
+        def overlap(dr, ti, tj, state, i_sel, cand, q_i=None, q_j=None):
+            M, Cc = dr.shape[:2]
+            ci = Q.rotate(q_i[:, None, None, :],
+                          C[ti].reshape(M, 1, S, 3))       # (M,1,S,3)
+            cj = Q.rotate(q_j[..., None, :],
+                          C[tj].reshape(M, Cc, S, 3))      # (M,C,S,3)
+            # combined arrangement in i's frame: j's spheres at cj - dr
+            pos = jnp.concatenate(
+                [jnp.broadcast_to(ci, (M, Cc, S, 3)),
+                 cj - dr[..., None, :]], axis=-2)          # (M,C,2S,3)
+            ri = jnp.broadcast_to(R[ti].reshape(M, 1, S), (M, Cc, S))
+            rj = R[tj].reshape(M, Cc, S)
+            r = jnp.concatenate([ri, rj], axis=-1)         # (M,C,2S)
+            valid = r != 0.0
+            sgn = jnp.where(r < 0, -1.0, 1.0)
+            sep = arrangement_separated(pos, r * r, sgn, valid, tables)
+            return ~sep
+        return overlap
+
+
 class convex_polygon(_aniso_hpmc):
     """Hard convex polygons, 2D (reference hpmc.integrate.convex_polygon,
     ShapeConvexPolygon.h): SAT over the edge normals of both shapes —

@@ -573,3 +573,90 @@ def test_simple_polygon_nonconvex():
             mis.append((trial, dx, got, ref))
     assert nck > 30
     assert not mis, mis[:3]
+
+
+def test_sphinx_overlap_vs_sampling_oracle():
+    """Sphinx (dimpled-sphere) separation algebra vs a dense point-
+    membership oracle on random dimpled-sphere pairs."""
+    import jax.numpy as jnp
+    from hoomd_tpu.hpmc.sphinx_overlap import (arrangement_separated,
+                                               subset_tables)
+
+    rng = np.random.RandomState(2)
+
+    def rotmat(q):
+        w, x, y, z = q
+        return np.array(
+            [[1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+              2 * (x * z + w * y)],
+             [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+              2 * (y * z - w * x)],
+             [2 * (x * z - w * y), 2 * (y * z + w * x),
+              1 - 2 * (x * x + y * y)]])
+
+    def member(z, cen, rad):
+        d2 = ((z[:, None, :] - cen[None]) ** 2).sum(-1)
+        ok = np.where(rad[None] > 0, d2 <= rad[None] ** 2,
+                      d2 >= rad[None] ** 2)
+        return ok.all(1)
+
+    def oracle(cenp, radp, cenq, radq, ngrid=40):
+        lo = (cenp[radp > 0] - radp[radp > 0, None]).min(0)
+        hi = (cenp[radp > 0] + radp[radp > 0, None]).max(0)
+        g = [np.linspace(lo[k], hi[k], ngrid) for k in range(3)]
+        Z = np.stack(np.meshgrid(*g, indexing='ij'), -1).reshape(-1, 3)
+        return (member(Z, cenp, radp) & member(Z, cenq, radq)).any()
+
+    def mkshape():
+        nneg = rng.randint(0, 4)
+        cen = [np.zeros(3)]
+        rad = [1.0]
+        for _ in range(nneg):
+            u = rng.normal(size=3)
+            u /= np.linalg.norm(u)
+            cen.append(u * 1.1)
+            rad.append(-rng.uniform(0.3, 0.6))
+        return np.array(cen), np.array(rad)
+
+    checked = 0
+    for t in range(60):
+        cp, rp = mkshape()
+        cq, rq = mkshape()
+        qp = rotmat(rand_quat(rng))
+        qq = rotmat(rand_quat(rng))
+        rab = rng.uniform(-2.2, 2.2, 3)
+        cenp = cp @ qp.T
+        cenq = cq @ qq.T + rab
+        o = oracle(cenp, rp, cenq, rq)
+        # skip marginal geometries where the grid oracle is ambiguous
+        if oracle(cenp, rp * 1.03, cenq, rq * 1.03) != \
+                oracle(cenp, rp * 0.97, cenq, rq * 0.97):
+            continue
+        S = max(len(rp), len(rq))
+        pos = np.zeros((2 * S, 3))
+        r = np.zeros(2 * S)
+        pos[:len(rp)] = cenp
+        r[:len(rp)] = rp
+        pos[S:S + len(rq)] = cenq
+        r[S:S + len(rq)] = rq
+        sep = bool(arrangement_separated(
+            jnp.asarray(pos)[None], jnp.asarray(r * r)[None],
+            jnp.asarray(np.where(r < 0, -1.0, 1.0))[None],
+            jnp.asarray(r != 0)[None], subset_tables(2 * S))[0])
+        assert (not sep) == o, (t, rp, rq, rab)
+        checked += 1
+    assert checked >= 40
+
+
+def test_sphinx_mc_dimpled_spheres():
+    """Dimpled-sphere MC: moves accepted, and no final-state overlaps per
+    the sphinx predicate (reference hpmc.integrate.sphinx)."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.6), n=3)
+    mc = hpmc.integrate.sphinx(seed=7, d=0.1, a=0.3, nselect=2)
+    mc.shape_param.set('A', diameters=[1.0, -1.2],
+                       centers=[(0, 0, 0), (0.75, 0, 0)])
+    hoomd.run(20, quiet=True)
+    assert mc.count_overlaps() == 0
+    assert mc.get_translate_acceptance() > 0.05
