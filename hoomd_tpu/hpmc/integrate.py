@@ -49,6 +49,38 @@ class _hpmc_counters:
         return self.rotate_accept / t if t else 0.0
 
 
+class interaction_matrix:
+    """Per-type-pair overlap-check enables (reference
+    hpmc/integrate.py:11-29 ``interaction_matrix``; every shape exposes
+    it as ``mc.overlap_checks``).  Pairs default to enabled; disabling
+    e.g. ('B', 'B') makes B particles mutually penetrable — the explicit
+    realization of a depletant bath."""
+
+    def __init__(self, mc):
+        self._mc = mc
+        self._enables = {}
+
+    @staticmethod
+    def _key(a, b):
+        return (a, b) if a <= b else (b, a)
+
+    def set(self, a, b, enable):
+        self._enables[self._key(a, b)] = bool(enable)
+        self._mc._dirty()
+
+    def get(self, a, b):
+        return self._enables.get(self._key(a, b), True)
+
+    def matrix(self, types):
+        """(T, T) boolean numpy matrix in the given type order."""
+        T = len(types)
+        m = np.ones((T, T), bool)
+        for i, a in enumerate(types):
+            for j, b in enumerate(types):
+                m[i, j] = self.get(a, b)
+        return m
+
+
 class shape_param_proxy:
     """Per-type shape parameters (reference hpmc ShapeProxy.h:34-397)."""
 
@@ -70,15 +102,21 @@ class shape_param_proxy:
 class mode_hpmc:
     """Base HPMC integrator (reference IntegratorHPMC)."""
 
-    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4):
+    def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4,
+                 implicit=False):
         self.seed = int(seed)
         self.move_ratio = float(move_ratio)
         self.nselect = int(nselect)
+        self.implicit = bool(implicit)
+        self.nR = 0.0
+        self.depletant_type = None
+        self.ntrial = 1          # accepted for API parity; see set_params
         self._default_d = float(d)
         self._default_a = float(a)
         self.d_by_type = {}
         self.a_by_type = {}
         self.shape_param = shape_param_proxy(self)
+        self.overlap_checks = interaction_matrix(self)
         self._patch = None        # jit.patch.user attaches here
         self._external = None     # hpmc.field.* attaches here
         self.counters = _hpmc_counters()
@@ -88,7 +126,44 @@ class mode_hpmc:
     def _dirty(self):
         context.current.system._dirty()
 
-    def set_params(self, d=None, a=None, move_ratio=None, nselect=None):
+    def set_params(self, d=None, a=None, move_ratio=None, nselect=None,
+                   nR=None, depletant_type=None, ntrial=None):
+        """Set move sizes and (implicit mode) depletant parameters
+        (reference hpmc/integrate.py:411-424 set_params).
+
+        nR: reservoir number density of implicit depletants in free
+        volume; depletant_type: particle type inserted as depletant.
+        ntrial is accepted for API compatibility; the TPU acceptance
+        rule (one-shot Poisson sampling of the newly covered exclusion
+        volume, satisfying detailed balance directly) has no
+        re-insertion loop, so it is a no-op."""
+        if nR is not None:
+            if not self.implicit:
+                raise RuntimeError(
+                    "hpmc: nR requires an integrator constructed with "
+                    "implicit=True")
+            self.nR = float(nR)
+        if depletant_type is not None:
+            if not self.implicit:
+                raise RuntimeError(
+                    "hpmc: depletant_type requires implicit=True")
+            self.depletant_type = str(depletant_type)
+        if ntrial is not None:
+            self.ntrial = int(ntrial)
+        return self._set_move_params(d=d, a=a, move_ratio=move_ratio,
+                                     nselect=nselect)
+
+    def get_nR(self):
+        return self.nR
+
+    def get_depletant_type(self):
+        return self.depletant_type
+
+    def get_ntrial(self):
+        return self.ntrial
+
+    def _set_move_params(self, d=None, a=None, move_ratio=None,
+                         nselect=None):
         if d is not None:
             if isinstance(d, dict):
                 self.d_by_type.update(d)
@@ -136,6 +211,14 @@ class mode_hpmc:
         """Max center-to-center distance at which two shapes can overlap."""
         raise NotImplementedError
 
+    def _circumradii(self, system):
+        """Per-type circumsphere radii.  The conservative default (half
+        the max interaction diameter for every type) only enlarges the
+        depletant sampling volume — Poisson thinning keeps the
+        acceptance rule exact for any covering volume."""
+        r = 0.5 * self._interaction_diameter(system)
+        return np.full(len(system.particle_types), r)
+
     def count_overlaps(self, system=None):
         """Number of overlapping pairs in the current configuration
         (reference IntegratorHPMCMono::countOverlaps).  Blocked all-pairs
@@ -145,7 +228,7 @@ class mode_hpmc:
         import jax.numpy as jnp
         from .. import context as _ctx
         system = system or _ctx.current.system
-        fn = self._make_overlap_fn(system)
+        fn = self._make_checked_overlap_fn(system)
         st = system.state
         N = st.N
         pos = st.pos
@@ -179,6 +262,21 @@ class mode_hpmc:
         True where shapes overlap."""
         raise NotImplementedError
 
+    def _make_checked_overlap_fn(self, system):
+        """Shape overlap fn AND the interaction-matrix enables
+        (reference hpmc/IntegratorHPMCMono.h overlap_idx lookups)."""
+        fn = self._make_overlap_fn(system)
+        m = self.overlap_checks.matrix(system.particle_types)
+        if m.all():
+            return fn
+        import jax.numpy as jnp
+        mat = jnp.asarray(m)
+
+        def checked(dr, ti, tj, *a, **k):
+            # advanced indexing broadcasts (M,1) x (M,C) -> (M,C)
+            return fn(dr, ti, tj, *a, **k) & mat[ti, tj]
+        return checked
+
     def _has_rotation(self):
         return False
 
@@ -199,6 +297,17 @@ class mode_hpmc:
         if patch is not None:
             diam = max(diam, patch.r_cut)
         w_min = diam + 2.0 * d_max
+        # -- implicit depletants (reference IntegratorHPMCMonoImplicit;
+        # redesigned acceptance, see the sub_sweep block below).  The
+        # stencil must additionally cover the depletant test reach:
+        # d + R_samp + rc_dep + rc_max + d <= w_min + 2 rc_dep.
+        implicit_on = bool(self.implicit and self.nR > 0
+                           and self.depletant_type is not None)
+        if implicit_on:
+            rc_arr = np.asarray(self._circumradii(system), float)
+            dep_idx = list(types).index(self.depletant_type)
+            rc_dep = float(rc_arr[dep_idx])
+            w_min += 2.0 * rc_dep
         # tilted (sheared) boxes shrink the perpendicular slab width of a
         # fraction-space cell by 1/sqrt(1+t^2); pad the requirement so the
         # stencil invariant survives boxmc shear moves
@@ -247,13 +356,30 @@ class mode_hpmc:
             class_table[k, :len(c)] = c
         class_table = jnp.asarray(class_table)
         d_by_type = jnp.asarray(d_arr, dtype=dtype)
-        overlap_fn = self._make_overlap_fn(system)
+        overlap_fn = self._make_checked_overlap_fn(system)
         has_rotation = self._has_rotation()
         trial_rotation = (self._make_trial_rotation(system, dtype)
                           if has_rotation else None)
         n_sub = 8 * self.nselect
         seed = self.seed
         dims = state.box.dimensions
+
+        if implicit_on:
+            # per-type depletant sampling radius (covers the exclusion
+            # region E_i(new) of any mover of that type) and Poisson cap
+            R_samp_np = rc_arr + rc_dep
+            if dims == 3:
+                vol_np = 4.0 / 3.0 * np.pi * R_samp_np ** 3
+            else:
+                vol_np = np.pi * R_samp_np ** 2
+            lam_max = float(self.nR * vol_np.max())
+            M_dep = int(np.ceil(lam_max + 6.0 * np.sqrt(lam_max))) + 4
+            M_dep = max(M_dep, system._grow.get('hpmc_dep_cap', 0))
+            R_samp = jnp.asarray(R_samp_np, dtype)
+            vol_samp = jnp.asarray(vol_np, dtype)
+            nR = float(self.nR)
+        else:
+            M_dep = 0
 
         def sub_sweep(state, counters, sweep_idx, class_idx):
             box = state.box
@@ -321,6 +447,83 @@ class mode_hpmc:
             olap &= cand != i_sel[:, None]
             olap &= cand < N
             reject = jnp.any(olap, axis=1) | ~has
+            dep_ovf = jnp.zeros((), bool)
+            if implicit_on:
+                # Implicit depletants (reference
+                # IntegratorHPMCMonoImplicit.h, Glaser et al. 2015
+                # redesigned for the checkerboard): integrating out an
+                # ideal penetrable-depletant bath at fugacity nR gives
+                # the effective weight exp(nR * V_free).  Detailed
+                # balance holds with P_acc(old->new) = exp(-nR * |B|)
+                # where B = E_i(new) \ (E_i(old) u U) is the exclusion
+                # volume newly covered by the move (the reverse move's
+                # region is exactly the freed volume A).  Realized by
+                # Poisson(nR * V_samp) uniform insertions in a sampling
+                # ball covering E_i(new): reject iff any depletant
+                # overlaps i_new but neither i_old nor any other
+                # particle.  Oversampling (V_samp > |E_i(new)|) is
+                # exact by Poisson thinning.
+                kd = jax.random.fold_in(k_aux, 7)
+                Rs = R_samp[ti]                           # (csize,)
+                lam = nR * vol_samp[ti]
+                ndep = jax.random.poisson(
+                    jax.random.fold_in(kd, 0), lam)       # (csize,)
+                dep_ovf = jnp.any(ndep > M_dep)
+                gd = jax.random.normal(jax.random.fold_in(kd, 1),
+                                       (csize, M_dep, 3), dtype=dtype)
+                if dims == 2:
+                    gd = gd.at[..., 2].set(0.0)
+                gd = gd / jnp.maximum(
+                    jnp.linalg.norm(gd, axis=-1, keepdims=True), 1e-12)
+                ud = jax.random.uniform(jax.random.fold_in(kd, 2),
+                                        (csize, M_dep), dtype=dtype)
+                radd = ud ** (1.0 / dims) * Rs[:, None]
+                dep = x_new[:, None, :] + gd * radd[..., None]
+                live = (jnp.arange(M_dep)[None, :]
+                        < jnp.minimum(ndep, M_dep)[:, None])
+                dep_tj = jnp.full((csize, M_dep), dep_idx, jnp.int32)
+                if has_rotation:
+                    qd = jax.random.normal(
+                        jax.random.fold_in(kd, 3),
+                        (csize, M_dep, 4), dtype=dtype)
+                    qd = qd / jnp.maximum(
+                        jnp.linalg.norm(qd, axis=-1, keepdims=True),
+                        1e-12)
+                else:
+                    qd = jnp.broadcast_to(
+                        jnp.asarray([1.0, 0, 0, 0], dtype),
+                        (csize, M_dep, 4))
+                # (a) depletant overlaps the mover's NEW configuration
+                dr_n = box.min_image(x_new[:, None, :] - dep)
+                o_new = overlap_fn(dr_n, ti[:, None], dep_tj, state,
+                                   None, None, q_i=q_new, q_j=qd)
+                # (b) ... but not its OLD configuration
+                dr_o = box.min_image(x_old[:, None, :] - dep)
+                o_old = overlap_fn(dr_o, ti[:, None], dep_tj, state,
+                                   None, None, q_i=q_old, q_j=qd)
+                # (c) ... and no OTHER particle (stencil candidates,
+                # excluding the mover itself): rows = (mover, depletant)
+                K = cand.shape[1]
+                M2 = csize * M_dep
+                pc = pos_pad[cand]                        # (csize, K, 3)
+                dr_c = box.min_image(
+                    dep[:, :, None, :] - pc[:, None, :, :])
+                ti_dep = jnp.full((M2, 1), dep_idx, jnp.int32)
+                tj_c = jnp.broadcast_to(tj[:, None, :],
+                                        (csize, M_dep, K))
+                qc = jnp.broadcast_to(quat_pad[cand][:, None],
+                                      (csize, M_dep, K, 4))
+                o_oth = overlap_fn(dr_c.reshape(M2, K, 3), ti_dep,
+                                   tj_c.reshape(M2, K), state, None,
+                                   None, q_i=qd.reshape(M2, 4),
+                                   q_j=qc.reshape(M2, K, 4))
+                lane_ok = (cand != i_sel[:, None]) & (cand < N)
+                o_oth &= jnp.broadcast_to(
+                    lane_ok[:, None, :], (csize, M_dep, K)
+                ).reshape(M2, K)
+                o_any = jnp.any(o_oth, axis=1).reshape(csize, M_dep)
+                viol = live & o_new & ~o_old & ~o_any
+                reject = reject | jnp.any(viol, axis=1)
             if patch is not None:
                 # Metropolis on the user patch energy (reference
                 # PatchEnergyJIT plugged into the HPMC acceptance)
@@ -387,6 +590,8 @@ class mode_hpmc:
                 'rotate_reject': counters['rotate_reject']
                 + (n_try_r - n_acc_r),
                 'cell_overflow': counters['cell_overflow'] | cell_ovf,
+                'depletant_overflow':
+                    counters['depletant_overflow'] | dep_ovf,
             }
             return state.replace(pos=new_pos, orientation=new_q), counters
 
@@ -410,13 +615,15 @@ class mode_hpmc:
             z = jnp.zeros((), jnp.int32)
             return {'translate_accept': z, 'translate_reject': z,
                     'rotate_accept': z, 'rotate_reject': z,
-                    'cell_overflow': jnp.zeros((), bool)}
+                    'cell_overflow': jnp.zeros((), bool),
+                    'depletant_overflow': jnp.zeros((), bool)}
 
         import jax
         return {'run_chunk': jax.jit(run_chunk),
                 'run_chunk_raw': run_chunk,
                 'init_counters': init_counters,
-                'cell_cap': cell_cap}
+                'cell_cap': cell_cap,
+                'dep_cap': M_dep}
 
     # -- python-visible state sync ------------------------------------------
     def _absorb_counters(self, dev_counters):
@@ -433,12 +640,15 @@ class sphere(mode_hpmc):
     def __init__(self, seed, d=0.1, nselect=4, implicit=False,
                  move_ratio=0.5):
         mode_hpmc.__init__(self, seed, d=d, nselect=nselect,
-                           move_ratio=move_ratio)
+                           move_ratio=move_ratio, implicit=implicit)
 
     def _diameters(self, system):
         return np.array([
             float(self.shape_param[t].get('diameter', 1.0))
             for t in system.particle_types])
+
+    def _circumradii(self, system):
+        return 0.5 * self._diameters(system)
 
     def _interaction_diameter(self, system):
         return float(self._diameters(system).max())
@@ -564,7 +774,7 @@ class convex_polyhedron(_aniso_hpmc):
     def __init__(self, seed, d=0.1, a=0.1, move_ratio=0.5, nselect=4,
                  implicit=False, max_verts=None):
         _aniso_hpmc.__init__(self, seed, d=d, a=a, move_ratio=move_ratio,
-                             nselect=nselect)
+                             nselect=nselect, implicit=implicit)
 
     def _shape_tables(self, system):
         import jax.numpy as jnp

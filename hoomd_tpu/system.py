@@ -649,12 +649,19 @@ class System:
                 for _ in range(8):
                     state, counters = self._program['run_chunk'](
                         state0, self._hpmc_counters, chunk)
-                    if not bool(counters['cell_overflow']):
+                    cell_ovf = bool(counters['cell_overflow'])
+                    dep_ovf = bool(counters.get('depletant_overflow',
+                                                False))
+                    if not (cell_ovf or dep_ovf):
                         break
-                    # grow the MC cell capacity and retry from the saved
-                    # state (same protocol as the neighbor list)
-                    self._grow['hpmc_cell_cap'] = \
-                        int(self._program['cell_cap'] * 1.5) + 4
+                    # grow the overflowed capacity and retry from the
+                    # saved state (same protocol as the neighbor list)
+                    if cell_ovf:
+                        self._grow['hpmc_cell_cap'] = \
+                            int(self._program['cell_cap'] * 1.5) + 4
+                    if dep_ovf:
+                        self._grow['hpmc_dep_cap'] = \
+                            int(self._program.get('dep_cap', 0) * 1.5) + 8
                     self._rebuild_program()
                 else:
                     raise RuntimeError("hpmc cell capacity still "

@@ -13,6 +13,14 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
 
+# jax may already be imported at interpreter startup (sitecustomize) with
+# a hardware platform in JAX_PLATFORMS — env edits alone come too late in
+# that case, but the backend is not yet initialized, so config.update
+# still redirects everything to the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
