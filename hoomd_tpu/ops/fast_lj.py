@@ -54,27 +54,57 @@ class FastCarry:
     aux: dict               # thermostat variables
     overflow: jnp.ndarray   # () bool sticky
     n_rebuilds: jnp.ndarray  # () int
+    danger: jnp.ndarray     # () bool sticky: skin crossed mid-window
+    since: jnp.ndarray      # () int steps since last rebuild
 
 
 def plan_fast_lj(N, box_L, rcut, r_buff):
-    """Static planning: cell grid and capacity."""
-    w = rcut + r_buff
-    cell_dim = tuple(max(1, int(np.floor(l / w))) for l in box_L)
-    ncells = int(np.prod(cell_dim))
-    mean = N / ncells
-    # capacity: mean + ~5 sigma of liquid occupancy fluctuations, rounded
-    # to the f32 sublane; the planar kernel's lane tile is 3C, so C=40
-    # (120 lanes of 128) is the sweet spot the formula aims for at
-    # benchmark densities.  Rare overflow recompiles with a larger C.
-    C = int(np.ceil(mean * 1.45)) + 6
-    C = max(16, ((C + 7) // 8) * 8)
+    """Static planning: cell grid and capacity.
+
+    Kernel time is proportional to nc * C (the lane window always pads
+    to one 128-lane tile and C to the 8-sublane granularity), so the
+    planner scans the feasible cell grids (width >= rcut + r_buff,
+    3C <= 128) and picks the one minimizing padded slots.  C covers the
+    mean occupancy plus ~4.6 sigma of liquid density fluctuations
+    (measured sub-Poissonian: sigma ~ 0.5 sqrt(mean) for dense LJ, but
+    sized here with the Poissonian sigma for dilute safety); the sticky
+    overflow flag + grow/retry protocol backstops the tail."""
+    w0 = rcut + r_buff
+    L = np.asarray(box_L, float)
+    dmax = tuple(max(1, int(np.floor(l / w0))) for l in L)
+
+    def cap_for(mean):
+        # mean + 4 sigma with the measured dense-liquid count variance
+        # (sigma ~ 0.5 sqrt(mean); Poissonian dilute systems have low
+        # mean anyway); the sticky-overflow grow/retry is the backstop
+        C = int(np.ceil(mean + 2.0 * np.sqrt(mean))) + 2
+        return max(16, ((C + 7) // 8) * 8)
+
+    best = None
+    from itertools import product
+    ranges = [range(max(1, d - 4), d + 1) for d in dmax]
+    for cdim in product(*ranges):
+        nc = int(np.prod(cdim))
+        C = cap_for(N / nc)
+        if 3 * C > 128:
+            continue
+        slots = nc * C
+        if best is None or slots < best[0]:
+            best = (slots, cdim, nc, C)
+    if best is None:
+        # no grid fits the one-lane-tile window: fall back to the
+        # coarsest grid and let C exceed the tile (correct, slower)
+        nc = int(np.prod(dmax))
+        return dmax, nc, cap_for(N / nc)
+    _, cell_dim, ncells, C = best
     return cell_dim, ncells, C
 
 
 def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         method_seed, dtype, interpret=False,
                         impl='xla', eval_name='lj',
-                        pnames=('lj1', 'lj2', 'rcut'), ntypes=1):
+                        pnames=('lj1', 'lj2', 'rcut'), ntypes=1,
+                        k_rebuild=8):
     """Returns (to_fast, run_chunk, to_state_fields).
 
     dyn layout: {'pv': [rc2, e_shift, *pnames] evaluator params, 'lj':
@@ -109,7 +139,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     same_width = (jnp.dtype(dtype).itemsize
                   == jnp.dtype(idt).itemsize)
 
-    def _rebin(pos_f, vel_f, img_f, tag_f, typ_f, mass_f):
+    def _rebin(pos_f, vel_f, img_f, tag_f, typ_f, mass_f, frc_f=None):
         """Flattened arrays -> fresh cell-major layout.
 
         ONE multi-operand lax.sort carries every per-particle column with
@@ -118,7 +148,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         row-scatter places the sorted rows into padded slots.  This
         replaces argsort + searchsorted + 5 gathers, which measured ~2x
         slower end-to-end on TPU (1-D gathers are ~0.75 ms each at
-        M~110k; the 12-operand sort is ~1.8 ms total)."""
+        M~110k; the 12-operand sort is ~1.8 ms total).  frc_f rides the
+        sort as 3 extra columns when given (the fixed-cadence rebuild
+        permutes live forces; the conversion path recomputes them)."""
         valid = tag_f >= 0
         pos_w, img_w = box.wrap(pos_f, img_f)
         cid = jnp.where(valid, _cid_flat(pos_w), nc).astype(idt)
@@ -136,9 +168,12 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 pad = jnp.concatenate(
                     [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)])
                 return pad[src]
-            return (take(pos_w, PAD_COORD), take(vel_f, 0),
-                    take(img_w, 0), take(tag_f, -1), take(typ_f, 0),
-                    take(mass_f, 1), ovf)
+            out = (take(pos_w, PAD_COORD), take(vel_f, 0),
+                   take(img_w, 0), take(tag_f, -1), take(typ_f, 0),
+                   take(mass_f, 1))
+            if frc_f is not None:
+                out = out + (take(frc_f, 0),)
+            return out + (ovf,)
 
         def bc(a):
             return jax.lax.bitcast_convert_type(a, dtype)
@@ -146,6 +181,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 vel_f[:, 0], vel_f[:, 1], vel_f[:, 2],
                 bc(img_w[:, 0]), bc(img_w[:, 1]), bc(img_w[:, 2]),
                 bc(tag_f), bc(typ_f), mass_f)
+        if frc_f is not None:
+            cols = cols + (frc_f[:, 0], frc_f[:, 1], frc_f[:, 2])
         s = jax.lax.sort(cols, num_keys=1)
         scid = s[0]
         idx = jnp.arange(M, dtype=idt)
@@ -157,17 +194,21 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         ok = (rank < C) & (scid < nc)
         slot = jnp.where(ok, scid * C + rank, M)
         ovf = jnp.any((scid < nc) & (rank >= C))
-        payload = jnp.stack(s[1:], axis=-1)                  # (M, 12)
+        payload = jnp.stack(s[1:], axis=-1)            # (M, 12 [+3])
         fill = jnp.concatenate([
             jnp.full((3,), PAD_COORD, dtype), jnp.zeros((3,), dtype),
             bc(jnp.zeros((3,), idt)), bc(jnp.full((1,), -1, idt)),
-            bc(jnp.zeros((1,), idt)), jnp.ones((1,), dtype)])
+            bc(jnp.zeros((1,), idt)), jnp.ones((1,), dtype)]
+            + ([jnp.zeros((3,), dtype)] if frc_f is not None else []))
         out = jnp.tile(fill, (M, 1)).at[slot].set(payload, mode='drop')
 
         def ubc(a):
             return jax.lax.bitcast_convert_type(a, idt)
-        return (out[:, 0:3], out[:, 3:6], ubc(out[:, 6:9]),
-                ubc(out[:, 9]), ubc(out[:, 10]), out[:, 11], ovf)
+        res = (out[:, 0:3], out[:, 3:6], ubc(out[:, 6:9]),
+               ubc(out[:, 9]), ubc(out[:, 10]), out[:, 11])
+        if frc_f is not None:
+            res = res + (out[:, 12:15],)
+        return res + (ovf,)
 
     def _forces(pos_cells, typ_cells, dyn, want_pv=True):
         if impl == 'pallas':
@@ -245,30 +286,20 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         vel = jnp.where(valid, vel + 0.5 * dt * c.frc * minv, vel)
         pos = jnp.where(valid, c.pos + dt * vel, c.pos)   # NO wrap here
 
-        # ---- Verlet check + conditional rebuild
+        # ---- skin monitor (NO branch: a per-step lax.cond costs ~1 ms
+        # on TPU even when not taken — measured; rebuilds instead run on
+        # a fixed cadence between step windows, the reference's
+        # check_period design, NeighborList.h check_period).  Forces this
+        # step are exact iff max displacement since the last rebuild is
+        # under skin/2; crossing mid-window raises the sticky danger
+        # flag and the host retries the segment with a smaller window
+        # (the reference only warns on dangerous builds; the retry makes
+        # the fixed cadence exact).
         d = pos - c.ref_pos
         md2 = jnp.max(jnp.where(valid, jnp.sum(d * d, -1, keepdims=True),
                                 0.0))
-        needs = md2 > (0.5 * skin) ** 2
-
-        def do_rebuild(args):
-            pos, vel, img, tag, typ, mass, ovf, nr = args
-            p, v, im, t, ty, m, o = _rebin(
-                pos.reshape(M, 3), vel.reshape(M, 3),
-                img.reshape(M, 3), tag.reshape(M), typ.reshape(M),
-                mass.reshape(M))
-            return (p.reshape(nc, C, 3), v.reshape(nc, C, 3),
-                    im.reshape(nc, C, 3), t.reshape(nc, C),
-                    ty.reshape(nc, C), m.reshape(nc, C), ovf | o,
-                    nr + 1)
-
-        pos, vel, img, tag, typ, mass, ovf, nr = jax.lax.cond(
-            needs, do_rebuild, lambda a: a,
-            (pos, vel, c.img, c.tag, c.typ, c.mass, c.overflow,
-             c.n_rebuilds))
-        ref = jnp.where(needs, pos, c.ref_pos)
-        valid = (tag >= 0)[..., None]
-        minv = 1.0 / mass[..., None]
+        danger = c.danger | (md2 > (0.5 * skin) ** 2)
+        img, tag, typ, mass = c.img, c.tag, c.typ, c.mass
 
         # ---- forces (Pallas cell-pair kernel); pe/virial are NOT
         # computed in the hot loop — refresh_forces fills them at chunk
@@ -305,13 +336,65 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
 
         return FastCarry(pos=pos, vel=vel, frc=frc, pe=c.pe, vir=c.vir,
                          img=img, tag=tag, typ=typ, mass=mass,
-                         ref_pos=ref, timestep=c.timestep + 1, aux=aux,
-                         overflow=ovf, n_rebuilds=nr)
+                         ref_pos=c.ref_pos, timestep=c.timestep + 1,
+                         aux=aux, overflow=c.overflow, danger=danger,
+                         n_rebuilds=c.n_rebuilds, since=c.since + 1)
 
-    def run_chunk(carry, dyn, nsteps):
-        def body(_, c):
-            return one_step(c, dyn)
-        return jax.lax.fori_loop(0, nsteps, body, carry)
+    def rebuild_carry(c: FastCarry):
+        """Unconditional re-bin into fresh cell-major layout (forces
+        ride the sort so the next half-kick sees them in slot order)."""
+        p, v, im, t, ty, m, f, o = _rebin(
+            c.pos.reshape(M, 3), c.vel.reshape(M, 3),
+            c.img.reshape(M, 3), c.tag.reshape(M), c.typ.reshape(M),
+            c.mass.reshape(M), c.frc.reshape(M, 3))
+        p = p.reshape(nc, C, 3)
+        return c.replace(
+            pos=p, vel=v.reshape(nc, C, 3), img=im.reshape(nc, C, 3),
+            tag=t.reshape(nc, C), typ=ty.reshape(nc, C),
+            mass=m.reshape(nc, C), ref_pos=p, frc=f.reshape(nc, C, 3),
+            overflow=c.overflow | o, n_rebuilds=c.n_rebuilds + 1,
+            since=jnp.zeros((), idt))
+
+    @functools.partial(jax.jit, static_argnames=('k',))
+    def run_blocks(carry, dyn, nblocks, *, k):
+        """nblocks windows of k steps, each followed by a rebuild."""
+        def blk(_, c):
+            c = jax.lax.fori_loop(
+                0, k, lambda _, cc: one_step(cc, dyn), c)
+            return rebuild_carry(c)
+        return jax.lax.fori_loop(0, nblocks, blk, carry)
+
+    @jax.jit
+    def run_steps(carry, dyn, m):
+        """m plain steps (dynamic trip count), no rebuild."""
+        return jax.lax.fori_loop(
+            0, m, lambda _, c: one_step(c, dyn), carry)
+
+    @jax.jit
+    def run_rebuild(carry, dyn):
+        return rebuild_carry(carry)
+
+    def run(carry, dyn, nsteps):
+        """Host orchestrator: windows of k_rebuild steps with a rebuild
+        between windows, honoring the carry's current steps-since-
+        rebuild; dynamic-length head/tail segments avoid recompiles for
+        arbitrary nsteps."""
+        k = k_rebuild
+        left = int(nsteps)
+        since = int(carry.since)
+        if since > 0 and since + left > k:
+            head = k - since
+            if head > 0:
+                carry = run_steps(carry, dyn, jnp.asarray(head, idt))
+                left -= head
+            carry = run_rebuild(carry, dyn)
+        nb = left // k
+        if nb > 0:
+            carry = run_blocks(carry, dyn, jnp.asarray(nb, idt), k=k)
+            left -= nb * k
+        if left > 0:
+            carry = run_steps(carry, dyn, jnp.asarray(left, idt))
+        return carry
 
     # ---- conversions -------------------------------------------------------
     @jax.jit
@@ -341,7 +424,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             mass=m.reshape(nc, C),
             ref_pos=p.reshape(shape3),
             timestep=state.timestep, aux=aux,
-            overflow=ovf, n_rebuilds=jnp.zeros((), idt))
+            overflow=ovf, n_rebuilds=jnp.zeros((), idt),
+            danger=jnp.zeros((), bool), since=jnp.zeros((), idt))
         return carry
 
     @jax.jit
@@ -377,4 +461,4 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             timestep=carry.timestep)
         return new
 
-    return to_fast, refresh_forces, jax.jit(run_chunk), to_state
+    return to_fast, refresh_forces, run, to_state

@@ -1046,9 +1046,15 @@ def cell_pair_planar_n3l(cell_pos, cell_dim, cell_shift, params_vec, *,
     f_spec = pl.BlockSpec((3, 1, 1, nx, C),
                           lambda iz, iy, ik: (0, iz, iy, 0, 0),
                           memory_space=pltpu.VMEM)
-    fj_spec = pl.BlockSpec((3, 1, 1, 1, nx, C),
-                           lambda iz, iy, ik: (0, iz, iy, ik, 0, 0),
-                           memory_space=pltpu.VMEM)
+    # the j-side contribution computed at row (iz, iy) for stencil
+    # offset (dz, dy) belongs to row (iz+dz, iy+dy): write it THERE via
+    # the output index map (distinct k-planes never collide), so the
+    # host-side fold is a plain sum over k — no periodic rolls
+    fj_spec = pl.BlockSpec(
+        (3, 1, 1, 1, nx, C),
+        lambda iz, iy, ik: (0, (iz + (ik + 4) // 3 - 1) % nz,
+                            (iy + (ik + 4) % 3 - 1) % ny, ik, 0, 0),
+        memory_space=pltpu.VMEM)
     out_specs = [f_spec, fj_spec]
     out_shape = [jax.ShapeDtypeStruct((3, nz, ny, nx, C), dt),
                  jax.ShapeDtypeStruct((3, nz, ny, 5, nx, C), dt)]
@@ -1096,12 +1102,7 @@ def cell_pair_planar_n3l(cell_pos, cell_dim, cell_shift, params_vec, *,
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=interpret,
     )(sy, sz, par, gp, gt, sx, *extra)
-    # fold the j-side buffer: contributions computed at row (iz, iy) for
-    # stencil (dz, dy) belong to row (iz+dz, iy+dy) -> periodic roll
-    F = fi
-    for k, (dz, dy) in enumerate(_N3L_OFFS):
-        part = fj[:, :, :, k]
-        if (dz, dy) != (0, 0):
-            part = jnp.roll(part, shift=(dz, dy), axis=(1, 2))
-        F = F + part
+    # j-side contributions were already written to their destination
+    # rows by the output index map: fold = plain sum over the 5 k-planes
+    F = fi + jnp.sum(fj, axis=3)
     return jnp.transpose(F.reshape(3, nc, C), (1, 2, 0))

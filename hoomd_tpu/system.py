@@ -425,17 +425,44 @@ class System:
             return None
         pnames = tuple(sorted(
             f._pack_params(self)['tables'].keys())) + ('rcut',)
+        # rebuild window: steps for the fastest particle to cross half
+        # the Verlet skin at the current dt (conservative: the true
+        # max-displacement crossing is slower than ballistic v_max).
+        # Quantized to bound recompiles; the in-window danger flag +
+        # segment retry (see _run_fast_chunk) makes any estimate exact.
+        import jax.numpy as _jnp
+        skin = float(min(_np.asarray(box.L) / _np.asarray(cell_dim))
+                     - rcut)
+        skin = max(skin, r_buff)
+        vmax = float(_jnp.max(_jnp.linalg.norm(self._state_raw.vel,
+                                               axis=-1)))
+        dt = float(getattr(self.integrator_mode, 'dt', 0.005)
+                   or 0.005)
+        # 0.55 margin: the danger flag is sticky over a whole segment
+        # (hundreds of windows), so the per-window crossing probability
+        # must be negligible, not merely small — the extreme-value
+        # concentration of the 64k-particle max displacement makes the
+        # crossing time sharp, and 0.55x ballistic sits far in its tail
+        k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
+        for q in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
+            if q <= max(k_est, 1):
+                k_rebuild = q
+                break
+        cap = self._grow.get('fast_k_cap')
+        if cap:
+            k_rebuild = min(k_rebuild, cap)
+        self._fast_k_dt = dt
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
             method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
             interpret=interpret, impl=impl, eval_name=eval_name,
-            pnames=pnames, ntypes=ntypes)
+            pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
                 'eval_name': eval_name, 'pnames': pnames,
-                'ntypes': ntypes}
+                'ntypes': ntypes, 'k_rebuild': k_rebuild}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
@@ -486,42 +513,68 @@ class System:
         return out
 
     def _run_fast_chunk(self, chunk):
-        """Execute one chunk on the cell-major engine, with the usual
-        grow-and-retry protocol on cell-capacity overflow.  The carry stays
-        device-resident across chunks; State is materialized lazily by the
-        ``state`` property only when a host op actually reads it."""
-        import jax.numpy as jnp
-        for attempt in range(4):
-            fast = self._program['fast']
-            m = fast['method']
-            fdyn = self._dyn['fast']
-            carry0 = self._fast_carry
-            if carry0 is None:
-                aux = self._method_aux_by_obj.get(m) \
-                    or m._init_aux(self._state_raw)
-                if not isinstance(aux, dict):
-                    aux = {}
-                carry0 = fast['to_fast'](self._state_raw, aux)
-                carry0 = fast['refresh'](carry0, fdyn)
-            carry = fast['run_chunk'](carry0, fdyn,
-                                      jnp.asarray(chunk, jnp.int32))
-            if not bool(carry.overflow):
-                self._fast_carry = carry
-                self._fast_state_stale = True
-                return
-            # overflow: recover the pre-chunk state, grow capacity, retry
-            if not bool(carry0.overflow):
-                self._state_raw = fast['to_state'](carry0, self._state_raw)
-            self._fast_carry = None
-            self._fast_state_stale = False
-            self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
+        """Execute one chunk on the cell-major engine in bounded
+        segments, with grow-and-retry on cell-capacity overflow and
+        shrink-and-retry on a dangerous rebuild window (Verlet skin
+        crossed between fixed-cadence rebuilds).  The carry stays
+        device-resident across chunks; State is materialized lazily by
+        the ``state`` property only when a host op actually reads it."""
+        # the rebuild window k was sized for the dt in effect at compile
+        # time; a materially different dt (e.g. equilibration at small
+        # dt, production at full dt) would trigger a danger-retry storm
+        # or waste rebuilds — re-plan instead, and drop any danger cap
+        # that the stale window caused
+        dt_now = float(getattr(self.integrator_mode, 'dt', 0.005)
+                       or 0.005)
+        k_dt = getattr(self, '_fast_k_dt', dt_now)
+        if abs(dt_now - k_dt) > 0.25 * max(k_dt, 1e-12):
+            self._grow.pop('fast_k_cap', None)
             self._rebuild_program()
             self._pack_dyn()
-        raise RuntimeError(
-            "fast LJ engine: cell capacity still overflowing after "
-            "repeated growth — this usually means the dynamics diverged "
-            "(NaN positions collapse into one cell); check dt and the "
-            "initial configuration")
+        done = 0
+        while done < chunk:
+            seg = min(512, chunk - done)
+            for attempt in range(6):
+                fast = self._program['fast']
+                m = fast['method']
+                fdyn = self._dyn['fast']
+                carry0 = self._fast_carry
+                if carry0 is None:
+                    aux = self._method_aux_by_obj.get(m) \
+                        or m._init_aux(self._state_raw)
+                    if not isinstance(aux, dict):
+                        aux = {}
+                    carry0 = fast['to_fast'](self._state_raw, aux)
+                    carry0 = fast['refresh'](carry0, fdyn)
+                carry = fast['run_chunk'](carry0, fdyn, seg)
+                ovf = bool(carry.overflow)
+                dng = bool(carry.danger)
+                if not (ovf or dng):
+                    self._fast_carry = carry
+                    self._fast_state_stale = True
+                    break
+                # recover the pre-segment state, adjust, recompile, retry
+                if not bool(carry0.overflow):
+                    self._state_raw = fast['to_state'](carry0,
+                                                       self._state_raw)
+                self._fast_carry = None
+                self._fast_state_stale = False
+                if ovf:
+                    self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
+                if dng:
+                    k_now = fast.get('k_rebuild', 8)
+                    quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
+                    self._grow['fast_k_cap'] = next(
+                        (q for q in quanta if q < k_now), 1)
+                self._rebuild_program()
+                self._pack_dyn()
+            else:
+                raise RuntimeError(
+                    "fast LJ engine: capacity overflow or dangerous "
+                    "rebuild persists after repeated adjustment — this "
+                    "usually means the dynamics diverged (NaN "
+                    "positions); check dt and the initial configuration")
+            done += seg
 
     def _ensure_ready(self):
         if self._program is None or self._dirty_flag:
@@ -585,6 +638,21 @@ class System:
         t_wall0 = time.perf_counter()
         deadline = (t_wall0 + limit_hours * 3600.0) if limit_hours else None
 
+        # SIGINT ends the run at the next chunk boundary with valid state
+        # (reference SignalHandler.cc / System.cc:610-615 g_sigint_recvd);
+        # a second Ctrl-C falls through to the default KeyboardInterrupt
+        import signal
+        sigint = {'hit': False}
+        prev_handler = None
+
+        def _on_sigint(signum, frame):
+            sigint['hit'] = True
+            signal.signal(signal.SIGINT, prev_handler or signal.SIG_DFL)
+        try:
+            prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+        except ValueError:          # non-main thread: no handler swap
+            prev_handler = None
+
         # initial force computation so step1 sees valid accelerations
         # (the fast engine computes its own via refresh on conversion)
         if self._program['kind'] == 'md' and not self._program.get('fast'):
@@ -629,6 +697,11 @@ class System:
                              - (cur % callback_period))
             chunk = int(min(stops)) - cur
             chunk = max(chunk, 1)
+            # an op may have reconfigured the simulation (wall moves,
+            # enable/disable, set_params): rebuild/repack before the
+            # next device chunk (reference: ops mutate the C++ objects
+            # the next step reads directly)
+            self._ensure_ready()
 
             t_chunk = time.perf_counter()
             if self._program['kind'] == 'md' and self._program.get('fast'):
@@ -639,6 +712,10 @@ class System:
                     _jax.block_until_ready(self.state.pos)
                     prof['device_s'] += time.perf_counter() - t_chunk
                     prof['chunks'] += 1
+                if sigint['hit']:
+                    if not quiet:
+                        print("** caught SIGINT: ending run **")
+                    break
                 if deadline and time.perf_counter() > deadline:
                     if not quiet:
                         print("** walltime limit reached **")
@@ -691,10 +768,19 @@ class System:
                 prof['device_s'] += time.perf_counter() - t_chunk
                 prof['chunks'] += 1
             cur += chunk
+            if sigint['hit']:
+                if not quiet:
+                    print("** caught SIGINT: ending run **")
+                break
             if deadline and time.perf_counter() > deadline:
                 if not quiet:
                     print("** walltime limit reached **")
                 break
+        if prev_handler is not None:
+            try:
+                signal.signal(signal.SIGINT, prev_handler)
+            except ValueError:
+                pass
         # block until the device is done so TPS is honest
         jax.block_until_ready(self.state.pos)
         elapsed = time.perf_counter() - t_wall0
