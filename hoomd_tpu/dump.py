@@ -85,17 +85,35 @@ class dcd(Analyzer):
 
 
 class getar(Analyzer):
-    """Reference dump.getar (libgetar zip/tar archives,
-    GetarDumpWriter.h).  The archival container here is the same frame
-    store as dump.gsd; provided for API compatibility."""
+    """Archival zip dumps (reference dump.getar, GetarDumpWriter.h,
+    libgetar).  Writes a genuine zip container using the libgetar path
+    schema — static records at the archive root
+    (``type_names.json``, ``dimensions.u32.uni``) and per-frame dynamic
+    records under ``frames/<timestep>/`` as raw little-endian arrays
+    (``position.f32.ind``, ``velocity.f32.ind``, ``image.i32.ind``,
+    ``type.u32.ind``, ``box.f32.uni``, ...).  ``init.restore_getar``
+    reads the newest frame back."""
+
+    _DYNAMIC = ('position', 'velocity', 'image', 'type', 'box',
+                'orientation', 'charge', 'diameter', 'mass')
 
     def __init__(self, filename, mode='w', static=None, dynamic=None,
                  _register=True, period=None, **kwargs):
+        import os
+        import zipfile
         period = period or (list(dynamic.values())[0]
                             if dynamic else 10000)
         Analyzer.__init__(self, period, 0)
-        self._writer = FrameWriter(filename, overwrite=(mode == 'w'))
-        _sys().register_analyzer(self)
+        self.filename = filename
+        if mode == 'w' and os.path.exists(filename):
+            os.remove(filename)
+        self._wrote_static = False
+        # validate the container is writable up front
+        with zipfile.ZipFile(filename, 'a',
+                             zipfile.ZIP_DEFLATED):
+            pass
+        if _register:
+            _sys().register_analyzer(self)
 
     @classmethod
     def simple(cls, filename, period, mode='w', static=None, dynamic=None,
@@ -103,5 +121,46 @@ class getar(Analyzer):
         return cls(filename, mode=mode, period=period)
 
     def analyze(self, system, timestep):
+        import json
+        import zipfile
+        import numpy as np
         snap = system.take_snapshot()
-        self._writer.append(snap, timestep, _collect_op_state(system))
+        with zipfile.ZipFile(self.filename, 'a',
+                             zipfile.ZIP_DEFLATED) as z:
+            if not self._wrote_static:
+                z.writestr('type_names.json',
+                           json.dumps(list(snap.particles.types)))
+                z.writestr('dimensions.u32.uni',
+                           np.asarray([snap.box.dimensions],
+                                      np.uint32).tobytes())
+                self._wrote_static = True
+            pre = f'frames/{int(timestep)}/'
+            p = snap.particles
+            z.writestr(pre + 'position.f32.ind',
+                       np.asarray(p.position, '<f4').tobytes())
+            z.writestr(pre + 'velocity.f32.ind',
+                       np.asarray(p.velocity, '<f4').tobytes())
+            z.writestr(pre + 'image.i32.ind',
+                       np.asarray(p.image, '<i4').tobytes())
+            z.writestr(pre + 'type.u32.ind',
+                       np.asarray(p.typeid, '<u4').tobytes())
+            z.writestr(pre + 'mass.f32.ind',
+                       np.asarray(p.mass, '<f4').tobytes())
+            z.writestr(pre + 'charge.f32.ind',
+                       np.asarray(p.charge, '<f4').tobytes())
+            z.writestr(pre + 'diameter.f32.ind',
+                       np.asarray(p.diameter, '<f4').tobytes())
+            z.writestr(pre + 'orientation.f32.ind',
+                       np.asarray(p.orientation, '<f4').tobytes())
+            b = snap.box
+            z.writestr(pre + 'box.f32.uni',
+                       np.asarray([b.Lx, b.Ly, b.Lz, b.xy, b.xz,
+                                   b.yz], '<f4').tobytes())
+
+    def write_restart(self):
+        from . import context
+        system = context.current.system
+        self.analyze(system, system.timestep)
+
+    def close(self):
+        pass

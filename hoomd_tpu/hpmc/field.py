@@ -56,11 +56,72 @@ class external_field_composite:
 
 
 class wall:
-    """Hard walls for HPMC (reference ExternalFieldWall.h)."""
+    """Hard walls for HPMC spheres (reference ExternalFieldWall.h,
+    hpmc/field.py wall): sphere / cylinder / plane geometries from
+    ``md.wall.group`` confine particles; a trial move that would
+    penetrate a wall is vetoed through the external-field Metropolis
+    hook (a large finite energy per violation, so moves between
+    already-violating states remain ergodic, matching the reference's
+    behavior of never trapping an invalid start)."""
+
+    _BIG = 1.0e6
 
     def __init__(self, mc, walls):
-        raise NotImplementedError(
-            "hpmc.field.wall: hard walls for MC not yet implemented")
+        self.mc = mc
+        self.walls = walls
+        mc._external = self
+        context.current.system._dirty()
+
+    def _radii_by_type(self, system):
+        return np.array([
+            0.5 * float(self.mc.shape_param[t].get('diameter', 1.0))
+            for t in system.particle_types])
+
+    def _violations(self, x, r):
+        """Count wall violations for positions x (.., 3) with particle
+        radii r (..,) — jnp-traceable."""
+        import jax.numpy as jnp
+        v = 0
+        for w in self.walls.spheres:
+            o = jnp.asarray(w.origin, x.dtype)
+            d = jnp.linalg.norm(x - o, axis=-1)
+            bad = (d > w.r - r) if w.inside else (d < w.r + r)
+            v = v + bad.astype(jnp.int32)
+        for w in self.walls.cylinders:
+            o = jnp.asarray(w.origin, x.dtype)
+            a = jnp.asarray(w.axis, x.dtype)
+            rel = x - o
+            perp = rel - jnp.sum(rel * a, axis=-1, keepdims=True) * a
+            d = jnp.linalg.norm(perp, axis=-1)
+            bad = (d > w.r - r) if w.inside else (d < w.r + r)
+            v = v + bad.astype(jnp.int32)
+        for w in self.walls.planes:
+            o = jnp.asarray(w.origin, x.dtype)
+            n = jnp.asarray(w.normal, x.dtype)
+            s = jnp.sum((x - o) * n, axis=-1)
+            v = v + (s < r).astype(jnp.int32)
+        return v
+
+    def energy_fn(self, x, tags, state):
+        import jax.numpy as jnp
+        system = context.current.system
+        rad_t = jnp.asarray(self._radii_by_type(system), x.dtype)
+        rows = state.rtag[tags]
+        r = rad_t[state.typeid[rows]]
+        return self._BIG * self._violations(x, r)
+
+    def count_overlaps(self, system=None):
+        """Particles currently violating any wall."""
+        import jax.numpy as jnp
+        system = system or context.current.system
+        st = system.state
+        rad_t = jnp.asarray(self._radii_by_type(system), st.pos.dtype)
+        r = rad_t[st.typeid]
+        return int(jnp.sum(self._violations(st.pos, r) > 0))
+
+    def get_energy(self):
+        system = context.current.system
+        return self._BIG * float(self.count_overlaps(system))
 
 
 class callback:

@@ -685,6 +685,46 @@ class remove_drift(Updater):
 
 
 class wall(Updater):
+    """MC updates of hard-wall geometry (reference
+    UpdaterExternalFieldWall.h, hpmc/update.py wall): every ``period``
+    steps, with probability ``move_ratio``, call the user's
+    ``py_updater(timestep)`` (which mutates the wall group in place) and
+    accept iff no particle violates the updated walls, else restore the
+    previous geometry."""
+
     def __init__(self, mc, walls, py_updater, move_ratio, seed, period=1):
-        raise NotImplementedError(
-            "hpmc.update.wall: not yet implemented")
+        import copy
+        Updater.__init__(self, period, 0)
+        self.mc = mc
+        self.walls = walls
+        self.py_updater = py_updater
+        self.move_ratio = float(move_ratio)
+        self._rng = np.random.RandomState(int(seed))
+        self._copy = copy.deepcopy
+        self.accepted = 0
+        self.rejected = 0
+        context.current.system.register_updater(self)
+
+    def get_accepted_count(self, mode=0):
+        return self.accepted
+
+    def get_total_count(self, mode=0):
+        return self.accepted + self.rejected
+
+    def update(self, system, timestep):
+        if self._rng.rand() >= self.move_ratio:
+            return
+        field = self.mc._external
+        saved = (self._copy(self.walls.spheres),
+                 self._copy(self.walls.cylinders),
+                 self._copy(self.walls.planes))
+        self.py_updater(timestep)
+        system._dirty()          # wall params are baked into the program
+        if field is not None and hasattr(field, 'count_overlaps') \
+                and field.count_overlaps(system) > 0:
+            (self.walls.spheres, self.walls.cylinders,
+             self.walls.planes) = saved
+            system._dirty()
+            self.rejected += 1
+        else:
+            self.accepted += 1

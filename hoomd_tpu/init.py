@@ -109,3 +109,49 @@ def create_random(N, phi_p=None, name='A', min_dist=0.7, box=None, seed=1,
         pos[:, 2] = 0.0
     snap.particles.position[:] = pos
     return _finish_init(snap)
+
+
+def restore_getar(filename, modes=None):
+    """Initialize from the newest frame of a getar zip archive written
+    by ``dump.getar`` (reference init.restore_getar,
+    GetarInitializer.h)."""
+    import json
+    import zipfile
+
+    _require_context()
+    with zipfile.ZipFile(filename, 'r') as z:
+        names = z.namelist()
+        frames = sorted({int(n.split('/')[1]) for n in names
+                         if n.startswith('frames/')})
+        if not frames:
+            raise RuntimeError(f"restore_getar: no frames in {filename}")
+        ts = frames[-1]
+        pre = f'frames/{ts}/'
+
+        def arr(rec, dt):
+            return np.frombuffer(z.read(pre + rec), dtype=dt)
+
+        types = json.loads(z.read('type_names.json'))
+        box = np.frombuffer(z.read(pre + 'box.f32.uni'), '<f4')
+        pos = arr('position.f32.ind', '<f4').reshape(-1, 3)
+        N = len(pos)
+        snap = data.make_snapshot(
+            N, data.boxdim(Lx=float(box[0]), Ly=float(box[1]),
+                           Lz=float(box[2]), xy=float(box[3]),
+                           xz=float(box[4]), yz=float(box[5])),
+            particle_types=list(types))
+        snap.particles.position[:] = pos
+        snap.particles.velocity[:] = \
+            arr('velocity.f32.ind', '<f4').reshape(-1, 3)
+        snap.particles.image[:] = \
+            arr('image.i32.ind', '<i4').reshape(-1, 3)
+        snap.particles.typeid[:] = arr('type.u32.ind', '<u4')
+        snap.particles.mass[:] = arr('mass.f32.ind', '<f4')
+        snap.particles.charge[:] = arr('charge.f32.ind', '<f4')
+        snap.particles.diameter[:] = arr('diameter.f32.ind', '<f4')
+        snap.particles.orientation[:] = \
+            arr('orientation.f32.ind', '<f4').reshape(-1, 4)
+    sysdata = _finish_init(snap)
+    sys_ = context.current.system
+    sys_.state = sys_.state.replace(timestep=np.int32(ts))
+    return sysdata

@@ -20,6 +20,7 @@ class constant(Force):
             fvec = (fx, fy or 0.0, fz or 0.0)
         self.fvec = tuple(float(x) for x in fvec)
         self.group = group
+        self.per_tag = None        # (N, 3) per-tag overrides (imd)
         context.current.system.add_force(self)
 
     def set_force(self, fvec=None, group=None, fx=None, fy=None, fz=None):
@@ -29,6 +30,18 @@ class constant(Force):
             self.fvec = tuple(float(x) for x in fvec)
         if group is not None:
             self.group = group
+        context.current.system._refresh_params()
+
+    def set_forces(self, indices, forces):
+        """Per-particle force overrides by tag (used by analyze.imd
+        steering; reference IMDInterface force feedback).  ``forces``
+        replaces the override table rows at ``indices``; rows not listed
+        keep their previous override (zero initially)."""
+        N = context.current.system.state.N
+        if self.per_tag is None:
+            self.per_tag = np.zeros((N, 3))
+        idx = np.asarray(indices, dtype=int)
+        self.per_tag[idx] = np.asarray(forces, dtype=float)
         context.current.system._refresh_params()
 
     def _rcut_matrix(self, types):
@@ -42,7 +55,10 @@ class constant(Force):
             member[:] = True
         else:
             member[self.group.member_tags] = True
+        pp = (np.zeros((system.state.N, 3)) if self.per_tag is None
+              else self.per_tag)
         return {'f': jnp.asarray(self.fvec, dtype=dt),
+                'pp': jnp.asarray(pp, dtype=dt),
                 'member': jnp.asarray(member)}
 
     def _make_compute(self, system):
@@ -50,7 +66,8 @@ class constant(Force):
 
         def compute(state, nl, params):
             mask = params['member'][state.tag][:, None]
-            f = jnp.where(mask, params['f'][None, :], 0.0)
+            f = jnp.where(mask, params['f'][None, :], 0.0) \
+                + params['pp'][state.tag]
             z = jnp.zeros((state.N,), dtype=state.pos.dtype)
             return f.astype(state.pos.dtype), z, \
                 jnp.zeros((state.N, 6), dtype=state.pos.dtype)

@@ -6,7 +6,10 @@ protocol (hoomd/DomainDecomposition.h:49-175, Communicator.cc:1300-2298):
   * the box is split into slabs along x over the 'domain' mesh axis; each
     device OWNS the particles inside its slab (1D decomposition — the
     reference's default for elongated boxes; 3D grids are a later
-    extension);
+    extension); slab boundaries are ADJUSTABLE (carried as an (S+1,)
+    cut array) and ``rebalance_fn`` shifts them toward uniform particle
+    counts — the reference's LoadBalancer (hoomd/LoadBalancer.h:46-144)
+    acting on DomainDecomposition's fractions;
   * **ghost exchange** each step: owned particles within r_ghost of a slab
     face are packed into fixed-capacity buffers and sent to the face
     neighbor with `lax.ppermute` (the ICI replacement for the reference's
@@ -87,21 +90,21 @@ def build_spatial_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
         t = jnp.where(ok, tag[idx], -1)
         return p, v, t, jnp.sum(sel) > cap
 
-    def local_step(pos, vel, frc, tag, ts):
+    def local_step(pos, vel, frc, tag, ts, cuts):
         """One step on one shard (inside shard_map).  pos (C,3) with
-        PAD_COORD for empty slots; tag -1 for empty."""
+        PAD_COORD for empty slots; tag -1 for empty; cuts (S+1,)
+        replicated slab boundaries (adjusted by rebalance_fn)."""
         me = jax.lax.axis_index('domain')
         owned = tag >= 0
-        lo = -L / 2 + me * slab_w
-        hi = lo + slab_w
 
         # -- drift
         v_half = jnp.where(owned[:, None], vel + 0.5 * dt * frc, vel)
         pos = jnp.where(owned[:, None], _wrap(pos + dt * v_half), pos)
 
-        # -- migration: new owner by x coordinate
-        owner = jnp.clip(((pos[:, 0] + L / 2) / slab_w).astype(jnp.int32),
-                         0, S - 1)
+        # -- migration: new owner by x coordinate vs the cut array
+        # (vectorized count-of-cuts-below instead of searchsorted)
+        owner = jnp.sum(pos[:, 0:1] >= cuts[None, 1:-1],
+                        axis=1).astype(jnp.int32)
         stay = owned & (owner == me)
         go_r = owned & (owner == (me + 1) % S)
         go_l = owned & (owner == (me - 1) % S)
@@ -144,8 +147,8 @@ def build_spatial_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
         owned = tag >= 0
 
         # -- ghost exchange (positions only, both faces)
-        lo = -L / 2 + me * slab_w
-        hi = lo + slab_w
+        lo = cuts[me]
+        hi = cuts[me + 1]
         near_r = owned & (pos[:, 0] > hi - r_ghost)
         near_l = owned & (pos[:, 0] < lo + r_ghost)
         gp_r, _, gt_r, o3 = _pack(pos, vel, tag, near_r, G)
@@ -188,19 +191,20 @@ def build_spatial_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P('domain'), P('domain'), P('domain'), P('domain'),
-                  P()),
+                  P(), P()),
         out_specs=(P('domain'), P('domain'), P('domain'), P('domain'),
                    P(), P(), P(), P(), P()),
         check_vma=False)
-    def _sharded(pos, vel, frc, tag, ts):
-        return local_step(pos, vel, frc, tag, ts)
+    def _sharded(pos, vel, frc, tag, ts, cuts):
+        return local_step(pos, vel, frc, tag, ts, cuts)
 
     def step_fn(carry):
-        pos, vel, frc, tag, ts = carry
+        pos, vel, frc, tag, ts, cuts = carry
         pos, vel, frc, tag, ts, ke, pe, n, ovf = _sharded(
-            pos, vel, frc, tag, ts)
-        return (pos, vel, frc, tag, ts), {'ke': ke, 'pe': pe,
-                                          'n_owned': n, 'overflow': ovf}
+            pos, vel, frc, tag, ts, cuts)
+        return (pos, vel, frc, tag, ts, cuts), {'ke': ke, 'pe': pe,
+                                                'n_owned': n,
+                                                'overflow': ovf}
 
     def run_steps(carry, nsteps):
         def body(c, _):
@@ -235,11 +239,40 @@ def build_spatial_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
         frc = jax.device_put(jnp.zeros((S * C, 3), dtype), sh)
         tag = jax.device_put(jnp.asarray(tag_dev.reshape(S * C)), sh)
         ts = jnp.zeros((), jnp.int32)
-        return (pos, vel, frc, tag, ts)
+        cuts = jnp.asarray(np.linspace(-L / 2, L / 2, S + 1), dtype)
+        return (pos, vel, frc, tag, ts, cuts)
+
+    def rebalance_fn(carry, max_shift=0.25):
+        """Shift slab cuts toward uniform particle counts (the
+        reference LoadBalancer's fraction adjustment, LoadBalancer.cc:59).
+        Host-side: each interior cut moves toward the neighbor with the
+        higher count, bounded by max_shift * slab_w and by the minimum
+        slab width (the ghost shell), so migration stays single-hop."""
+        pos, vel, frc, tag, ts, cuts = carry
+        tag_h = np.asarray(tag)
+        pos_h = np.asarray(pos)
+        cuts_h = np.asarray(cuts).copy()
+        sel = tag_h >= 0
+        x = pos_h[sel, 0]
+        counts = np.array([
+            np.sum((x >= cuts_h[s]) & (x < cuts_h[s + 1]))
+            for s in range(S)], float)
+        target = counts.sum() / S
+        for s in range(1, S):
+            # imbalance between the two slabs sharing cut s
+            d = (counts[s - 1] - counts[s]) / max(target, 1.0)
+            shift = np.clip(0.5 * d, -1.0, 1.0) * max_shift * slab_w
+            new = cuts_h[s] - shift
+            lo_lim = cuts_h[s - 1] + r_ghost
+            hi_lim = cuts_h[s + 1] - r_ghost
+            cuts_h[s] = np.clip(new, min(lo_lim, hi_lim),
+                                max(lo_lim, hi_lim))
+        return (pos, vel, frc, tag, ts,
+                jnp.asarray(cuts_h, dtype))
 
     def gather_fn(carry):
         """Collect (pos, vel) back to tag order on the host."""
-        pos, vel, frc, tag, ts = carry
+        pos, vel, frc, tag, ts, cuts = carry
         pos = np.asarray(pos)
         vel = np.asarray(vel)
         tag = np.asarray(tag)
@@ -251,4 +284,4 @@ def build_spatial_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
         out_v[tag[sel]] = vel[sel]
         return out_p, out_v
 
-    return step_fn, init_fn, run_steps, gather_fn
+    return step_fn, init_fn, run_steps, gather_fn, rebalance_fn

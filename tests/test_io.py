@@ -124,3 +124,38 @@ def test_log_analyzer(tmp_path):
     pe = lg.query('potential_energy')
     lj_e = lg.query('pair_lj_energy')
     assert pe == pytest.approx(lj_e, rel=1e-4)
+
+
+def test_getar_zip_roundtrip(tmp_path):
+    """dump.getar writes a real zip in the libgetar path schema;
+    init.restore_getar reads the newest frame back."""
+    import zipfile
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+
+    hoomd.context.initialize("--notice-level=0")
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.8), n=3)
+    nl = md.nlist.cell()
+    lj = md.pair.lj(r_cut=2.0, nlist=nl)
+    lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+    md.integrate.mode_standard(dt=0.002)
+    md.integrate.nve(group=hoomd.group.all())
+    fn = str(tmp_path / "dump.zip")
+    hoomd.dump.getar.simple(fn, period=5)
+    hoomd.run(11, quiet=True)
+    snap0 = hoomd.context.current.system.take_snapshot()
+
+    with zipfile.ZipFile(fn) as z:
+        names = z.namelist()
+    assert 'type_names.json' in names
+    assert any(n.startswith('frames/10/position.f32.ind')
+               for n in names)
+
+    hoomd.context.initialize("--notice-level=0")
+    hoomd.init.restore_getar(fn)
+    system = hoomd.context.current.system
+    assert system.timestep == 10
+    snap1 = system.take_snapshot()
+    np.testing.assert_allclose(
+        np.asarray(snap1.particles.position),
+        np.asarray(snap0.particles.position), atol=2e-2)

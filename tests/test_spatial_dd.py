@@ -59,7 +59,8 @@ def test_spatial_dd_matches_oracle(mesh4):
     vel0 = rng.normal(0, 0.5, (N, 3))
     vel0 -= vel0.mean(axis=0)
 
-    step_fn, init_fn, run_steps, gather_fn = build_spatial_lj_md(
+    step_fn, init_fn, run_steps, gather_fn, rebalance_fn = \
+        build_spatial_lj_md(
         mesh4, N, L, dt=0.002, rcut=rcut, r_buff=0.3)
     carry = init_fn(pos0, vel0)
     nsteps = 30
@@ -101,7 +102,8 @@ def test_spatial_dd_migration_happens(mesh4):
             i = np.unravel_index(np.argmin(r), r.shape)[0]
             pos0[i] = rng.uniform(-L / 2, L / 2, 3)
     vel0 = rng.normal(0, 1.0, (N, 3))
-    step_fn, init_fn, run_steps, gather_fn = build_spatial_lj_md(
+    step_fn, init_fn, run_steps, gather_fn, rebalance_fn = \
+        build_spatial_lj_md(
         mesh4, N, L, dt=0.003, rcut=rcut, r_buff=0.3)
     carry = init_fn(pos0, vel0)
     carry, ths = jax.jit(run_steps, static_argnums=1)(carry, 200)
@@ -112,3 +114,45 @@ def test_spatial_dd_migration_happens(mesh4):
     assert np.abs(p - pos0).max() > 0.5   # things moved (and migrated)
     # energy sane
     assert np.isfinite(float(ths['ke'][-1] + ths['pe'][-1]))
+
+
+def test_spatial_dd_load_balancer(mesh4):
+    """rebalance_fn (reference LoadBalancer) shifts slab cuts toward
+    uniform counts for a density-imbalanced start, and the physics
+    keeps running correctly afterwards (N conserved, no overflow)."""
+    import jax
+    from hoomd_tpu.parallel.spatial import build_spatial_lj_md
+    rng = np.random.RandomState(3)
+    N, L, rcut = 240, 16.0, 1.5
+    # all particles crowded into the left half of the box
+    pos0 = np.zeros((N, 3))
+    placed = []
+    while len(placed) < N:
+        x = rng.uniform([-L / 2, -L / 2, -L / 2], [0.0, L / 2, L / 2])
+        if all(np.linalg.norm(((x - p + L / 2) % L) - L / 2) > 0.85
+               for p in placed[-60:]):
+            placed.append(x)
+    pos0[:] = placed
+    vel0 = rng.normal(0, 0.3, (N, 3))
+    step_fn, init_fn, run_steps, gather_fn, rebalance_fn = \
+        build_spatial_lj_md(mesh4, N, L, dt=0.002, rcut=rcut, r_buff=0.3)
+    carry = init_fn(pos0, vel0)
+
+    def imbalance(carry):
+        pos, vel, frc, tag, ts, cuts = carry
+        tag_h = np.asarray(tag)
+        x = np.asarray(pos)[tag_h >= 0, 0]
+        c = np.asarray(cuts)
+        counts = np.array([np.sum((x >= c[s]) & (x < c[s + 1]))
+                           for s in range(4)], float)
+        return counts.max() / max(counts.mean(), 1.0)
+
+    imb0 = imbalance(carry)
+    assert imb0 > 1.5                      # genuinely imbalanced start
+    for _ in range(12):
+        carry = rebalance_fn(carry)
+        carry, ths = jax.jit(run_steps, static_argnums=1)(carry, 5)
+    imb1 = imbalance(carry)
+    assert imb1 < imb0 * 0.75, (imb0, imb1)
+    assert int(np.asarray(ths['n_owned'][-1])) == N
+    assert int(np.asarray(ths['overflow']).max()) == 0
