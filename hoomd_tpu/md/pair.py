@@ -78,6 +78,8 @@ class pair(Force):
         """Energy shift mode: 'none' | 'shift' | 'xplor'
         (md/pair.py set_params)."""
         if mode is not None:
+            if mode == 'no_shift':      # reference md/pair.py alias
+                mode = 'none'
             if mode not in ('none', 'shift', 'xplor'):
                 raise ValueError(f"invalid shift mode {mode!r}")
             self.mode = mode
