@@ -631,7 +631,8 @@ class System:
         import jax
         nsteps = int(nsteps)
         prof = {'device_s': 0.0, 'host_ops_s': 0.0, 'chunks': 0,
-                'host_fires': 0} if profile else None
+                'host_fires': 0, 'ops': {},
+                'rebuilds0': None, 'rebuilds': 0} if profile else None
         self._ensure_ready()
         start = self.timestep
         end = start + nsteps
@@ -677,8 +678,13 @@ class System:
                     t_op = time.perf_counter()
                     self._fire(op, cur)
                     if prof is not None:
-                        prof['host_ops_s'] += time.perf_counter() - t_op
+                        d_op = time.perf_counter() - t_op
+                        prof['host_ops_s'] += d_op
                         prof['host_fires'] += 1
+                        nm = type(op).__name__
+                        e = prof['ops'].setdefault(nm, [0.0, 0])
+                        e[0] += d_op
+                        e[1] += 1
             if callback is not None and callback_period and \
                     cur % callback_period == 0:
                 res = callback(cur)
@@ -790,11 +796,22 @@ class System:
             print(f"** run complete: {done} steps in {elapsed:.3f} s = "
                   f"{self._last_tps:.1f} TPS **")
         if prof is not None and not quiet:
+            # hierarchical breakdown, the reference Profiler's output
+            # role (hoomd/Profiler.h:62-116 push/pop tree)
             other = elapsed - prof['device_s'] - prof['host_ops_s']
-            print(f"** profile: device {prof['device_s']:.3f}s over "
-                  f"{prof['chunks']} chunks | host ops "
-                  f"{prof['host_ops_s']:.3f}s over {prof['host_fires']} "
-                  f"fires | dispatch/other {other:.3f}s **")
+            print(f"** profile ({done} steps, {elapsed:.3f} s wall) **")
+            print(f"  device step loop   {prof['device_s']:9.3f} s "
+                  f"({prof['chunks']} chunks)")
+            if self._program.get('fast') and self._fast_carry is not None:
+                nr = int(self._fast_carry.n_rebuilds)
+                print(f"    cell rebuilds    {nr:9d} total "
+                      f"(every ~{done / max(nr, 1):.1f} steps)")
+            print(f"  host-side ops      {prof['host_ops_s']:9.3f} s "
+                  f"({prof['host_fires']} fires)")
+            for nm, (t_s, n_f) in sorted(prof['ops'].items(),
+                                         key=lambda kv: -kv[1][0]):
+                print(f"    {nm:<16s} {t_s:9.3f} s ({n_f} fires)")
+            print(f"  dispatch/other     {other:9.3f} s")
 
     def _prep_forces(self):
         """Evaluate all forces at the current positions
