@@ -263,10 +263,15 @@ def build_spatial_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
             d = (counts[s - 1] - counts[s]) / max(target, 1.0)
             shift = np.clip(0.5 * d, -1.0, 1.0) * max_shift * slab_w
             new = cuts_h[s] - shift
+            # sequential clamp against the UPDATED left neighbor and the
+            # old right neighbor keeps cuts strictly monotonic with the
+            # r_ghost minimum slab width (which is exactly what makes
+            # single-neighbor ghost exchange sufficient); a squeezed
+            # interval keeps the old cut
             lo_lim = cuts_h[s - 1] + r_ghost
             hi_lim = cuts_h[s + 1] - r_ghost
-            cuts_h[s] = np.clip(new, min(lo_lim, hi_lim),
-                                max(lo_lim, hi_lim))
+            if lo_lim <= hi_lim:
+                cuts_h[s] = float(np.clip(new, lo_lim, hi_lim))
         return (pos, vel, frc, tag, ts,
                 jnp.asarray(cuts_h, dtype))
 

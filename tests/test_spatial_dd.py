@@ -129,13 +129,18 @@ def test_spatial_dd_load_balancer(mesh4):
     placed = []
     while len(placed) < N:
         x = rng.uniform([-L / 2, -L / 2, -L / 2], [0.0, L / 2, L / 2])
-        if all(np.linalg.norm(((x - p + L / 2) % L) - L / 2) > 0.85
-               for p in placed[-60:]):
+        if all(np.linalg.norm(((x - p + L / 2) % L) - L / 2) > 0.95
+               for p in placed):
             placed.append(x)
     pos0[:] = placed
     vel0 = rng.normal(0, 0.3, (N, 3))
+    # slot capacity sized for the transient: a rebalancing cut shift
+    # moves a slab-edge slice wholesale, so receiving shards briefly
+    # hold well above the balanced average (overflow is flagged, but
+    # this test wants the clean path)
     step_fn, init_fn, run_steps, gather_fn, rebalance_fn = \
-        build_spatial_lj_md(mesh4, N, L, dt=0.002, rcut=rcut, r_buff=0.3)
+        build_spatial_lj_md(mesh4, N, L, dt=0.002, rcut=rcut, r_buff=0.3,
+                            slot_cap=N, ghost_cap=N)
     carry = init_fn(pos0, vel0)
 
     def imbalance(carry):
@@ -153,6 +158,6 @@ def test_spatial_dd_load_balancer(mesh4):
         carry = rebalance_fn(carry)
         carry, ths = jax.jit(run_steps, static_argnums=1)(carry, 5)
     imb1 = imbalance(carry)
-    assert imb1 < imb0 * 0.75, (imb0, imb1)
-    assert int(np.asarray(ths['n_owned'][-1])) == N
     assert int(np.asarray(ths['overflow']).max()) == 0
+    assert int(np.asarray(ths['n_owned'][-1])) == N
+    assert imb1 < imb0 * 0.75, (imb0, imb1)
