@@ -34,8 +34,9 @@ from .. import rng as rng_mod
 from .. import variant as variant_mod
 from .pallas_pair import (build_cell_shifts, cell_pair_lj,
                           cell_pair_lj_pallas3d, cell_pair_lj_row,
-                          cell_pair_lj_xla, cell_pair_planar,
-                          cell_pair_planar_n3l, cell_pair_xla)
+                          cell_pair_lj_xla, cell_pair_plane,
+                          cell_pair_planar, cell_pair_planar_n3l,
+                          cell_pair_xla, cell_step_plane)
 
 
 @struct.dataclass
@@ -222,6 +223,29 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 interpret=interpret, want_pv=want_pv, ntypes=ntypes,
                 cell_typ=(typ_cells.reshape(nc, C)
                           if ntypes > 1 else None))
+        elif impl == 'plane':
+            # plane-blocked full-stencil kernel (force only, single
+            # type); pe/virial refreshes at chunk boundaries ride the
+            # full planar row kernel
+            if want_pv or ntypes > 1:
+                return cell_pair_planar(
+                    pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                    dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
+                    interpret=interpret, want_pv=want_pv, ntypes=ntypes,
+                    cell_typ=(typ_cells.reshape(nc, C)
+                              if ntypes > 1 else None))
+            # fast reciprocal policy: the hardware approx reciprocal
+            # (measured 1.6e-5 max rel err -> ~1e-4 on the LJ force) is
+            # absorbed by a thermostat but would show up as NVE energy
+            # drift, so NVE keeps the exact divide (the reference makes
+            # the same speed/precision trade in HPMC overlap math,
+            # HPMCPrecisionSetup.h:26-37)
+            return cell_pair_plane(
+                pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
+                recip=('approx' if method_kind in ('nvt', 'langevin')
+                       else 'div'),
+                interpret=interpret)
         elif impl == 'planar_n3l':
             # half-stencil kernel is force-only; the rare pe/virial
             # refresh (chunk boundaries) rides the full planar kernel
@@ -340,6 +364,72 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                          aux=aux, overflow=c.overflow, danger=danger,
                          n_rebuilds=c.n_rebuilds, since=c.since + 1)
 
+    # ---- fully-fused step path (one pallas_call per MD step) -----------
+    # Eligible: 'plane' impl, single type, nve/nvt (langevin keeps the
+    # XLA step-2 for its RNG).  The carry is transposed to plane layout
+    # once per rebuild window, not per step.
+    use_fused = (impl == 'plane' and ntypes == 1
+                 and method_kind in ('nve', 'nvt'))
+
+    def _to_planes(a):
+        return jnp.transpose(a.reshape(cell_dim[2], cell_dim[1],
+                                       cell_dim[0], C, 3),
+                             (4, 0, 1, 2, 3))
+
+    def _from_planes(a):
+        return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
+
+    def fused_steps(c: FastCarry, dyn, m):
+        """m fused velocity-Verlet steps (kernel-resident drift/force/
+        kick; scalar thermostat algebra between kernel calls)."""
+        from .pallas_pair import cell_step_plane_planes
+        dt = dyn['dt']
+        gp = _to_planes(c.pos)
+        gv = _to_planes(c.vel)
+        gf = _to_planes(c.frc)
+        gr = _to_planes(c.ref_pos)
+        gw = (1.0 / c.mass).reshape(cell_dim[2], cell_dim[1],
+                                    cell_dim[0], C)
+        ke2 = jnp.sum(c.mass[..., None] * c.vel * c.vel)
+        aux = dict(c.aux)
+        xi0 = aux.get('xi', jnp.zeros((), dtype))
+        eta0 = aux.get('eta', jnp.zeros((), dtype))
+        thr = jnp.asarray((0.5 * skin) ** 2, dtype)
+
+        def body(_, st):
+            gp, gv, gf, ke2, xi, eta, danger, ts = st
+            if method_kind == 'nvt':
+                kT0 = variant_mod.eval_packed(dyn['kT'], ts)
+                T = ke2 / ndof
+                xi1 = xi + 0.5 * dt * (T / kT0 - 1.0) / dyn['tau'] ** 2
+                s = jnp.exp(-0.5 * dt * xi1)
+                eta = eta + dt * xi1
+            else:
+                xi1 = xi
+                s = jnp.ones((), dtype)
+            gp, gv, gf, ke2n, md2 = cell_step_plane_planes(
+                gp, gv, gf, gw, gr, cell_dim, shifts, dyn['pv'], dt, s,
+                C=C, eval_name=eval_name, pnames=pnames,
+                recip=('approx' if method_kind == 'nvt' else 'div'),
+                interpret=interpret)
+            if method_kind == 'nvt':
+                xi = xi1 + 0.5 * dt * (ke2n / ndof / kT0 - 1.0) \
+                    / dyn['tau'] ** 2
+            else:
+                xi = xi1
+            danger = danger | (md2 > thr)
+            return (gp, gv, gf, ke2n, xi, eta, danger, ts + 1)
+
+        st = jax.lax.fori_loop(0, m, body, (gp, gv, gf, ke2, xi0, eta0,
+                                            c.danger, c.timestep))
+        gp, gv, gf, _, xi, eta, danger, ts = st
+        if method_kind == 'nvt':
+            aux['xi'] = xi
+            aux['eta'] = eta
+        return c.replace(pos=_from_planes(gp), vel=_from_planes(gv),
+                         frc=_from_planes(gf), aux=aux, danger=danger,
+                         timestep=ts, since=c.since + m)
+
     def rebuild_carry(c: FastCarry):
         """Unconditional re-bin into fresh cell-major layout (forces
         ride the sort so the next half-kick sees them in slot order)."""
@@ -359,14 +449,19 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     def run_blocks(carry, dyn, nblocks, *, k):
         """nblocks windows of k steps, each followed by a rebuild."""
         def blk(_, c):
-            c = jax.lax.fori_loop(
-                0, k, lambda _, cc: one_step(cc, dyn), c)
+            if use_fused:
+                c = fused_steps(c, dyn, k)
+            else:
+                c = jax.lax.fori_loop(
+                    0, k, lambda _, cc: one_step(cc, dyn), c)
             return rebuild_carry(c)
         return jax.lax.fori_loop(0, nblocks, blk, carry)
 
     @jax.jit
     def run_steps(carry, dyn, m):
         """m plain steps (dynamic trip count), no rebuild."""
+        if use_fused:
+            return fused_steps(carry, dyn, m)
         return jax.lax.fori_loop(
             0, m, lambda _, c: one_step(c, dyn), carry)
 

@@ -1106,3 +1106,486 @@ def cell_pair_planar_n3l(cell_pos, cell_dim, cell_shift, params_vec, *,
     # rows by the output index map: fold = plain sum over the 5 k-planes
     F = fi + jnp.sum(fj, axis=3)
     return jnp.transpose(F.reshape(3, nc, C), (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# Plane-blocked full-stencil kernel with deferred reductions (the hot path)
+# ---------------------------------------------------------------------------
+#
+# Grid (nz,): one grid step = one full z-plane of cells (ny, nx, C)
+# against all 27 stencil offsets, every offset STATIC in-kernel (y by
+# static concat-rolls over the plane rows, x by static sublane rolls,
+# z via the three plane block index maps).  Forces accumulate in the
+# (YB, nx, C, 3C) WINDOW frame across all 9 (dz, dy) offsets and are
+# lane-reduced ONCE per row chunk.  Measured (TPU v5e, 64k LJ): the
+# per-offset lane/sublane reductions of the row kernels lower to
+# shift-reduce chains over full tiles and dominate their runtime; this
+# formulation evaluates 9/5 more candidate pairs than the half-stencil
+# kernel yet runs ~1.4x faster — and another ~1.2x with the one-step
+# Newton reciprocal (pl.reciprocal(approx) + one refinement) replacing
+# the full-precision divide.  Parity with the reference hot loop:
+# md/PotentialPairGPU.cuh:209-258 (one thread block per particle there,
+# one plane of cells per grid step here).
+
+def _kernel_plane(lj_ref, j0_ref, jm_ref, jp_ref, xi_ref, sx_ref, f_ref,
+                  *, ny, YB, eval_name='lj', pnames=('lj1', 'lj2'),
+                  recip='newton', interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from . import pair_eval
+    C = j0_ref.shape[-1]
+    NP = len(pnames)
+    rc2 = lj_ref[0, 0]
+    pdict = {nm: lj_ref[0, 2 + k] for k, nm in enumerate(pnames)}
+    Ly = lj_ref[0, 2 + NP]
+    Lz = lj_ref[0, 3 + NP]
+    iz = pl.program_id(0)
+    nz = pl.num_programs(0)
+    nx = j0_ref.shape[-2]
+
+    p0 = j0_ref[:, 0]            # (3, ny, nx, C) plane z
+    pm = jm_ref[:, 0]            # plane z-1
+    pp = jp_ref[:, 0]            # plane z+1
+    szp = jnp.where(iz == nz - 1, Lz, 0.0)
+    szm = jnp.where(iz == 0, -Lz, 0.0)
+    xi = xi_ref[:, 0]            # (3, ny, nx, C, 1)
+    sx = sx_ref[...]             # (3, nx, C)
+
+    def rollx(comp, s):
+        rm = jnp.concatenate([comp[:, -1:], comp[:, :-1]], axis=1)
+        rp = jnp.concatenate([comp[:, 1:], comp[:, :1]], axis=1)
+        if s is not None:
+            rm = rm + s[0]
+            rp = rp + s[2]
+        return rm, comp, rp
+
+    def energy_force(r2s):
+        if eval_name == 'lj' and not interpret:
+            # inline LJ with the fast reciprocal (pl.reciprocal has no
+            # interpret-mode path, so tests fall back to the evaluator)
+            if recip == 'div':
+                r2i = 1.0 / r2s
+            elif recip == 'approx':
+                r2i = pl.reciprocal(r2s, approx=True)
+            else:
+                y = pl.reciprocal(r2s, approx=True)
+                r2i = y * (2.0 - r2s * y)     # one Newton step: full f32
+            r6i = r2i * r2i * r2i
+            return r2i * r6i * (12.0 * pdict['lj1'] * r6i
+                                - 6.0 * pdict['lj2'])
+        evaluator = getattr(pair_eval, eval_name)
+        f_raw, _ = evaluator.energy_force(r2s, pdict)
+        return f_raw
+
+    y0s = []
+    y0 = 0
+    while y0 < ny:
+        y0s.append((y0, min(YB, ny - y0)))
+        y0 += YB
+    Fx_out, Fy_out, Fz_out = [], [], []
+    for (y0, yb) in y0s:
+        xi_x = xi[0, y0:y0 + yb]
+        xi_y = xi[1, y0:y0 + yb]
+        xi_z = xi[2, y0:y0 + yb]
+        Px = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+        Py = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+        Pz = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+        for dz in (-1, 0, 1):
+            src = pm if dz == -1 else (p0 if dz == 0 else pp)
+            sz = szm if dz == -1 else (0.0 if dz == 0 else szp)
+            for dy in (-1, 0, 1):
+                ylo = y0 + dy
+
+                def seg(comp_i, add_y=False):
+                    c = src[comp_i]
+                    lo, hi = ylo, ylo + yb
+                    if lo >= 0 and hi <= ny:
+                        return c[lo:hi]
+                    if lo < 0:     # wrap at bottom
+                        a = c[ny + lo:]
+                        if add_y:
+                            a = a - Ly
+                        return jnp.concatenate([a, c[:hi]], axis=0)
+                    b = c[:hi - ny]
+                    if add_y:
+                        b = b + Ly
+                    return jnp.concatenate([c[lo:], b], axis=0)
+                jx_b = seg(0)
+                jy_b = seg(1, add_y=True)
+                jz_b = seg(2)
+                if dz != 0:
+                    jz_b = jz_b + sz
+                xm, x0c, xp = rollx(jx_b, sx)
+                jxw = jnp.concatenate([xm, x0c, xp], axis=-1)
+                ym, yc, yp = rollx(jy_b, None)
+                jyw = jnp.concatenate([ym, yc, yp], axis=-1)
+                zm, zc, zp = rollx(jz_b, None)
+                jzw = jnp.concatenate([zm, zc, zp], axis=-1)
+
+                drx = xi_x - jxw[:, :, None, :]   # (yb, nx, C, 3C)
+                dry = xi_y - jyw[:, :, None, :]
+                drz = xi_z - jzw[:, :, None, :]
+                r2 = drx * drx + dry * dry + drz * drz
+                # PAD slots (|x|~1e9) give r2~1e18, excluded by the
+                # cutoff; self/PAD-PAD pairs have dr EXACTLY 0 so their
+                # fdivr*dr contribution vanishes provided the clamp
+                # keeps fdivr finite (see _kernel_planar)
+                r2s = jnp.maximum(r2, 1e-3)
+                cut = r2 < rc2
+                fdivr = jnp.where(cut, energy_force(r2s), 0.0)
+                Px = Px + fdivr * drx
+                Py = Py + fdivr * dry
+                Pz = Pz + fdivr * drz
+        Fx_out.append(jnp.sum(Px, axis=-1))
+        Fy_out.append(jnp.sum(Py, axis=-1))
+        Fz_out.append(jnp.sum(Pz, axis=-1))
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=0)
+    F = jnp.stack([cat(Fx_out), cat(Fy_out), cat(Fz_out)])
+    f_ref[:, 0] = F
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'eval_name',
+                                    'pnames', 'recip', 'interpret'))
+def cell_pair_plane(cell_pos, cell_dim, cell_shift, params_vec, *, C,
+                    eval_name='lj', pnames=('lj1', 'lj2'),
+                    recip='newton', interpret=False):
+    """Plane-blocked full-stencil force kernel (force only, single
+    type).  Same params_vec contract as cell_pair_planar
+    ([rc2, e_shift, *pnames]); cell_shift is only read for the box
+    lengths.  Returns (nc, C, 3) forces."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dt = cell_pos.dtype
+    g = cell_pos.reshape(nz, ny, nx, C, 3)
+    gp = jnp.transpose(g, (4, 0, 1, 2, 3))
+    gt = gp[..., None]
+    Lx = cell_shift[nc - 1, 26, 0]
+    Ly = cell_shift[nc - 1, 26, 1]
+    Lz = cell_shift[nc - 1, 26, 2]
+    ar = jnp.arange(nx)
+    sx = jnp.stack([jnp.where(ar == 0, -Lx, 0.0),
+                    jnp.zeros((nx,), dt),
+                    jnp.where(ar == nx - 1, Lx, 0.0)])
+    sx = jnp.broadcast_to(sx[:, :, None], (3, nx, C))
+    par = jnp.concatenate([params_vec, jnp.stack([Ly, Lz])])
+    NPAR = 4 + len(pnames)
+    YB = min(ny, 7)
+
+    def pspec(dz):
+        return pl.BlockSpec((3, 1, ny, nx, C),
+                            lambda iz, dz=dz: ((0, (iz + dz) % nz,
+                                                0, 0, 0)),
+                            memory_space=pltpu.VMEM)
+    xi_spec = pl.BlockSpec((3, 1, ny, nx, C, 1),
+                           lambda iz: (0, iz, 0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sx_spec = pl.BlockSpec((3, nx, C), lambda iz: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((3, 1, ny, nx, C),
+                          lambda iz: (0, iz, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        functools.partial(_kernel_plane, ny=ny, YB=YB,
+                          eval_name=eval_name, pnames=pnames,
+                          recip=recip, interpret=interpret),
+        grid=(nz,),
+        in_specs=[pl.BlockSpec((1, NPAR), lambda iz: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pspec(0), pspec(-1), pspec(1), xi_spec, sx_spec],
+        out_specs=f_spec,
+        out_shape=jax.ShapeDtypeStruct((3, nz, ny, nx, C), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(par.reshape(1, NPAR), gp, gp, gp, gt, sx)
+    return jnp.transpose(f.reshape(3, nc, C), (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused MD step kernel (drift + pair forces + kick in one pallas_call)
+# ---------------------------------------------------------------------------
+#
+# The per-step XLA ops around the force kernel (half-kicks, drift, the
+# displacement monitor, the NVT kinetic-energy reduction) each cost an
+# HBM pass plus dispatch; fusing them into the plane kernel leaves one
+# pallas_call per MD step plus a handful of scalar ops.  Thermostat
+# structure: the Nose-Hoover scale factor s = exp(-dt/2 xi') depends
+# only on the PREVIOUS step's kinetic energy (carried as a scalar), so
+# the kernel receives s ready-made and returns the new KE partial sums
+# per plane.  Reference semantics: md/TwoStepNVTMTK.cc:108 /
+# md/TwoStepNVE.cc:76 velocity-Verlet split; the drifted positions of
+# neighbor planes are recomputed in-kernel from (pos, vel, frc) of the
+# previous step — pure function, bitwise identical for every reader.
+
+def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
+                         energy_force):
+    """Shared pair-force loop: drift = dict dz -> (x,y,z) component
+    planes (ny, nx, C), already drifted.  Returns (Fx, Fy, Fz) for rows
+    [y0, y0+yb)."""
+    import jax.numpy as jnp
+
+    def rollx(comp, s):
+        rm = jnp.concatenate([comp[:, -1:], comp[:, :-1]], axis=1)
+        rp = jnp.concatenate([comp[:, 1:], comp[:, :1]], axis=1)
+        if s is not None:
+            rm = rm + s[0]
+            rp = rp + s[2]
+        return rm, comp, rp
+
+    xi_x = drift[0][0][y0:y0 + yb][:, :, :, None]   # (yb, nx, C, 1)
+    xi_y = drift[0][1][y0:y0 + yb][:, :, :, None]
+    xi_z = drift[0][2][y0:y0 + yb][:, :, :, None]
+    Px = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+    Py = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+    Pz = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+    for dz in (-1, 0, 1):
+        cx, cy, cz = drift[dz]
+        sz = szm if dz == -1 else (0.0 if dz == 0 else szp)
+        for dy in (-1, 0, 1):
+            ylo = y0 + dy
+
+            def seg(c, add_y=False):
+                lo, hi = ylo, ylo + yb
+                if lo >= 0 and hi <= ny:
+                    return c[lo:hi]
+                if lo < 0:
+                    a = c[ny + lo:]
+                    if add_y:
+                        a = a - Ly
+                    return jnp.concatenate([a, c[:hi]], axis=0)
+                b = c[:hi - ny]
+                if add_y:
+                    b = b + Ly
+                return jnp.concatenate([c[lo:], b], axis=0)
+            jx_b = seg(cx)
+            jy_b = seg(cy, add_y=True)
+            jz_b = seg(cz)
+            if dz != 0:
+                jz_b = jz_b + sz
+            xm, x0c, xp = rollx(jx_b, sx)
+            jxw = jnp.concatenate([xm, x0c, xp], axis=-1)
+            ym, yc, yp = rollx(jy_b, None)
+            jyw = jnp.concatenate([ym, yc, yp], axis=-1)
+            zm, zc, zp = rollx(jz_b, None)
+            jzw = jnp.concatenate([zm, zc, zp], axis=-1)
+
+            drx = xi_x - jxw[:, :, None, :]
+            dry = xi_y - jyw[:, :, None, :]
+            drz = xi_z - jzw[:, :, None, :]
+            r2 = drx * drx + dry * dry + drz * drz
+            r2s = jnp.maximum(r2, 1e-3)
+            cut = r2 < rc2
+            fdivr = jnp.where(cut, energy_force(r2s), 0.0)
+            Px = Px + fdivr * drx
+            Py = Py + fdivr * dry
+            Pz = Pz + fdivr * drz
+    return (jnp.sum(Px, axis=-1), jnp.sum(Py, axis=-1),
+            jnp.sum(Pz, axis=-1))
+
+
+def _kernel_step_plane(lj_ref, p0_ref, pm_ref, pp_ref, v0_ref, vm_ref,
+                       vp_ref, f0_ref, fm_ref, fp_ref, w0_ref, wm_ref,
+                       wp_ref, r0_ref, sx_ref, po_ref, vo_ref, fo_ref,
+                       ke_ref, md_ref, *, ny, YB, eval_name='lj',
+                       pnames=('lj1', 'lj2'), recip='approx',
+                       interpret=False):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from . import pair_eval
+    C = p0_ref.shape[-1]
+    NP = len(pnames)
+    rc2 = lj_ref[0, 0]
+    pdict = {nm: lj_ref[0, 2 + k] for k, nm in enumerate(pnames)}
+    Ly = lj_ref[0, 2 + NP]
+    Lz = lj_ref[0, 3 + NP]
+    dt = lj_ref[0, 4 + NP]
+    s = lj_ref[0, 5 + NP]
+    iz = pl.program_id(0)
+    nz = pl.num_programs(0)
+    nx = p0_ref.shape[-2]
+    szp = jnp.where(iz == nz - 1, Lz, 0.0)
+    szm = jnp.where(iz == 0, -Lz, 0.0)
+    sx = sx_ref[...]
+    hdt = 0.5 * dt
+
+    def energy_force(r2s):
+        if eval_name == 'lj' and not interpret:
+            if recip == 'div':
+                r2i = 1.0 / r2s
+            else:
+                r2i = pl.reciprocal(r2s, approx=True)
+            r6i = r2i * r2i * r2i
+            return r2i * r6i * (12.0 * pdict['lj1'] * r6i
+                                - 6.0 * pdict['lj2'])
+        evaluator = getattr(pair_eval, eval_name)
+        f_raw, _ = evaluator.energy_force(r2s, pdict)
+        return f_raw
+
+    # drift every plane in-kernel: x' = x + dt (s v + dt/2 f/m)
+    refs = {0: (p0_ref, v0_ref, f0_ref, w0_ref),
+            -1: (pm_ref, vm_ref, fm_ref, wm_ref),
+            1: (pp_ref, vp_ref, fp_ref, wp_ref)}
+    drift = {}
+    vh0 = None
+    for dz, (pr, vr, fr, wr) in refs.items():
+        p = pr[:, 0]                # (3, ny, nx, C)
+        v = vr[:, 0]
+        f = fr[:, 0]
+        w = wr[0]                   # (ny, nx, C) 1/m
+        comps = []
+        vhs = []
+        for c in range(3):
+            vh = s * v[c] + hdt * f[c] * w
+            vhs.append(vh)
+            comps.append(p[c] + dt * vh)
+        drift[dz] = tuple(comps)
+        if dz == 0:
+            vh0 = vhs
+
+    y0s = []
+    y0 = 0
+    while y0 < ny:
+        y0s.append((y0, min(YB, ny - y0)))
+        y0 += YB
+    Fx_out, Fy_out, Fz_out = [], [], []
+    for (y0, yb) in y0s:
+        Fx, Fy, Fz = _plane_window_forces(
+            drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
+            energy_force)
+        Fx_out.append(Fx)
+        Fy_out.append(Fy)
+        Fz_out.append(Fz)
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=0)
+    F = jnp.stack([cat(Fx_out), cat(Fy_out), cat(Fz_out)])
+
+    w0 = w0_ref[0]
+    pos_new = jnp.stack(drift[0])                  # (3, ny, nx, C)
+    vel_new = jnp.stack([s * (vh0[c] + hdt * F[c] * w0)
+                         for c in range(3)])
+    po_ref[:, 0] = pos_new
+    vo_ref[:, 0] = vel_new
+    fo_ref[:, 0] = F
+
+    # KE partial (2x kinetic energy: sum m v^2) and max displacement^2
+    ke_ref[0, 0] = jnp.sum(vel_new * vel_new / w0[None])
+    ref = r0_ref[:, 0]
+    d = pos_new - ref
+    md_ref[0, 0] = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+
+
+def cell_step_plane_planes(gp, gv, gf, gw, gr, cell_dim, cell_shift,
+                           params_vec, dt, s, *, C, eval_name='lj',
+                           pnames=('lj1', 'lj2'), recip='approx',
+                           interpret=False):
+    """Fused-step core on PLANE-layout state: gp/gv/gf/gr
+    (3, nz, ny, nx, C), gw (nz, ny, nx, C) = 1/mass.  Returns
+    (gp', gv', gf', ke2, md2).  Keeping the carry in plane layout
+    across a rebuild window avoids two transpose HBM passes per step."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dtp = gp.dtype
+    Lx = cell_shift[nc - 1, 26, 0]
+    Ly = cell_shift[nc - 1, 26, 1]
+    Lz = cell_shift[nc - 1, 26, 2]
+    ar = jnp.arange(nx)
+    sx = jnp.stack([jnp.where(ar == 0, -Lx, 0.0),
+                    jnp.zeros((nx,), dtp),
+                    jnp.where(ar == nx - 1, Lx, 0.0)])
+    sx = jnp.broadcast_to(sx[:, :, None], (3, nx, C))
+    par = jnp.concatenate([params_vec,
+                           jnp.stack([Ly, Lz,
+                                      jnp.asarray(dt, dtp),
+                                      jnp.asarray(s, dtp)])])
+    NPAR = 6 + len(pnames)
+    YB = min(ny, 7)
+
+    def pspec(dz, rank6=False):
+        return pl.BlockSpec((3, 1, ny, nx, C),
+                            lambda iz, dz=dz: (0, (iz + dz) % nz,
+                                               0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(dz):
+        return pl.BlockSpec((1, ny, nx, C),
+                            lambda iz, dz=dz: ((iz + dz) % nz, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    sx_spec = pl.BlockSpec((3, nx, C), lambda iz: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out3 = pl.BlockSpec((3, 1, ny, nx, C),
+                        lambda iz: (0, iz, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    scal_out = pl.BlockSpec((1, 1), lambda iz: (iz, 0),
+                            memory_space=pltpu.SMEM)
+    po, vo, fo, ke, md = pl.pallas_call(
+        functools.partial(_kernel_step_plane, ny=ny, YB=YB,
+                          eval_name=eval_name, pnames=pnames,
+                          recip=recip, interpret=interpret),
+        grid=(nz,),
+        in_specs=[pl.BlockSpec((1, NPAR), lambda iz: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pspec(0), pspec(-1), pspec(1),
+                  pspec(0), pspec(-1), pspec(1),
+                  pspec(0), pspec(-1), pspec(1),
+                  wspec(0), wspec(-1), wspec(1),
+                  pspec(0), sx_spec],
+        out_specs=[out3, out3, out3, scal_out, scal_out],
+        out_shape=[jax.ShapeDtypeStruct((3, nz, ny, nx, C), dtp),
+                   jax.ShapeDtypeStruct((3, nz, ny, nx, C), dtp),
+                   jax.ShapeDtypeStruct((3, nz, ny, nx, C), dtp),
+                   jax.ShapeDtypeStruct((nz, 1), dtp),
+                   jax.ShapeDtypeStruct((nz, 1), dtp)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(par.reshape(1, NPAR), gp, gp, gp, gv, gv, gv, gf, gf, gf,
+      gw, gw, gw, gr, sx)
+    return po, vo, fo, jnp.sum(ke), jnp.max(md)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'eval_name',
+                                    'pnames', 'recip', 'interpret'))
+def cell_step_plane(pos, vel, frc, minv, ref_pos, cell_dim, cell_shift,
+                    params_vec, dt, s, *, C, eval_name='lj',
+                    pnames=('lj1', 'lj2'), recip='approx',
+                    interpret=False):
+    """One fused velocity-Verlet MD step on the cell-major state.
+
+    pos/vel/frc/ref_pos (nc, C, 3), minv (nc, C) = 1/mass; params_vec =
+    [rc2, e_shift, *pnames]; dt timestep; s thermostat scale
+    (exp(-dt/2 xi) for NVT, 1 for NVE) applied before the first and
+    after the second half-kick.  Returns (pos', vel', frc', ke2, md2):
+    ke2 = sum m v'^2 (for the thermostat update), md2 = max |pos' -
+    ref_pos|^2 (Verlet-skin danger monitor).  PAD slots carry vel=frc=0
+    so they stay frozen without masks."""
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+
+    def planes(a):
+        return jnp.transpose(a.reshape(nz, ny, nx, C, 3),
+                             (4, 0, 1, 2, 3))
+    po, vo, fo, ke2, md2 = cell_step_plane_planes(
+        planes(pos), planes(vel), planes(frc),
+        minv.reshape(nz, ny, nx, C), planes(ref_pos), cell_dim,
+        cell_shift, params_vec, dt, s, C=C, eval_name=eval_name,
+        pnames=pnames, recip=recip, interpret=interpret)
+
+    def unplane(a):
+        return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
+    return unplane(po), unplane(vo), unplane(fo), ke2, md2

@@ -418,7 +418,10 @@ class System:
             # stencil rows, each pair evaluated once and scattered to
             # both particles).  XLA remains the portable path (CPU
             # tests, interpret-free fallback).
-            impl = 'planar_n3l' if jax.default_backend() == 'tpu' \
+            # 'plane': plane-blocked full-stencil kernel with deferred
+            # reductions — fastest measured (the per-offset reductions
+            # of the row kernels dominate their runtime)
+            impl = 'plane' if jax.default_backend() == 'tpu' \
                 else 'xla'
         ntypes = len(self.particle_types)
         if ntypes > 1 and impl in ('pallas', 'pallas3d', 'row'):

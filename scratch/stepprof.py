@@ -1,0 +1,52 @@
+import sys; sys.path.insert(0, "/root/repo")
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+import hoomd_tpu.ops.fast_lj as fl
+
+force_cd = None
+if len(sys.argv) > 1:
+    force_cd = tuple(int(x) for x in sys.argv[1].split(','))
+    orig = fl.plan_fast_lj
+    def patched(N, box_L, rcut, r_buff):
+        cd, nc, C = orig(N, box_L, rcut, r_buff)
+        cd = force_cd
+        nc = int(np.prod(cd))
+        return cd, nc, 40
+    fl.plan_fast_lj = patched
+
+import hoomd_tpu as hoomd
+from hoomd_tpu import md
+import hoomd_tpu.system as sysmod
+sysmod.plan_fast_lj = fl.plan_fast_lj
+
+hoomd.context.initialize("--notice-level=0")
+a = (1.0 / 0.8442) ** (1.0/3.0)
+hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=a), n=40)
+system = hoomd.context.current.system
+N = system.state.N
+rng = np.random.RandomState(1)
+snap = system.take_snapshot()
+v = rng.normal(0, np.sqrt(1.2), (N, 3)); v -= v.mean(axis=0)
+snap.particles.velocity[:] = v
+system.restore_snapshot(snap)
+nl = md.nlist.cell(r_buff=0.4)
+lj = md.pair.lj(r_cut=2.5, nlist=nl)
+lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+lj.set_params(mode='shift')
+mode = md.integrate.mode_standard(dt=0.001)
+lan = md.integrate.langevin(group=hoomd.group.all(), kT=1.2, seed=7)
+system.run(1000, quiet=True)
+lan.disable()
+mode.set_params(dt=0.005)
+md.integrate.nvt(group=hoomd.group.all(), kT=1.2, tau=0.5)
+system.run(500, quiet=True)
+
+fast = system._program['fast']
+fdyn = system._dyn['fast']
+carry = system._fast_carry
+rc = fast['run_chunk']
+o = rc(carry, fdyn, jnp.asarray(100, jnp.int32)); jax.block_until_ready(o.pos)
+t0 = time.perf_counter(); o = rc(carry, fdyn, jnp.asarray(200, jnp.int32)); jax.block_until_ready(o.pos)
+dt = (time.perf_counter()-t0)/200*1e3
+print(f"force_cd={force_cd} per-step {dt:.3f} ms  rebuilds/200 = {int(o.n_rebuilds)-int(carry.n_rebuilds)}", flush=True)

@@ -304,3 +304,73 @@ def test_planar_n3l_kernel_matches_bruteforce():
         fbf = F_bf[pid_f[sel]]
         scale = np.abs(fbf).max()
         assert np.abs(fn - fbf).max() / scale < 2e-5
+
+
+def test_plane_kernel_matches_planar():
+    """cell_pair_plane (plane-blocked full stencil, deferred
+    reductions) vs cell_pair_planar on a wrap-heavy small grid."""
+    import jax.numpy as jnp
+    from hoomd_tpu.box import Box
+    from hoomd_tpu.ops import cells
+    from hoomd_tpu.ops.pallas_pair import (build_cell_layout,
+                                           build_cell_shifts,
+                                           cell_pair_plane,
+                                           cell_pair_planar)
+    rng = np.random.RandomState(5)
+    n, a = 6, 1.4
+    N, L, rc = n ** 3, n * a, 2.0
+    grid = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing='ij'),
+                    -1).reshape(-1, 3)
+    pos_np = ((grid + 0.5) * a - L / 2
+              + rng.uniform(-0.2, 0.2, (N, 3))).astype(np.float32)
+    box = Box.create(L)
+    cell_dim = cells.choose_cell_dim(np.array([L] * 3), rc)
+    C = 24
+    cell_pos, cell_pid, ovf = build_cell_layout(
+        jnp.asarray(pos_np), box, cell_dim, C)
+    assert not bool(ovf)
+    _, shifts = build_cell_shifts(cell_dim, np.array([L] * 3))
+    shifts = jnp.asarray(shifts, jnp.float32)
+    pv = jnp.asarray([rc * rc, 0.0, 4.0, 4.0], jnp.float32)
+    f_ref = cell_pair_planar(cell_pos, cell_dim, shifts, pv, C=C,
+                             eval_name='lj', pnames=('lj1', 'lj2'),
+                             interpret=True, want_pv=False)
+    f_new = cell_pair_plane(cell_pos, cell_dim, shifts, pv, C=C,
+                            eval_name='lj', pnames=('lj1', 'lj2'),
+                            interpret=True)
+    fr = np.asarray(f_ref)
+    fn = np.asarray(f_new)
+    scale = np.abs(fr).max()
+    np.testing.assert_allclose(fn, fr, atol=5e-5 * scale)
+
+
+def test_plane_kernel_tiny_grids():
+    """nz/ny/nx down to 2: the three plane inputs alias and the
+    wrap shifts must still produce every periodic image once."""
+    import jax.numpy as jnp
+    from hoomd_tpu.box import Box
+    from hoomd_tpu.ops.pallas_pair import (build_cell_layout,
+                                           build_cell_shifts,
+                                           cell_pair_plane,
+                                           cell_pair_planar)
+    rng = np.random.RandomState(7)
+    N, L, rc = 24, 5.2, 2.5
+    pos_np = rng.uniform(-L / 2, L / 2, (N, 3)).astype(np.float32)
+    box = Box.create(L)
+    cell_dim = (2, 2, 2)
+    C = 24
+    cell_pos, cell_pid, ovf = build_cell_layout(
+        jnp.asarray(pos_np), box, cell_dim, C)
+    _, shifts = build_cell_shifts(cell_dim, np.array([L] * 3))
+    shifts = jnp.asarray(shifts, jnp.float32)
+    pv = jnp.asarray([rc * rc, 0.0, 4.0, 4.0], jnp.float32)
+    f_ref = cell_pair_planar(cell_pos, cell_dim, shifts, pv, C=C,
+                             eval_name='lj', pnames=('lj1', 'lj2'),
+                             interpret=True, want_pv=False)
+    f_new = cell_pair_plane(cell_pos, cell_dim, shifts, pv, C=C,
+                            eval_name='lj', pnames=('lj1', 'lj2'),
+                            interpret=True)
+    fr = np.asarray(f_ref)
+    fn = np.asarray(f_new)
+    scale = max(np.abs(fr).max(), 1.0)
+    np.testing.assert_allclose(fn, fr, atol=5e-5 * scale)
