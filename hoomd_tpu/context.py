@@ -7,6 +7,7 @@ options, resets the current SimulationContext and reports the devices.
 
 from __future__ import annotations
 
+import os
 import shlex
 import sys
 
@@ -75,6 +76,21 @@ def initialize(args=None, memory_traceback=False):
         # remaining reference flags (--gpu, --nx, --linear, --onelevel,
         # --nthreads, ...) have no TPU meaning and are accepted silently
     import jax
+    # persistent compilation cache: the fused/stencil Pallas kernels
+    # take minutes to compile; caching them across processes makes
+    # repeat job-script runs start in seconds (reference analog: CUDA's
+    # on-disk kernel cache).  Opt out with HOOMD_TPU_NO_COMPILE_CACHE.
+    if not os.environ.get('HOOMD_TPU_NO_COMPILE_CACHE'):
+        try:
+            cache_dir = os.environ.get(
+                'HOOMD_TPU_COMPILE_CACHE',
+                os.path.expanduser('~/.cache/hoomd_tpu_xla'))
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update('jax_compilation_cache_dir', cache_dir)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              1.0)
+        except Exception:
+            pass
     ctx.device = jax.devices()[0]
     if opts.notice_level >= 2:
         print(f"hoomd_tpu: JAX {jax.__version__} on "

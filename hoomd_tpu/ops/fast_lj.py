@@ -367,9 +367,15 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # ---- fully-fused step path (one pallas_call per MD step) -----------
     # Eligible: 'plane' impl, single type, nve/nvt (langevin keeps the
     # XLA step-2 for its RNG).  The carry is transposed to plane layout
-    # once per rebuild window, not per step.
+    # once per rebuild window, not per step.  MEASURED SLOWER than the
+    # separate force kernel + XLA integrator on TPU v5e (36.1M vs 38.2M
+    # pss at 64k: the 13 plane input streams and the per-plane KE/max-
+    # displacement reductions outweigh the saved XLA passes), so it is
+    # opt-in until the lean leapfrog-storage variant lands.
+    import os as _os
     use_fused = (impl == 'plane' and ntypes == 1
-                 and method_kind in ('nve', 'nvt'))
+                 and method_kind in ('nve', 'nvt')
+                 and _os.environ.get('HOOMD_TPU_FUSED') == 'on')
 
     def _to_planes(a):
         return jnp.transpose(a.reshape(cell_dim[2], cell_dim[1],

@@ -1127,7 +1127,7 @@ def cell_pair_planar_n3l(cell_pos, cell_dim, cell_shift, params_vec, *,
 # md/PotentialPairGPU.cuh:209-258 (one thread block per particle there,
 # one plane of cells per grid step here).
 
-def _kernel_plane(lj_ref, j0_ref, jm_ref, jp_ref, xi_ref, sx_ref, f_ref,
+def _kernel_plane(lj_ref, j0_ref, jm_ref, jp_ref, sx_ref, f_ref,
                   *, ny, YB, eval_name='lj', pnames=('lj1', 'lj2'),
                   recip='newton', interpret=False):
     import jax
@@ -1149,7 +1149,6 @@ def _kernel_plane(lj_ref, j0_ref, jm_ref, jp_ref, xi_ref, sx_ref, f_ref,
     pp = jp_ref[:, 0]            # plane z+1
     szp = jnp.where(iz == nz - 1, Lz, 0.0)
     szm = jnp.where(iz == 0, -Lz, 0.0)
-    xi = xi_ref[:, 0]            # (3, ny, nx, C, 1)
     sx = sx_ref[...]             # (3, nx, C)
 
     def rollx(comp, s):
@@ -1159,6 +1158,13 @@ def _kernel_plane(lj_ref, j0_ref, jm_ref, jp_ref, xi_ref, sx_ref, f_ref,
             rm = rm + s[0]
             rp = rp + s[2]
         return rm, comp, rp
+
+    # explicit self-pair suppression in the home block (robustness
+    # backstop on top of the exact-zero-dr cancellation; see
+    # _plane_window_forces)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 1)
+    isub_i = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 0)
+    not_self = (lane_i != C + isub_i).astype(jnp.float32)
 
     def energy_force(r2s):
         if eval_name == 'lj' and not interpret:
@@ -1185,43 +1191,53 @@ def _kernel_plane(lj_ref, j0_ref, jm_ref, jp_ref, xi_ref, sx_ref, f_ref,
         y0 += YB
     Fx_out, Fy_out, Fz_out = [], [], []
     for (y0, yb) in y0s:
-        xi_x = xi[0, y0:y0 + yb]
-        xi_y = xi[1, y0:y0 + yb]
-        xi_z = xi[2, y0:y0 + yb]
+        xi_x = p0[0, y0:y0 + yb][:, :, :, None]
+        xi_y = p0[1, y0:y0 + yb][:, :, :, None]
+        xi_z = p0[2, y0:y0 + yb][:, :, :, None]
         Px = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
         Py = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
         Pz = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
         for dz in (-1, 0, 1):
             src = pm if dz == -1 else (p0 if dz == 0 else pp)
             sz = szm if dz == -1 else (0.0 if dz == 0 else szp)
-            for dy in (-1, 0, 1):
-                ylo = y0 + dy
 
-                def seg(comp_i, add_y=False):
-                    c = src[comp_i]
-                    lo, hi = ylo, ylo + yb
-                    if lo >= 0 and hi <= ny:
-                        return c[lo:hi]
-                    if lo < 0:     # wrap at bottom
-                        a = c[ny + lo:]
-                        if add_y:
-                            a = a - Ly
-                        return jnp.concatenate([a, c[:hi]], axis=0)
+            # ONE extended window over rows [y0-1, y0+yb+1) per plane;
+            # the three dy slices share it (3 window builds per chunk
+            # instead of 9)
+            def seg(comp_i, add_y=False):
+                c = src[comp_i]
+                lo, hi = y0 - 1, y0 + yb + 1
+                parts = []
+                if lo < 0:
+                    a = c[ny + lo:]
+                    if add_y:
+                        a = a - Ly
+                    parts.append(a)
+                    lo = 0
+                parts.append(c[lo:min(hi, ny)])
+                if hi > ny:
                     b = c[:hi - ny]
                     if add_y:
                         b = b + Ly
-                    return jnp.concatenate([c[lo:], b], axis=0)
-                jx_b = seg(0)
-                jy_b = seg(1, add_y=True)
-                jz_b = seg(2)
-                if dz != 0:
-                    jz_b = jz_b + sz
-                xm, x0c, xp = rollx(jx_b, sx)
-                jxw = jnp.concatenate([xm, x0c, xp], axis=-1)
-                ym, yc, yp = rollx(jy_b, None)
-                jyw = jnp.concatenate([ym, yc, yp], axis=-1)
-                zm, zc, zp = rollx(jz_b, None)
-                jzw = jnp.concatenate([zm, zc, zp], axis=-1)
+                    parts.append(b)
+                return parts[0] if len(parts) == 1 else \
+                    jnp.concatenate(parts, axis=0)
+            jx_b = seg(0)
+            jy_b = seg(1, add_y=True)
+            jz_b = seg(2)
+            if dz != 0:
+                jz_b = jz_b + sz
+            xm, x0c, xp = rollx(jx_b, sx)
+            jxw_e = jnp.concatenate([xm, x0c, xp], axis=-1)
+            ym, yc, yp = rollx(jy_b, None)
+            jyw_e = jnp.concatenate([ym, yc, yp], axis=-1)
+            zm, zc, zp = rollx(jz_b, None)
+            jzw_e = jnp.concatenate([zm, zc, zp], axis=-1)
+            for dy in (-1, 0, 1):
+                o = dy + 1
+                jxw = jxw_e[o:o + yb]
+                jyw = jyw_e[o:o + yb]
+                jzw = jzw_e[o:o + yb]
 
                 drx = xi_x - jxw[:, :, None, :]   # (yb, nx, C, 3C)
                 dry = xi_y - jyw[:, :, None, :]
@@ -1234,6 +1250,8 @@ def _kernel_plane(lj_ref, j0_ref, jm_ref, jp_ref, xi_ref, sx_ref, f_ref,
                 r2s = jnp.maximum(r2, 1e-3)
                 cut = r2 < rc2
                 fdivr = jnp.where(cut, energy_force(r2s), 0.0)
+                if dz == 0 and dy == 0:
+                    fdivr = fdivr * not_self[None, None]
                 Px = Px + fdivr * drx
                 Py = Py + fdivr * dry
                 Pz = Pz + fdivr * drz
@@ -1266,7 +1284,6 @@ def cell_pair_plane(cell_pos, cell_dim, cell_shift, params_vec, *, C,
     dt = cell_pos.dtype
     g = cell_pos.reshape(nz, ny, nx, C, 3)
     gp = jnp.transpose(g, (4, 0, 1, 2, 3))
-    gt = gp[..., None]
     Lx = cell_shift[nc - 1, 26, 0]
     Ly = cell_shift[nc - 1, 26, 1]
     Lz = cell_shift[nc - 1, 26, 2]
@@ -1284,9 +1301,6 @@ def cell_pair_plane(cell_pos, cell_dim, cell_shift, params_vec, *, C,
                             lambda iz, dz=dz: ((0, (iz + dz) % nz,
                                                 0, 0, 0)),
                             memory_space=pltpu.VMEM)
-    xi_spec = pl.BlockSpec((3, 1, ny, nx, C, 1),
-                           lambda iz: (0, iz, 0, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
     sx_spec = pl.BlockSpec((3, nx, C), lambda iz: (0, 0, 0),
                            memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((3, 1, ny, nx, C),
@@ -1299,14 +1313,14 @@ def cell_pair_plane(cell_pos, cell_dim, cell_shift, params_vec, *, C,
         grid=(nz,),
         in_specs=[pl.BlockSpec((1, NPAR), lambda iz: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pspec(0), pspec(-1), pspec(1), xi_spec, sx_spec],
+                  pspec(0), pspec(-1), pspec(1), sx_spec],
         out_specs=f_spec,
         out_shape=jax.ShapeDtypeStruct((3, nz, ny, nx, C), dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(par.reshape(1, NPAR), gp, gp, gp, gt, sx)
+    )(par.reshape(1, NPAR), gp, gp, gp, sx)
     return jnp.transpose(f.reshape(3, nc, C), (1, 2, 0))
 
 
@@ -1326,11 +1340,17 @@ def cell_pair_plane(cell_pos, cell_dim, cell_shift, params_vec, *, C,
 # neighbor planes are recomputed in-kernel from (pos, vel, frc) of the
 # previous step — pure function, bitwise identical for every reader.
 
-def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
-                         energy_force):
+def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
+                         szm, szp, energy_force):
     """Shared pair-force loop: drift = dict dz -> (x,y,z) component
-    planes (ny, nx, C), already drifted.  Returns (Fx, Fy, Fz) for rows
-    [y0, y0+yb)."""
+    planes (ny, nx, C), already drifted.  The i-side operands are the
+    SAME values as the j-side (in-kernel expand_dims) — this keeps
+    self-pair dr EXACTLY zero whatever the compiler's fma contraction
+    does; an explicit self-pair mask in the (0,0,0) block backs that
+    up (a 1-ulp i/j drift divergence once turned the clamped
+    fdivr ~ 5e22 into real forces through fdivr * dr).
+    Returns (Fx, Fy, Fz) for rows [y0, y0+yb)."""
+    import jax
     import jax.numpy as jnp
 
     def rollx(comp, s):
@@ -1341,6 +1361,10 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
             rp = rp + s[2]
         return rm, comp, rp
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 1)
+    isub = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 0)
+    not_self = (lane != C + isub).astype(jnp.float32)  # (C, 3C)
+
     xi_x = drift[0][0][y0:y0 + yb][:, :, :, None]   # (yb, nx, C, 1)
     xi_y = drift[0][1][y0:y0 + yb][:, :, :, None]
     xi_z = drift[0][2][y0:y0 + yb][:, :, :, None]
@@ -1350,33 +1374,42 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
     for dz in (-1, 0, 1):
         cx, cy, cz = drift[dz]
         sz = szm if dz == -1 else (0.0 if dz == 0 else szp)
-        for dy in (-1, 0, 1):
-            ylo = y0 + dy
 
-            def seg(c, add_y=False):
-                lo, hi = ylo, ylo + yb
-                if lo >= 0 and hi <= ny:
-                    return c[lo:hi]
-                if lo < 0:
-                    a = c[ny + lo:]
-                    if add_y:
-                        a = a - Ly
-                    return jnp.concatenate([a, c[:hi]], axis=0)
+        # one extended window over rows [y0-1, y0+yb+1); the three dy
+        # slices share it (see _kernel_plane)
+        def seg(c, add_y=False):
+            lo, hi = y0 - 1, y0 + yb + 1
+            parts = []
+            if lo < 0:
+                a = c[ny + lo:]
+                if add_y:
+                    a = a - Ly
+                parts.append(a)
+                lo = 0
+            parts.append(c[lo:min(hi, ny)])
+            if hi > ny:
                 b = c[:hi - ny]
                 if add_y:
                     b = b + Ly
-                return jnp.concatenate([c[lo:], b], axis=0)
-            jx_b = seg(cx)
-            jy_b = seg(cy, add_y=True)
-            jz_b = seg(cz)
-            if dz != 0:
-                jz_b = jz_b + sz
-            xm, x0c, xp = rollx(jx_b, sx)
-            jxw = jnp.concatenate([xm, x0c, xp], axis=-1)
-            ym, yc, yp = rollx(jy_b, None)
-            jyw = jnp.concatenate([ym, yc, yp], axis=-1)
-            zm, zc, zp = rollx(jz_b, None)
-            jzw = jnp.concatenate([zm, zc, zp], axis=-1)
+                parts.append(b)
+            return parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=0)
+        jx_b = seg(cx)
+        jy_b = seg(cy, add_y=True)
+        jz_b = seg(cz)
+        if dz != 0:
+            jz_b = jz_b + sz
+        xm, x0c, xp = rollx(jx_b, sx)
+        jxw_e = jnp.concatenate([xm, x0c, xp], axis=-1)
+        ym, yc, yp = rollx(jy_b, None)
+        jyw_e = jnp.concatenate([ym, yc, yp], axis=-1)
+        zm, zc, zp = rollx(jz_b, None)
+        jzw_e = jnp.concatenate([zm, zc, zp], axis=-1)
+        for dy in (-1, 0, 1):
+            o = dy + 1
+            jxw = jxw_e[o:o + yb]
+            jyw = jyw_e[o:o + yb]
+            jzw = jzw_e[o:o + yb]
 
             drx = xi_x - jxw[:, :, None, :]
             dry = xi_y - jyw[:, :, None, :]
@@ -1385,6 +1418,8 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
             r2s = jnp.maximum(r2, 1e-3)
             cut = r2 < rc2
             fdivr = jnp.where(cut, energy_force(r2s), 0.0)
+            if dz == 0 and dy == 0:
+                fdivr = fdivr * not_self[None, None]
             Px = Px + fdivr * drx
             Py = Py + fdivr * dry
             Pz = Pz + fdivr * drz
@@ -1478,11 +1513,15 @@ def _kernel_step_plane(lj_ref, p0_ref, pm_ref, pp_ref, v0_ref, vm_ref,
     vo_ref[:, 0] = vel_new
     fo_ref[:, 0] = F
 
-    # KE partial (2x kinetic energy: sum m v^2) and max displacement^2
-    ke_ref[0, 0] = jnp.sum(vel_new * vel_new / w0[None])
+    # KE partial (2x kinetic energy: sum m v^2) and max displacement^2,
+    # broadcast over one (8, 128) tile (Mosaic requires tile-shaped
+    # output blocks; the wrapper reads [:, 0, 0])
+    ke = jnp.sum(vel_new * vel_new / w0[None])
+    ke_ref[0] = jnp.full((8, 128), 0.0, jnp.float32) + ke
     ref = r0_ref[:, 0]
     d = pos_new - ref
-    md_ref[0, 0] = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    md = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    md_ref[0] = jnp.full((8, 128), 0.0, jnp.float32) + md
 
 
 def cell_step_plane_planes(gp, gv, gf, gw, gr, cell_dim, cell_shift,
@@ -1529,8 +1568,8 @@ def cell_step_plane_planes(gp, gv, gf, gw, gr, cell_dim, cell_shift,
     out3 = pl.BlockSpec((3, 1, ny, nx, C),
                         lambda iz: (0, iz, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    scal_out = pl.BlockSpec((1, 1), lambda iz: (iz, 0),
-                            memory_space=pltpu.SMEM)
+    scal_out = pl.BlockSpec((1, 8, 128), lambda iz: (iz, 0, 0),
+                            memory_space=pltpu.VMEM)
     po, vo, fo, ke, md = pl.pallas_call(
         functools.partial(_kernel_step_plane, ny=ny, YB=YB,
                           eval_name=eval_name, pnames=pnames,
@@ -1547,15 +1586,15 @@ def cell_step_plane_planes(gp, gv, gf, gw, gr, cell_dim, cell_shift,
         out_shape=[jax.ShapeDtypeStruct((3, nz, ny, nx, C), dtp),
                    jax.ShapeDtypeStruct((3, nz, ny, nx, C), dtp),
                    jax.ShapeDtypeStruct((3, nz, ny, nx, C), dtp),
-                   jax.ShapeDtypeStruct((nz, 1), dtp),
-                   jax.ShapeDtypeStruct((nz, 1), dtp)],
+                   jax.ShapeDtypeStruct((nz, 8, 128), dtp),
+                   jax.ShapeDtypeStruct((nz, 8, 128), dtp)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(par.reshape(1, NPAR), gp, gp, gp, gv, gv, gv, gf, gf, gf,
       gw, gw, gw, gr, sx)
-    return po, vo, fo, jnp.sum(ke), jnp.max(md)
+    return po, vo, fo, jnp.sum(ke[:, 0, 0]), jnp.max(md[:, 0, 0])
 
 
 @functools.partial(jax.jit,
