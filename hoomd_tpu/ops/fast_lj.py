@@ -376,6 +376,37 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     use_fused = (impl == 'plane' and ntypes == 1
                  and method_kind in ('nve', 'nvt')
                  and _os.environ.get('HOOMD_TPU_FUSED') == 'on')
+    # window-resident mega kernel: k full VV steps in one pallas_call,
+    # state VMEM-resident throughout (default hot path on TPU)
+    use_mega = (impl == 'plane' and ntypes == 1
+                and method_kind in ('nve', 'nvt')
+                and _os.environ.get('HOOMD_TPU_MEGA', 'on') != 'off')
+
+    def mega_steps(c: FastCarry, dyn, k):
+        """k fused steps with the whole state resident in VMEM."""
+        from .pallas_pair import cell_megastep_plane
+        if method_kind == 'nvt':
+            kt = variant_mod.eval_packed(
+                dyn['kT'], c.timestep + jnp.arange(k, dtype=idt))
+            ti2 = 1.0 / dyn['tau'] ** 2
+        else:
+            kt = jnp.ones((k,), dtype)
+            ti2 = jnp.zeros((), dtype)
+        aux = dict(c.aux)
+        xi0 = aux.get('xi', jnp.zeros((), dtype))
+        eta0 = aux.get('eta', jnp.zeros((), dtype))
+        p, v, f, xi, eta, danger, _ = cell_megastep_plane(
+            c.pos, c.vel, c.frc, c.mass, 1.0 / c.mass, cell_dim, shifts,
+            dyn['pv'], dyn['dt'], kt, xi0, eta0, skin, C=C, k=k,
+            method=method_kind, eval_name=eval_name, pnames=pnames,
+            recip=('approx' if method_kind == 'nvt' else 'div'),
+            ndof=ndof, tau_inv2=ti2, interpret=interpret)
+        if method_kind == 'nvt':
+            aux['xi'] = xi
+            aux['eta'] = eta
+        return c.replace(pos=p, vel=v, frc=f, aux=aux,
+                         danger=c.danger | danger,
+                         timestep=c.timestep + k, since=c.since + k)
 
     def _to_planes(a):
         return jnp.transpose(a.reshape(cell_dim[2], cell_dim[1],
@@ -455,7 +486,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     def run_blocks(carry, dyn, nblocks, *, k):
         """nblocks windows of k steps, each followed by a rebuild."""
         def blk(_, c):
-            if use_fused:
+            if use_mega:
+                c = mega_steps(c, dyn, k)
+            elif use_fused:
                 c = fused_steps(c, dyn, k)
             else:
                 c = jax.lax.fori_loop(

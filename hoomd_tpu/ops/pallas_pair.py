@@ -1628,3 +1628,207 @@ def cell_step_plane(pos, vel, frc, minv, ref_pos, cell_dim, cell_shift,
     def unplane(a):
         return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
     return unplane(po), unplane(vo), unplane(fo), ke2, md2
+
+
+# ---------------------------------------------------------------------------
+# Window-resident mega-step kernel (k full MD steps in ONE pallas_call)
+# ---------------------------------------------------------------------------
+#
+# The whole 64k-particle state (pos/vel/frc planes ~3.4 MB) fits in VMEM
+# with room to spare, so an entire rebuild window of k velocity-Verlet
+# steps runs inside one kernel: drift -> plane-stencil forces -> kick ->
+# thermostat scalar algebra -> KE / skin-monitor reductions, with ZERO
+# HBM round-trips or dispatches between steps.  HBM traffic per window:
+# one read + one write of the state.  This is the TPU re-expression of
+# the reference's per-step kernel chain (md/IntegratorTwoStep.cc:96-161
+# drives TwoStepNVTMTK.cc:108 / TwoStepNVE.cc:76 around
+# PotentialPairGPU.cuh:209); on TPU the whole window collapses into one
+# program.  NVT semantics match ops/fast_lj.one_step exactly: the
+# Nose-Hoover scale s = exp(-dt/2 xi') uses the PREVIOUS step's kinetic
+# energy, carried as a loop scalar; per-step kT values arrive as a
+# precomputed (k,) SMEM table so time-variant thermostats stay exact.
+
+def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
+                     f_ref, po_ref, vo_ref, fo_ref, st_ref, r_scr,
+                     *, k, nz, ny, nx, C, YB, method, eval_name, pnames,
+                     recip, ndof, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from . import pair_eval
+
+    NP = len(pnames)
+    rc2 = par_ref[0, 0]
+    pdict = {nm: par_ref[0, 1 + i] for i, nm in enumerate(pnames)}
+    Ly = par_ref[0, 1 + NP]
+    Lz = par_ref[0, 2 + NP]
+    dt = par_ref[0, 3 + NP]
+    tinv2 = par_ref[0, 4 + NP]
+    thr = par_ref[0, 5 + NP]          # (skin/2)^2 danger threshold
+    hdt = 0.5 * dt
+    sx = sx_ref[...]
+
+    def energy_force(r2s):
+        if eval_name == 'lj' and not interpret:
+            if recip == 'div':
+                r2i = 1.0 / r2s
+            else:
+                r2i = pl.reciprocal(r2s, approx=True)
+            r6i = r2i * r2i * r2i
+            return r2i * r6i * (12.0 * pdict['lj1'] * r6i
+                                - 6.0 * pdict['lj2'])
+        evaluator = getattr(pair_eval, eval_name)
+        f_raw, _ = evaluator.energy_force(r2s, pdict)
+        return f_raw
+
+    # state lives in the OUTPUT refs for the whole window
+    po_ref[...] = p_ref[...]
+    vo_ref[...] = v_ref[...]
+    fo_ref[...] = f_ref[...]
+    r_scr[...] = p_ref[...]            # skin-monitor reference positions
+
+    w = w_ref[...]                     # (nz, ny, nx, C) 1/m
+    mm = m_ref[...]                    # mass
+
+    y0s = []
+    y0 = 0
+    while y0 < ny:
+        y0s.append((y0, min(YB, ny - y0)))
+        y0 += YB
+
+    def force_plane(iz):
+        izm = jnp.where(iz == 0, nz - 1, iz - 1)
+        izp = jnp.where(iz == nz - 1, 0, iz + 1)
+        szm = jnp.where(iz == 0, -Lz, 0.0)
+        szp = jnp.where(iz == nz - 1, Lz, 0.0)
+        drift = {}
+        for dz, src in ((-1, izm), (0, iz), (1, izp)):
+            pla = po_ref[:, pl.ds(src, 1)]          # (3, 1, ny, nx, C)
+            drift[dz] = (pla[0, 0], pla[1, 0], pla[2, 0])
+        for (y0, yb) in y0s:
+            Fx, Fy, Fz = _plane_window_forces(
+                drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
+                energy_force)
+            blk = jnp.stack([Fx, Fy, Fz])[:, None]   # (3, 1, yb, nx, C)
+            fo_ref[:, pl.ds(iz, 1), y0:y0 + yb] = blk
+
+    def step_body(si, carry):
+        xi, eta, ke2, mdmax = carry
+        if method == 'nvt':
+            kT = kt_ref[0, si]
+            xi1 = xi + hdt * (ke2 / (ndof * kT) - 1.0) * tinv2
+            s = jnp.exp(-hdt * xi1)
+            eta = eta + dt * xi1
+        else:
+            xi1 = xi
+            s = 1.0
+        # drift: v' = s v + h f/m ; x += dt v'
+        vh = s * vo_ref[...] + hdt * fo_ref[...] * w[None]
+        vo_ref[...] = vh
+        pn = po_ref[...] + dt * vh
+        po_ref[...] = pn
+        # skin monitor on post-drift positions
+        d = pn - r_scr[...]
+        md2 = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        mdmax = jnp.maximum(mdmax, md2)
+        # forces from the drifted state
+        jax.lax.fori_loop(0, nz, lambda iz, _: (force_plane(iz), 0.0)[1],
+                          0.0, unroll=False)
+        # kick (+ thermostat post-scale and KE for the next step)
+        vn = vo_ref[...] + hdt * fo_ref[...] * w[None]
+        if method == 'nvt':
+            vn = vn * s
+            vo_ref[...] = vn
+            ke2n = jnp.sum(vn * vn * mm[None])
+            xi = xi1 + hdt * (ke2n / (ndof * kT) - 1.0) * tinv2
+        else:
+            vo_ref[...] = vn
+            ke2n = ke2
+            xi = xi1
+        return (xi, eta, ke2n, mdmax)
+
+    xi0 = par_ref[0, 6 + NP]
+    eta0 = par_ref[0, 7 + NP]
+    ke2_0 = jnp.sum(vo_ref[...] * vo_ref[...] * mm[None])
+    xi, eta, ke2, mdmax = jax.lax.fori_loop(
+        0, k, step_body, (xi0, eta0, ke2_0, jnp.float32(0.0)))
+    z = jnp.zeros((128,), jnp.float32)
+    st_ref[...] = jnp.stack(
+        [z + xi, z + eta, z + jnp.where(mdmax > thr, 1.0, 0.0),
+         z + ke2, z, z, z, z])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'k', 'method',
+                                    'eval_name', 'pnames', 'recip',
+                                    'ndof', 'interpret'))
+def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
+                        params_vec, dt, kt_table, xi, eta, skin, *, C, k,
+                        method, eval_name='lj', pnames=('lj1', 'lj2'),
+                        recip='approx', ndof=1.0, tau_inv2=0.0,
+                        interpret=False):
+    """k fused velocity-Verlet steps, state VMEM-resident throughout.
+
+    pos/vel/frc (nc, C, 3); mass/minv (nc, C); params_vec = [rc2,
+    e_shift, *pnames] (cell_pair_planar contract — e_shift unused in the
+    force-only loop); kt_table (k,) per-step kT values; xi/eta Nose-
+    Hoover scalars.  Returns (pos', vel', frc', xi', eta', danger,
+    ke2_last).  PAD slots carry vel=frc=0 and stay frozen."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dtp = pos.dtype
+
+    def planes(a):
+        return jnp.transpose(a.reshape(nz, ny, nx, C, 3), (4, 0, 1, 2, 3))
+    gp, gv, gf = planes(pos), planes(vel), planes(frc)
+    gw = minv.reshape(nz, ny, nx, C)
+    gm = mass.reshape(nz, ny, nx, C)
+
+    Lx = cell_shift[nc - 1, 26, 0]
+    Ly = cell_shift[nc - 1, 26, 1]
+    Lz = cell_shift[nc - 1, 26, 2]
+    ar = jnp.arange(nx)
+    sx = jnp.stack([jnp.where(ar == 0, -Lx, 0.0),
+                    jnp.zeros((nx,), dtp),
+                    jnp.where(ar == nx - 1, Lx, 0.0)])
+    sx = jnp.broadcast_to(sx[:, :, None], (3, nx, C))
+    # par = [rc2, *pnames, Ly, Lz, dt, tinv2, thr, xi, eta]
+    pv = jnp.concatenate([params_vec[:1], params_vec[2:]])
+    par = jnp.concatenate([
+        pv, jnp.stack([Ly, Lz, jnp.asarray(dt, dtp),
+                       jnp.asarray(tau_inv2, dtp),
+                       jnp.asarray((0.5 * skin) ** 2, dtp),
+                       jnp.asarray(xi, dtp), jnp.asarray(eta, dtp)])])
+    NPAR = 8 + len(pnames)
+    YB = min(ny, 7)
+    shp5 = (3, nz, ny, nx, C)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    po, vo, fo, st = pl.pallas_call(
+        functools.partial(_kernel_megastep, k=k, nz=nz, ny=ny, nx=nx,
+                          C=C, YB=YB, method=method, eval_name=eval_name,
+                          pnames=pnames, recip=recip, ndof=float(ndof),
+                          interpret=interpret),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # par (1, NPAR)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # kt (1, k)
+            vspec, vspec, vspec, vspec, vspec, vspec,
+        ],
+        out_specs=[vspec, vspec, vspec, vspec],
+        out_shape=[jax.ShapeDtypeStruct(shp5, dtp),
+                   jax.ShapeDtypeStruct(shp5, dtp),
+                   jax.ShapeDtypeStruct(shp5, dtp),
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(shp5, dtp)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(par.reshape(1, NPAR), kt_table.reshape(1, k).astype(dtp), sx,
+      gw, gm, gp, gv, gf)
+
+    def unplane(a):
+        return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
+    return (unplane(po), unplane(vo), unplane(fo),
+            st[0, 0], st[1, 0], st[2, 0] > 0.5, st[3, 0])

@@ -374,3 +374,137 @@ def test_plane_kernel_tiny_grids():
     fn = np.asarray(f_new)
     scale = max(np.abs(fr).max(), 1.0)
     np.testing.assert_allclose(fn, fr, atol=5e-5 * scale)
+
+
+@pytest.mark.parametrize("method", ["nve", "nvt"])
+def test_megastep_kernel_matches_stepwise(method):
+    """k fused VV steps in one pallas_call == k explicit python steps.
+
+    Mirrors the per-step chain of the reference integrator
+    (md/IntegratorTwoStep.cc:96-161 around TwoStepNVTMTK.cc:108 /
+    TwoStepNVE.cc:76): drift, force, kick, Nose-Hoover scalars — all
+    inside one window-resident kernel."""
+    import jax.numpy as jnp
+    from hoomd_tpu._config import PAD_COORD
+    from hoomd_tpu.ops.pallas_pair import (build_cell_shifts,
+                                           cell_megastep_plane,
+                                           cell_pair_plane)
+
+    cd = (4, 4, 4)
+    C = 8
+    L = 12.0
+    nc = cd[0] * cd[1] * cd[2]
+    rng = np.random.RandomState(3)
+    occ = 5
+    N = nc * occ
+    w = L / np.array(cd)
+    ids = np.arange(nc)
+    org = np.stack([ids % cd[0] * w[0], ids // cd[0] % cd[1] * w[1],
+                    ids // (cd[0] * cd[1]) * w[2]], -1) - L / 2
+    pos = np.full((nc, C, 3), float(PAD_COORD), np.float32)
+    # non-overlapping sub-lattice inside each cell (min sep ~1.3 > sigma)
+    # so the LJ dynamics stay mild and the stepwise comparison is tight
+    offs = np.array([[0.25, 0.25, 0.25], [0.75, 0.75, 0.25],
+                     [0.75, 0.25, 0.75], [0.25, 0.75, 0.75],
+                     [0.5, 0.5, 0.5]], np.float32)[:occ]
+    pos[:, :occ, :] = (org[:, None, :] + offs[None] * w
+                       + (rng.rand(nc, occ, 3).astype(np.float32) - 0.5)
+                       * 0.1 * w)
+    vel = np.zeros((nc, C, 3), np.float32)
+    vel[:, :occ, :] = rng.randn(nc, occ, 3).astype(np.float32) * 0.3
+    mass = np.ones((nc, C), np.float32)
+
+    pos = jnp.asarray(pos)
+    vel = jnp.asarray(vel)
+    mass = jnp.asarray(mass)
+    sh = jnp.asarray(build_cell_shifts(cd, (L,) * 3)[1], jnp.float32)
+    pv = jnp.asarray([6.25, 0.0, 4.0, 4.0], jnp.float32)
+    dt = jnp.float32(0.002)
+    skin, k, kT, tau = 0.5, 3, 1.0, 0.7
+    ndof = 3.0 * N
+
+    def force(p):
+        return cell_pair_plane(p, cd, sh, pv, C=C, recip='div',
+                               interpret=True)
+
+    def ref_run():
+        p, v = pos, vel
+        f = force(p)
+        xi = jnp.float32(0.05)
+        eta = jnp.float32(0.0)
+        h = 0.5 * dt
+        for _ in range(k):
+            if method == 'nvt':
+                ke2 = jnp.sum(mass[..., None] * v * v)
+                xi1 = xi + h * (ke2 / (ndof * kT) - 1.0) / tau ** 2
+                s = jnp.exp(-h * xi1)
+                eta = eta + dt * xi1
+            else:
+                xi1, s = xi, 1.0
+            v = s * v + h * f
+            p = p + dt * v
+            f = force(p)
+            v = v + h * f
+            if method == 'nvt':
+                v = v * s
+                ke2n = jnp.sum(mass[..., None] * v * v)
+                xi = xi1 + h * (ke2n / (ndof * kT) - 1.0) / tau ** 2
+        return p, v, f, xi, eta
+
+    kt = jnp.full((k,), kT, jnp.float32)
+    p2, v2, f2, xi2, eta2, danger, _ = cell_megastep_plane(
+        pos, vel, jnp.asarray(force(pos)), mass, 1.0 / mass, cd, sh, pv,
+        dt, kt, jnp.float32(0.05), jnp.float32(0.0), skin, C=C, k=k,
+        method=method, recip='div', ndof=ndof,
+        tau_inv2=jnp.float32(1.0 / tau ** 2), interpret=True)
+    p1, v1, f1, xi1, eta1 = ref_run()
+    m = np.abs(np.asarray(pos)[..., 0]) < 1e8
+
+    def err(a, b):
+        return float(np.max(np.abs(np.where(m[..., None],
+                                            np.asarray(a - b), 0.0))))
+    assert err(p1, p2) < 1e-5
+    assert err(v1, v2) < 1e-4
+    assert abs(float(xi1 - xi2)) <= 1e-6 * (abs(float(xi1)) + 1.0)
+    assert abs(float(eta1 - eta2)) <= 1e-6 * (abs(float(eta1)) + 1.0)
+
+
+def test_megastep_danger_flag():
+    """Frozen state -> danger False; the skin monitor only fires on
+    real displacement past (skin/2)^2."""
+    import jax.numpy as jnp
+    from hoomd_tpu._config import PAD_COORD
+    from hoomd_tpu.ops.pallas_pair import (build_cell_shifts,
+                                           cell_megastep_plane)
+
+    cd = (4, 4, 4)
+    C = 8
+    L = 12.0
+    nc = cd[0] * cd[1] * cd[2]
+    rng = np.random.RandomState(5)
+    w = L / np.array(cd)
+    ids = np.arange(nc)
+    org = np.stack([ids % cd[0] * w[0], ids // cd[0] % cd[1] * w[1],
+                    ids // (cd[0] * cd[1]) * w[2]], -1) - L / 2
+    pos = np.full((nc, C, 3), float(PAD_COORD), np.float32)
+    pos[:, :4, :] = org[:, None, :] + 0.5 * w
+    pos = jnp.asarray(pos)
+    zeros = jnp.zeros((nc, C, 3), jnp.float32)
+    mass = jnp.ones((nc, C), jnp.float32)
+    sh = jnp.asarray(build_cell_shifts(cd, (L,) * 3)[1], jnp.float32)
+    pv0 = jnp.asarray([1e-6, 0.0, 4.0, 4.0], jnp.float32)
+    kt = jnp.ones((3,), jnp.float32)
+    _, _, _, _, _, danger, _ = cell_megastep_plane(
+        pos, zeros, zeros, mass, 1.0 / mass, cd, sh, pv0,
+        jnp.float32(0.002), kt, jnp.float32(0.0), jnp.float32(0.0),
+        0.5, C=C, k=3, method='nve', recip='div', ndof=3.0,
+        interpret=True)
+    assert not bool(danger)
+    # ballistic drift past the threshold -> danger True
+    v = jnp.full((nc, C, 3), 50.0, jnp.float32)
+    _, _, _, _, _, danger, _ = cell_megastep_plane(
+        pos, v, zeros, mass, 1.0 / mass, cd, sh, pv0,
+        jnp.float32(0.002), kt, jnp.float32(0.0), jnp.float32(0.0),
+        0.5, C=C, k=3, method='nve', recip='div', ndof=3.0,
+        interpret=True)
+    assert bool(danger)
