@@ -441,15 +441,16 @@ class System:
                                                axis=-1)))
         dt = float(getattr(self.integrator_mode, 'dt', 0.005)
                    or 0.005)
-        # 0.8 margin: the extreme-value concentration of the
-        # 64k-particle max displacement makes the skin-crossing time
-        # sharp, and dense-liquid collisions slow the fastest particle
-        # below ballistic within a window; segments are <=512 steps, so
-        # the rare mid-window crossing costs one segment redo at a
-        # smaller k (compile cached) — cheap enough to plan near the
-        # true crossing time instead of deep in its tail
-        k_est = int(0.8 * (0.5 * skin) / max(vmax * dt, 1e-12))
-        for q in (32, 24, 16, 12, 10, 8, 7, 6, 5, 4, 3, 2, 1):
+        # 0.55 margin: the danger flag is sticky over a whole segment
+        # (hundreds of windows) and a danger costs a full segment redo
+        # plus a recompile at the smaller k, so the per-window crossing
+        # probability must be negligible, not merely small — the
+        # extreme-value concentration of the 64k-particle max
+        # displacement makes the crossing time sharp, and 0.55x
+        # ballistic sits far in its tail (0.8x measured: danger storms,
+        # 80x slower end-to-end from redo+recompile cascades)
+        k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
+        for q in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
             if q <= max(k_est, 1):
                 k_rebuild = q
                 break
@@ -568,7 +569,7 @@ class System:
                     self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
                 if dng:
                     k_now = fast.get('k_rebuild', 8)
-                    quanta = (32, 24, 16, 12, 10, 8, 7, 6, 5, 4, 3, 2, 1)
+                    quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
                     self._grow['fast_k_cap'] = next(
                         (q for q in quanta if q < k_now), 1)
                 self._rebuild_program()

@@ -113,3 +113,41 @@ try:
            lambda: run_c2(X2))
 except Exception as e:
     print("C2 FAILED:", repr(e)[:300], flush=True)
+
+# D: BIT-exactness of one-hot placement through the MXU (bf16x3 path).
+# The local rebin transports pos/vel/frc and int-valued f32 columns
+# through onehot @ payload; placement must reproduce the f32 payload
+# bit-exactly or the rebin changes trajectories.
+K2, CO = 1080, 40
+oh_np = np.zeros((CO, K2), np.float32)
+sel = rng.choice(K2, CO, replace=False)
+for s in range(CO):
+    oh_np[s, sel[s]] = 1.0
+pay = rng.randn(K2, NCOL).astype(np.float32)
+pay[:, 9] = rng.randint(0, 64000, K2)          # tag-like ints
+pay[:, 10] = rng.randint(-30, 30, K2)          # img-like ints
+ohj = jnp.asarray(oh_np); payj = jnp.asarray(pay)
+
+def kern_d(oh_ref, p_ref, o_ref):
+    o_ref[...] = jax.lax.dot_general(
+        oh_ref[...], p_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+@jax.jit
+def run_d(oh, p):
+    return pl.pallas_call(
+        kern_d,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((CO, NCOL), jnp.float32),
+    )(oh, p)
+
+try:
+    got = np.asarray(run_d(ohj, payj))
+    want = pay[sel]
+    exact = (got.view(np.uint32) == want.view(np.uint32)).all()
+    print(f"D: onehot matmul placement bit-exact: {exact} "
+          f"(maxabs diff {np.abs(got - want).max():.3e})", flush=True)
+except Exception as e:
+    print("D FAILED:", repr(e)[:300], flush=True)
