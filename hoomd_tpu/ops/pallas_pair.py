@@ -1427,6 +1427,110 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
             jnp.sum(Pz, axis=-1))
 
 
+def _plane_window_forces_n3l(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
+                             szp, energy_force):
+    """Half-stencil (Newton's-third-law) variant of
+    _plane_window_forces: evaluates each unordered image pair ONCE over
+    the 5 half-space (dz, dy) rows {(0,0),(0,1),(1,-1),(1,0),(1,1)},
+    with the (0,0) row keeping only dx=+1 plus the same-cell i<j
+    triangle.  drift maps dz in {0, 1} -> component planes (ny, nx, C).
+    Returns (Fi, gj): Fi = 3-tuple of i-side force blocks (yb, nx, C)
+    for rows [y0, y0+yb) of the dz=0 plane; gj[(dz, dy)] = 3-tuple of
+    x-folded j-side sums (yb, nx, C) — the caller scatters -gj into
+    rows (y+dy) mod ny of plane (iz+dz).  PAD slots are inert both
+    ways: fdivr stays finite (r2 clamp) and multiplies dr == 0."""
+    import jax
+    import jax.numpy as jnp
+
+    def rollx(comp, s):
+        rm = jnp.concatenate([comp[:, -1:], comp[:, :-1]], axis=1)
+        rp = jnp.concatenate([comp[:, 1:], comp[:, :1]], axis=1)
+        if s is not None:
+            rm = rm + s[0]
+            rp = rp + s[2]
+        return rm, comp, rp
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 1)
+    isub = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 0)
+    keep00 = ((lane >= 2 * C)
+              | ((lane >= C) & (isub < lane - C))).astype(jnp.float32)
+
+    xi_x = drift[0][0][y0:y0 + yb][:, :, :, None]   # (yb, nx, C, 1)
+    xi_y = drift[0][1][y0:y0 + yb][:, :, :, None]
+    xi_z = drift[0][2][y0:y0 + yb][:, :, :, None]
+    Px = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+    Py = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+    Pz = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+    gj = {}
+
+    def foldx(G):                      # (yb, nx, 3C) -> (yb, nx, C)
+        Gm, G0, Gp = G[:, :, :C], G[:, :, C:2 * C], G[:, :, 2 * C:]
+        return (jnp.concatenate([Gm[:, 1:], Gm[:, :1]], axis=1) + G0
+                + jnp.concatenate([Gp[:, -1:], Gp[:, :-1]], axis=1))
+
+    for dz in (0, 1):
+        cx, cy, cz = drift[dz]
+        dys = (0, 1) if dz == 0 else (-1, 0, 1)
+
+        # one extended window over rows [y0+min(dys), y0+yb+1); the dy
+        # slices share it (same scheme as _plane_window_forces)
+        def seg(c, add_y=False):
+            lo, hi = y0 + dys[0], y0 + yb + 1
+            parts = []
+            if lo < 0:
+                a = c[ny + lo:]
+                if add_y:
+                    a = a - Ly
+                parts.append(a)
+                lo = 0
+            parts.append(c[lo:min(hi, ny)])
+            if hi > ny:
+                b = c[:hi - ny]
+                if add_y:
+                    b = b + Ly
+                parts.append(b)
+            return parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=0)
+        jx_b = seg(cx)
+        jy_b = seg(cy, add_y=True)
+        jz_b = seg(cz)
+        if dz == 1:
+            jz_b = jz_b + szp
+        xm, x0c, xp = rollx(jx_b, sx)
+        jxw_e = jnp.concatenate([xm, x0c, xp], axis=-1)
+        ym, yc, yp = rollx(jy_b, None)
+        jyw_e = jnp.concatenate([ym, yc, yp], axis=-1)
+        zm, zc, zp = rollx(jz_b, None)
+        jzw_e = jnp.concatenate([zm, zc, zp], axis=-1)
+        for dy in dys:
+            o = dy - dys[0]
+            jxw = jxw_e[o:o + yb]
+            jyw = jyw_e[o:o + yb]
+            jzw = jzw_e[o:o + yb]
+
+            drx = xi_x - jxw[:, :, None, :]
+            dry = xi_y - jyw[:, :, None, :]
+            drz = xi_z - jzw[:, :, None, :]
+            r2 = drx * drx + dry * dry + drz * drz
+            r2s = jnp.maximum(r2, 1e-3)
+            cut = r2 < rc2
+            fdivr = jnp.where(cut, energy_force(r2s), 0.0)
+            if dz == 0 and dy == 0:
+                fdivr = fdivr * keep00[None, None]
+            px = fdivr * drx
+            py = fdivr * dry
+            pz = fdivr * drz
+            Px = Px + px
+            Py = Py + py
+            Pz = Pz + pz
+            gj[(dz, dy)] = (foldx(jnp.sum(px, axis=2)),
+                            foldx(jnp.sum(py, axis=2)),
+                            foldx(jnp.sum(pz, axis=2)))
+    Fi = (jnp.sum(Px, axis=-1), jnp.sum(Py, axis=-1),
+          jnp.sum(Pz, axis=-1))
+    return Fi, gj
+
+
 def _kernel_step_plane(lj_ref, p0_ref, pm_ref, pp_ref, v0_ref, vm_ref,
                        vp_ref, f0_ref, fm_ref, fp_ref, w0_ref, wm_ref,
                        wp_ref, r0_ref, sx_ref, po_ref, vo_ref, fo_ref,
@@ -1648,10 +1752,13 @@ def cell_step_plane(pos, vel, frc, minv, ref_pos, cell_dim, cell_shift,
 # energy, carried as a loop scalar; per-step kT values arrive as a
 # precomputed (k,) SMEM table so time-variant thermostats stay exact.
 
+_N3L_DEBUG = None
+
+
 def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
                      f_ref, po_ref, vo_ref, fo_ref, st_ref, r_scr,
-                     *, k, nz, ny, nx, C, YB, method, eval_name, pnames,
-                     recip, ndof, interpret):
+                     *scr_refs, k, nz, ny, nx, C, YB, method, eval_name,
+                     pnames, recip, ndof, interpret, half=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1712,6 +1819,48 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
             blk = jnp.stack([Fx, Fy, Fz])[:, None]   # (3, 1, yb, nx, C)
             fo_ref[:, pl.ds(iz, 1), y0:y0 + yb] = blk
 
+    N3L_ROWS = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+
+    def force_plane_n3l(iz, jb_scr):
+        """Half-stencil force pass for plane iz: the i-side block sums
+        store straight into fo_ref (static y slices, like the full
+        kernel) and the x-folded j-side (Newton) block sums store into
+        the jb_scr row buffer indexed by the (dz, dy) half-stencil row
+        — all pure stores with full coverage, no zeroing and no
+        read-modify-write inside the z loop.  fold_n3l shifts each row
+        buffer to its (z+dz, y+dy) target and adds everything up."""
+        izp = jnp.where(iz == nz - 1, 0, iz + 1)
+        szp = jnp.where(iz == nz - 1, Lz, 0.0)
+        p0 = po_ref[:, pl.ds(iz, 1)]            # (3, 1, ny, nx, C)
+        p1 = po_ref[:, pl.ds(izp, 1)]
+        drift = {0: (p0[0, 0], p0[1, 0], p0[2, 0]),
+                 1: (p1[0, 0], p1[1, 0], p1[2, 0])}
+        for (y0, yb) in y0s:
+            Fi, gj = _plane_window_forces_n3l(
+                drift, y0, yb, ny, nx, C, rc2, sx, Ly, szp,
+                energy_force)
+            fo_ref[:, pl.ds(iz, 1), y0:y0 + yb] = \
+                jnp.stack(Fi)[:, None]
+            if _N3L_DEBUG == 'nostore':
+                continue
+            for r, key in enumerate(N3L_ROWS):
+                jb_scr[r, :, pl.ds(iz, 1), y0:y0 + yb] = \
+                    jnp.stack(gj[key])[:, None]
+
+    def fold_n3l(jb_scr):
+        f = fo_ref[...]                          # i-side totals
+        for r, (dz, dy) in enumerate(N3L_ROWS):
+            g = jb_scr[r]                        # (3, nz, ny, nx, C)
+            if dz == 1:                          # target z = source + 1
+                g = jnp.concatenate([g[:, -1:], g[:, :-1]], axis=1)
+            if dy == 1:
+                g = jnp.concatenate([g[:, :, -1:], g[:, :, :-1]],
+                                    axis=2)
+            elif dy == -1:
+                g = jnp.concatenate([g[:, :, 1:], g[:, :, :1]], axis=2)
+            f = f - g                            # Newton: j gets -f_i
+        fo_ref[...] = f
+
     def step_body(si, carry):
         xi, eta, ke2, mdmax = carry
         if method == 'nvt':
@@ -1732,8 +1881,18 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         md2 = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
         mdmax = jnp.maximum(mdmax, md2)
         # forces from the drifted state
-        jax.lax.fori_loop(0, nz, lambda iz, _: (force_plane(iz), 0.0)[1],
-                          0.0, unroll=False)
+        if half:
+            jb_scr = scr_refs[0]
+            jax.lax.fori_loop(
+                0, nz,
+                lambda iz, _: (force_plane_n3l(iz, jb_scr), 0.0)[1],
+                0.0, unroll=False)
+            if _N3L_DEBUG != 'nostore':
+                fold_n3l(jb_scr)
+        else:
+            jax.lax.fori_loop(
+                0, nz, lambda iz, _: (force_plane(iz), 0.0)[1],
+                0.0, unroll=False)
         # kick (+ thermostat post-scale and KE for the next step)
         vn = vo_ref[...] + hdt * fo_ref[...] * w[None]
         if method == 'nvt':
@@ -1761,19 +1920,29 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
 @functools.partial(jax.jit,
                    static_argnames=('cell_dim', 'C', 'k', 'method',
                                     'eval_name', 'pnames', 'recip',
-                                    'ndof', 'interpret'))
+                                    'ndof', 'interpret', 'half'))
 def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
                         params_vec, dt, kt_table, xi, eta, skin, *, C, k,
                         method, eval_name='lj', pnames=('lj1', 'lj2'),
                         recip='approx', ndof=1.0, tau_inv2=0.0,
-                        interpret=False):
+                        interpret=False, half=False):
     """k fused velocity-Verlet steps, state VMEM-resident throughout.
 
     pos/vel/frc (nc, C, 3); mass/minv (nc, C); params_vec = [rc2,
     e_shift, *pnames] (cell_pair_planar contract — e_shift unused in the
     force-only loop); kt_table (k,) per-step kT values; xi/eta Nose-
     Hoover scalars.  Returns (pos', vel', frc', xi', eta', danger,
-    ke2_last).  PAD slots carry vel=frc=0 and stay frozen."""
+    ke2_last).  PAD slots carry vel=frc=0 and stay frozen.
+
+    half=True switches the force pass to the Newton's-third-law
+    half-stencil (each unordered image pair evaluated once, j side
+    accumulated via a 5-row scatter buffer folded after the z loop).
+    It is numerically equivalent (f32 tolerance) but measured SLOWER on
+    real TPU (~76M vs ~88M pss kernel-only at N=64k LJ): the 5x
+    (3,nz,ny,nx,C) VMEM scratch traffic + fold pass costs more than the
+    ~45%% of pair FMAs it saves — the MXU/VPU is compute-rich and the
+    full stencil is pure fused arithmetic.  Kept for memory-bound or
+    expensive-evaluator regimes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1810,7 +1979,7 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
         functools.partial(_kernel_megastep, k=k, nz=nz, ny=ny, nx=nx,
                           C=C, YB=YB, method=method, eval_name=eval_name,
                           pnames=pnames, recip=recip, ndof=float(ndof),
-                          interpret=interpret),
+                          interpret=interpret, half=half),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # par (1, NPAR)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kt (1, k)
@@ -1821,7 +1990,9 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
                    jax.ShapeDtypeStruct(shp5, dtp),
                    jax.ShapeDtypeStruct(shp5, dtp),
                    jax.ShapeDtypeStruct((8, 128), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM(shp5, dtp)],
+        scratch_shapes=(
+            [pltpu.VMEM(shp5, dtp)]
+            + ([pltpu.VMEM((5,) + shp5, dtp)] if half else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
