@@ -1,0 +1,364 @@
+"""Plane-local cell re-binning as a Pallas stencil op.
+
+Between neighbor rebuilds every particle moves less than half the
+Verlet skin (enforced by the engine's danger check), which is far less
+than one cell width — so re-binning never moves a particle more than
+one cell along any axis.  The reference rebuilds its cell list with a
+global counting sort every time (hoomd/CellList.cc computeCellList);
+the fast engine's general path uses a multi-operand lax.sort
+(ops/fast_lj._rebin).  Both are O(M log M)-ish global data movements.
+This op exploits the one-cell bound instead: three sequential axis
+sweeps (x, y, z), each a 3-point stencil:
+
+  1. emigrants: slots whose position left the cell's [o, o+w) interval
+     along the axis are compacted into per-direction buffers of E slots
+     (rank via a strictly-lower-triangular ones matmul — no cumsum, no
+     sort, MXU-friendly),
+  2. their slots are cleared to the canonical PAD fill,
+  3. each cell pulls the neighbors' emigrant buffers (a roll, exactly
+     the force kernel's stencil move) and places them into its free
+     slots by matching immigrant rank to free-slot rank with a one-hot
+     select — every value lands via multiply-by-one, so the payload is
+     bit-exact.
+
+Positions are stored unwrapped within the box; a migration across the
+periodic boundary shifts the position by ±L and counts the image flip,
+matching box.wrap (box.py wrap).  Slot order inside a cell comes out
+scrambled relative to the sort path — the stencil force kernels are
+insensitive to slot order, so this is free.
+
+Payload: 14 columns (pos xyz, vel xyz, force xyz, image xyz, tag,
+mass), all carried as f32 planes; integer columns are converted by
+VALUE (exact below 2^24 — checked by the wrapper).
+
+Overflow (more than E emigrants per direction per cell, or more
+immigrants than free slots) raises a sticky flag; the caller falls
+back to the sort rebuild, exactly like the cell-capacity grow/retry
+protocol.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._config import PAD_COORD
+
+# column indices
+PX, PY, PZ, VX, VY, VZ, FX, FY, FZ, IX, IY, IZ, TG, MS = range(14)
+NCOL = 14
+
+_FILLS = np.zeros((NCOL,), np.float32)
+_FILLS[PX] = _FILLS[PY] = _FILLS[PZ] = PAD_COORD
+_FILLS[TG] = -1.0
+_FILLS[MS] = 1.0
+
+
+def _rank_f32(mask_f, tri):
+    """Exclusive running count of set entries along the last axis.
+
+    mask_f: (..., n) 0/1 float; tri: (n, n) strictly-lower-triangular
+    ones.  rank[c] = #set entries before c.  A matmul instead of a
+    cumsum: Mosaic lowers it to the MXU and the result is exact for
+    counts < 2^24."""
+    return jax.lax.dot_general(
+        mask_f, tri, (((mask_f.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _tri(n):
+    """Strictly-upper-triangular ones (i < j), built from iota so it
+    can be materialized inside a Pallas kernel (captured numpy
+    constants are rejected by pallas_call)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r < c).astype(jnp.float32)
+
+
+def _compact(cols, mask, E, tri):
+    """Pull masked slots of (..., C) rows into (..., E) buffers.
+
+    cols (NCOL, ..., C); mask (..., C) bool.  Returns (em (NCOL, ...,
+    E), em_valid (..., E), ovf scalar bool).  Slots ranked past E are
+    dropped and flagged."""
+    C = mask.shape[-1]
+    mf = mask.astype(jnp.float32)
+    rank = _rank_f32(mf, tri)                       # (..., C)
+    # one-hot in (…, E, C) layout: C stays the (well-padded) lane dim;
+    # an (…, C, E) layout would pad E=8 lanes to 128 (16x VMEM and the
+    # dominant register-spill source).  f32-mask algebra throughout —
+    # Mosaic cannot insert dims on sub-32-bit (bool) vectors.
+    eio = jax.lax.broadcasted_iota(jnp.int32, mask.shape[:-1] + (E, C),
+                                   mask.ndim - 1).astype(jnp.float32)
+    oh = mf[..., None, :] * (rank[..., None, :] == eio).astype(
+        jnp.float32)                                # (..., E, C)
+    # per-column loop: one (…, E, C) product live at a time instead of
+    # an (NCOL, …, E, C) monolith
+    em = jnp.stack([jnp.sum(cols[c][..., None, :] * oh, axis=-1)
+                    for c in range(NCOL)])              # (NCOL, ..., E)
+    cnt = jnp.sum(mf, axis=-1)                          # (...,)
+    evio = jax.lax.broadcasted_iota(jnp.int32, mask.shape[:-1] + (E,),
+                                    mask.ndim - 1).astype(jnp.float32)
+    # validity as 0/1 f32: bool vectors cannot be rolled/concatenated
+    # by Mosaic (invalid register cast), and downstream wants f32 math
+    em_valid = (evio < cnt[..., None]).astype(jnp.float32)
+    ovf = jnp.any(cnt > E)
+    return em, em_valid, ovf
+
+
+def _place(cols, free, imm, imm_valid, tri_k):
+    """Insert immigrant entries into free slots.
+
+    cols (NCOL, ..., C); free (..., C) bool; imm (NCOL, ..., K);
+    imm_valid (..., K) 0/1 f32.  Immigrant of rank r lands in the free
+    slot of rank r — a one-hot select, so values transfer exactly."""
+    ff = free.astype(jnp.float32)
+    iv = imm_valid
+    frank = _rank_f32(ff, tri_k['C'])               # (..., C)
+    irank = _rank_f32(iv, tri_k['K'])               # (..., K)
+    # f32-mask algebra (no bool minor-dim insertion — see _compact)
+    sf = (iv[..., :, None] * ff[..., None, :]
+          * (irank[..., :, None]
+             == frank[..., None, :]).astype(jnp.float32))  # (..., K, C)
+    add = jnp.stack([jnp.sum(imm[c][..., :, None] * sf, axis=-2)
+                     for c in range(NCOL)])               # (NCOL,...,C)
+    got = jnp.sum(sf, axis=-2) > 0.0                       # (..., C)
+    out = jnp.where(got[None], add, cols)
+    ovf = jnp.any(jnp.sum(iv, -1) > jnp.sum(ff, -1))
+    return out, ovf
+
+
+def _set_col(arr, col, val):
+    """arr with arr[col] replaced by val — via iota+select, because
+    Mosaic has no scatter lowering for .at[i].set on a leading axis."""
+    ci = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    return jnp.where(ci == col, val[None], arr)
+
+
+def _add_col(arr, col, delta):
+    ci = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    return jnp.where(ci == col, arr + delta, arr)
+
+
+def _clear(cols, stay):
+    """Reset non-staying slots to the canonical PAD fill.  The fill is
+    built at full shape from a column-index iota: reshaping a (NCOL,)
+    lane vector up to (NCOL, 1, 1, 1) is an unsupported Mosaic shape
+    cast."""
+    ci = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
+    fill = jnp.where(ci <= PZ, jnp.float32(PAD_COORD), 0.0)
+    fill = jnp.where(ci == TG, -1.0, fill)
+    fill = jnp.where(ci == MS, 1.0, fill)
+    return jnp.where(stay[None], cols, fill)
+
+
+def _shift_boundary(em, axis_in_plane, n, at_index, dpos_col, dimg_col,
+                    L):
+    """Apply the periodic shift to rolled emigrant buffers arriving at
+    the boundary cell: pos ±L, img ∓(±1).  em (NCOL, ny, nx, E);
+    axis_in_plane 0 (y) or 1 (x); at_index 0 or n-1."""
+    io = jax.lax.broadcasted_iota(jnp.int32, em.shape[1:],
+                                  axis_in_plane)
+    hit = (io == at_index)
+    sgn = -1.0 if at_index == 0 else 1.0
+    # arriving at 0 from n-1 (moved +): pos -= L, img += 1
+    # arriving at n-1 from 0 (moved -): pos += L, img -= 1
+    em = _set_col(em, dpos_col,
+                  jnp.where(hit, em[dpos_col] + sgn * L, em[dpos_col]))
+    em = _set_col(em, dimg_col,
+                  jnp.where(hit, em[dimg_col] - sgn, em[dimg_col]))
+    return em
+
+
+def _rebin_plane_axis(cols, *, axis_in_plane, pos_col, img_col, n, w, L,
+                      E, tris):
+    """One in-plane axis sweep over cols (NCOL, ny, nx, C).
+
+    axis_in_plane: 0 sweeps y (dim 1 of the plane), 1 sweeps x (dim 2).
+    Returns (cols', ovf)."""
+    arr_axis = 1 + axis_in_plane                 # axis inside (NCOL,...)
+    io = jax.lax.broadcasted_iota(jnp.int32, cols.shape[1:],
+                                  axis_in_plane).astype(jnp.float32)
+    origin = io * w - 0.5 * L
+    local = cols[pos_col] - origin
+    valid = cols[TG] >= 0.0
+    migp = valid & (local >= w)
+    migm = valid & (local < 0.0)
+    em_p, vp, o1 = _compact(cols, migp, E, tris['C'])
+    em_m, vm, o2 = _compact(cols, migm, E, tris['C'])
+    stay = valid & ~(migp | migm)
+    cols = _clear(cols, stay)
+
+    em_p = jnp.roll(em_p, 1, axis=arr_axis)
+    vp = jnp.roll(vp, 1, axis=arr_axis - 1)
+    em_p = _shift_boundary(em_p, axis_in_plane, n, 0, pos_col, img_col,
+                           L)
+    em_m = jnp.roll(em_m, -1, axis=arr_axis)
+    vm = jnp.roll(vm, -1, axis=arr_axis - 1)
+    em_m = _shift_boundary(em_m, axis_in_plane, n, n - 1, pos_col,
+                           img_col, L)
+
+    imm = jnp.concatenate([em_p, em_m], axis=-1)       # (NCOL,...,2E)
+    imm_valid = jnp.concatenate([vp, vm], axis=-1)
+    cols, o3 = _place(cols, ~stay, imm, imm_valid,
+                      {'C': tris['C'], 'K': tris['K']})
+    return cols, (o1 | o2 | o3)
+
+
+def _kernel_rebin(par_ref, c_ref, o_ref, st_ref, emz_scr, *, nz, ny, nx,
+                  C, E, interpret):
+    """Standalone rebin kernel.  c_ref/o_ref (NCOL, nz, ny, nx, C);
+    emz_scr (2, nz, ny, nx, NCOL*E) z-emigrant buffers (dir 0 = +z,
+    dir 1 = -z); st_ref (8, 128) stats [ovf]."""
+    from jax.experimental import pallas as pl
+
+    Lx = par_ref[0, 0]
+    Ly = par_ref[0, 1]
+    Lz = par_ref[0, 2]
+    wx = par_ref[0, 3]
+    wy = par_ref[0, 4]
+    wz = par_ref[0, 5]
+    tris = {'C': _tri(C), 'K': _tri(2 * E)}
+    o_ref[...] = c_ref[...]
+
+    def plane(iz):
+        return o_ref[:, pl.ds(iz, 1)][:, 0]          # (NCOL, ny, nx, C)
+
+    def store(iz, cols):
+        o_ref[:, pl.ds(iz, 1)] = cols[:, None]
+
+    def xy_pass(iz, ovf):
+        cols = plane(iz)
+        cols, o1 = _rebin_plane_axis(
+            cols, axis_in_plane=1, pos_col=PX, img_col=IX, n=nx, w=wx,
+            L=Lx, E=E, tris=tris)
+        cols, o2 = _rebin_plane_axis(
+            cols, axis_in_plane=0, pos_col=PY, img_col=IY, n=ny, w=wy,
+            L=Ly, E=E, tris=tris)
+        store(iz, cols)
+        return ovf | o1 | o2
+
+    def z_collect(iz, ovf):
+        cols = plane(iz)
+        origin = iz.astype(jnp.float32) * wz - 0.5 * Lz
+        local = cols[PZ] - origin
+        valid = cols[TG] >= 0.0
+        migp = valid & (local >= wz)
+        migm = valid & (local < 0.0)
+        em_p, vp, o1 = _compact(cols, migp, E, tris['C'])
+        em_m, vm, o2 = _compact(cols, migm, E, tris['C'])
+        stay = valid & ~(migp | migm)
+        store(iz, _clear(cols, stay))
+        # encode validity in the tag column: invalid entries get -1
+        em_p = _set_col(em_p, TG, jnp.where(vp > 0.0, em_p[TG], -1.0))
+        em_m = _set_col(em_m, TG, jnp.where(vm > 0.0, em_m[TG], -1.0))
+        # pack (NCOL, ny, nx, E) -> (ny, nx, NCOL*E) by static lane
+        # concat (a vector transpose would be unsupported; an E-lane
+        # scratch would pad 8 -> 128 lanes, 16x VMEM)
+        pk_p = jnp.concatenate([em_p[c] for c in range(NCOL)], axis=-1)
+        pk_m = jnp.concatenate([em_m[c] for c in range(NCOL)], axis=-1)
+        emz_scr[0, pl.ds(iz, 1)] = pk_p[None]
+        emz_scr[1, pl.ds(iz, 1)] = pk_m[None]
+        return ovf | o1 | o2
+
+    def z_place(iz, ovf):
+        cols = plane(iz)
+        izm = jnp.where(iz == 0, nz - 1, iz - 1)
+        izp = jnp.where(iz == nz - 1, 0, iz + 1)
+        pk_p = emz_scr[0, pl.ds(izm, 1)][0]          # from below, moved +
+        pk_m = emz_scr[1, pl.ds(izp, 1)][0]          # from above, moved -
+        em_p = jnp.stack([pk_p[..., c * E:(c + 1) * E]
+                          for c in range(NCOL)])
+        em_m = jnp.stack([pk_m[..., c * E:(c + 1) * E]
+                          for c in range(NCOL)])
+        # periodic boundary: arriving at plane 0 from nz-1 (+ move):
+        # pos -= Lz, img += 1; at plane nz-1 from 0 (- move): reverse
+        sp = jnp.where(iz == 0, 1.0, 0.0)
+        em_p = _add_col(em_p, PZ, -sp * Lz)
+        em_p = _add_col(em_p, IZ, sp)
+        sm = jnp.where(iz == nz - 1, 1.0, 0.0)
+        em_m = _add_col(em_m, PZ, sm * Lz)
+        em_m = _add_col(em_m, IZ, -sm)
+        imm = jnp.concatenate([em_p, em_m], axis=-1)
+        imm_valid = jnp.concatenate(
+            [(em_p[TG] >= 0.0).astype(jnp.float32),
+             (em_m[TG] >= 0.0).astype(jnp.float32)], axis=-1)
+        free = cols[TG] < 0.0
+        cols, o1 = _place(cols, free, imm, imm_valid,
+                          {'C': tris['C'], 'K': tris['K']})
+        store(iz, cols)
+        return ovf | o1
+
+    ovf = jax.lax.fori_loop(0, nz, xy_pass, jnp.asarray(False),
+                            unroll=False)
+    ovf = jax.lax.fori_loop(0, nz, z_collect, ovf, unroll=False)
+    ovf = jax.lax.fori_loop(0, nz, z_place, ovf, unroll=False)
+    z = jnp.zeros((128,), jnp.float32)
+    st_ref[...] = jnp.stack([z + jnp.where(ovf, 1.0, 0.0),
+                             z, z, z, z, z, z, z])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'E', 'interpret'))
+def cell_rebin_plane(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
+                     C, E=8, interpret=False):
+    """Re-bin cell-major state by plane-local migration.
+
+    pos/vel/frc (nc, C, 3) f32, img (nc, C, 3) int, tag (nc, C) int
+    (-1 = padding), mass (nc, C); box_L (3,).  Returns the same tuple
+    re-binned plus a sticky overflow bool.  Precondition: no particle
+    has moved more than one cell along any axis since the last rebin
+    (the engine's Verlet-skin danger bound guarantees this)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dtp = pos.dtype
+    itp = tag.dtype
+
+    def planes1(a):                                # (nc, C) -> planes
+        return a.reshape(nz, ny, nx, C)
+
+    def planes3(a, i):
+        return a[:, :, i].reshape(nz, ny, nx, C)
+
+    cols = jnp.stack([
+        planes3(pos, 0), planes3(pos, 1), planes3(pos, 2),
+        planes3(vel, 0), planes3(vel, 1), planes3(vel, 2),
+        planes3(frc, 0), planes3(frc, 1), planes3(frc, 2),
+        planes3(img.astype(dtp), 0), planes3(img.astype(dtp), 1),
+        planes3(img.astype(dtp), 2),
+        planes1(tag.astype(dtp)), planes1(mass)])
+    L = jnp.asarray(box_L, dtp)
+    par = jnp.stack([L[0], L[1], L[2], L[0] / nx, L[1] / ny, L[2] / nz,
+                     jnp.zeros((), dtp), jnp.zeros((), dtp)])
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    shp = (NCOL, nz, ny, nx, C)
+    out, st = pl.pallas_call(
+        functools.partial(_kernel_rebin, nz=nz, ny=ny, nx=nx, C=C, E=E,
+                          interpret=interpret),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec],
+        out_specs=[vspec, vspec],
+        out_shape=[jax.ShapeDtypeStruct(shp, dtp),
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, nz, ny, nx, NCOL * E), dtp)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(par.reshape(1, 8), cols)
+
+    def unplane3(i0):
+        return jnp.stack([out[i0 + i].reshape(nc, C) for i in range(3)],
+                         axis=-1)
+    pos2 = unplane3(PX)
+    vel2 = unplane3(VX)
+    frc2 = unplane3(FX)
+    img2 = unplane3(IX).astype(itp)
+    tag2 = out[TG].reshape(nc, C).astype(itp)
+    mass2 = out[MS].reshape(nc, C)
+    return pos2, vel2, frc2, img2, tag2, mass2, st[0, 0] > 0.5

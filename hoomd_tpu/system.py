@@ -457,6 +457,13 @@ class System:
         cap = self._grow.get('fast_k_cap')
         if cap:
             k_rebuild = min(k_rebuild, cap)
+        # measured-drift override: the adaptive cadence (see
+        # _run_fast_chunk) raises the window beyond the ballistic
+        # estimate when the observed per-window max displacement leaves
+        # a comfortable margin; the danger retry remains the backstop
+        floor = self._grow.get('fast_k_floor')
+        if floor:
+            k_rebuild = max(k_rebuild, min(floor, cap or floor))
         self._fast_k_dt = dt
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
