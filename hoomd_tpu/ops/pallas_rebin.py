@@ -95,10 +95,10 @@ def _compact(cols, mask, E, tri):
                                    mask.ndim - 1).astype(jnp.float32)
     oh = mf[..., None, :] * (rank[..., None, :] == eio).astype(
         jnp.float32)                                # (..., E, C)
-    # per-column loop: one (…, E, C) product live at a time instead of
-    # an (NCOL, …, E, C) monolith
-    em = jnp.stack([jnp.sum(cols[c][..., None, :] * oh, axis=-1)
-                    for c in range(NCOL)])              # (NCOL, ..., E)
+    # one broadcast product over all columns: fewer, larger ops keep
+    # the Mosaic scheduler tractable in the unrolled kernel (a
+    # per-column Python loop blew compile time past 10 minutes)
+    em = jnp.sum(cols[..., None, :] * oh[None], axis=-1)  # (NCOL,...,E)
     cnt = jnp.sum(mf, axis=-1)                          # (...,)
     evio = jax.lax.broadcasted_iota(jnp.int32, mask.shape[:-1] + (E,),
                                     mask.ndim - 1).astype(jnp.float32)
@@ -123,8 +123,7 @@ def _place(cols, free, imm, imm_valid, tri_k):
     sf = (iv[..., :, None] * ff[..., None, :]
           * (irank[..., :, None]
              == frank[..., None, :]).astype(jnp.float32))  # (..., K, C)
-    add = jnp.stack([jnp.sum(imm[c][..., :, None] * sf, axis=-2)
-                     for c in range(NCOL)])               # (NCOL,...,C)
+    add = jnp.sum(imm[..., :, None] * sf[None], axis=-2)  # (NCOL,...,C)
     got = jnp.sum(sf, axis=-2) > 0.0                       # (..., C)
     out = jnp.where(got[None], add, cols)
     ovf = jnp.any(jnp.sum(iv, -1) > jnp.sum(ff, -1))
@@ -222,7 +221,6 @@ def _kernel_rebin(par_ref, c_ref, o_ref, st_ref, emz_scr, *, nz, ny, nx,
     wy = par_ref[0, 4]
     wz = par_ref[0, 5]
     tris = {'C': _tri(C), 'K': _tri(2 * E)}
-    o_ref[...] = c_ref[...]
 
     def plane(iz):
         return o_ref[:, pl.ds(iz, 1)][:, 0]          # (NCOL, ny, nx, C)
@@ -230,44 +228,44 @@ def _kernel_rebin(par_ref, c_ref, o_ref, st_ref, emz_scr, *, nz, ny, nx,
     def store(iz, cols):
         o_ref[:, pl.ds(iz, 1)] = cols[:, None]
 
-    def xy_pass(iz, ovf):
-        cols = plane(iz)
+    def sweep1(iz, ovf):
+        """x pass + y pass + z-emigrant collection, one plane visit
+        (reads the input ref, writes the output ref once — fusing the
+        initial copy and the separate z-collect sweep saves two full
+        read+write passes over the state)."""
+        cols = c_ref[:, pl.ds(iz, 1)][:, 0]
         cols, o1 = _rebin_plane_axis(
             cols, axis_in_plane=1, pos_col=PX, img_col=IX, n=nx, w=wx,
             L=Lx, E=E, tris=tris)
         cols, o2 = _rebin_plane_axis(
             cols, axis_in_plane=0, pos_col=PY, img_col=IY, n=ny, w=wy,
             L=Ly, E=E, tris=tris)
-        store(iz, cols)
-        return ovf | o1 | o2
-
-    def z_collect(iz, ovf):
-        cols = plane(iz)
-        origin = iz.astype(jnp.float32) * wz - 0.5 * Lz
+        origin = jnp.float32(iz) * wz - 0.5 * Lz
         local = cols[PZ] - origin
         valid = cols[TG] >= 0.0
         migp = valid & (local >= wz)
         migm = valid & (local < 0.0)
-        em_p, vp, o1 = _compact(cols, migp, E, tris['C'])
-        em_m, vm, o2 = _compact(cols, migm, E, tris['C'])
+        em_p, vp, o3 = _compact(cols, migp, E, tris['C'])
+        em_m, vm, o4 = _compact(cols, migm, E, tris['C'])
         stay = valid & ~(migp | migm)
         store(iz, _clear(cols, stay))
         # encode validity in the tag column: invalid entries get -1
         em_p = _set_col(em_p, TG, jnp.where(vp > 0.0, em_p[TG], -1.0))
         em_m = _set_col(em_m, TG, jnp.where(vm > 0.0, em_m[TG], -1.0))
-        # pack (NCOL, ny, nx, E) -> (ny, nx, NCOL*E) by static lane
-        # concat (a vector transpose would be unsupported; an E-lane
-        # scratch would pad 8 -> 128 lanes, 16x VMEM)
-        pk_p = jnp.concatenate([em_p[c] for c in range(NCOL)], axis=-1)
-        pk_m = jnp.concatenate([em_m[c] for c in range(NCOL)], axis=-1)
-        emz_scr[0, pl.ds(iz, 1)] = pk_p[None]
-        emz_scr[1, pl.ds(iz, 1)] = pk_m[None]
-        return ovf | o1 | o2
+        # per-column static lane-slice stores into the packed
+        # (..., NCOL*E) scratch: no cross-lane concat shuffles, no
+        # 8->128 lane padding of an E-minor scratch
+        for c in range(NCOL):
+            emz_scr[0, pl.ds(iz, 1), :, :, c * E:(c + 1) * E] = \
+                em_p[c][None]
+            emz_scr[1, pl.ds(iz, 1), :, :, c * E:(c + 1) * E] = \
+                em_m[c][None]
+        return ovf | o1 | o2 | o3 | o4
 
     def z_place(iz, ovf):
         cols = plane(iz)
-        izm = jnp.where(iz == 0, nz - 1, iz - 1)
-        izp = jnp.where(iz == nz - 1, 0, iz + 1)
+        izm = (iz - 1) % nz
+        izp = (iz + 1) % nz
         pk_p = emz_scr[0, pl.ds(izm, 1)][0]          # from below, moved +
         pk_m = emz_scr[1, pl.ds(izp, 1)][0]          # from above, moved -
         em_p = jnp.stack([pk_p[..., c * E:(c + 1) * E]
@@ -275,11 +273,12 @@ def _kernel_rebin(par_ref, c_ref, o_ref, st_ref, emz_scr, *, nz, ny, nx,
         em_m = jnp.stack([pk_m[..., c * E:(c + 1) * E]
                           for c in range(NCOL)])
         # periodic boundary: arriving at plane 0 from nz-1 (+ move):
-        # pos -= Lz, img += 1; at plane nz-1 from 0 (- move): reverse
-        sp = jnp.where(iz == 0, 1.0, 0.0)
+        # pos -= Lz, img += 1; at plane nz-1 from 0 (- move): reverse.
+        # (jnp.where forms work for both static and traced iz)
+        sp = jnp.where(jnp.asarray(iz) == 0, 1.0, 0.0)
         em_p = _add_col(em_p, PZ, -sp * Lz)
         em_p = _add_col(em_p, IZ, sp)
-        sm = jnp.where(iz == nz - 1, 1.0, 0.0)
+        sm = jnp.where(jnp.asarray(iz) == nz - 1, 1.0, 0.0)
         em_m = _add_col(em_m, PZ, sm * Lz)
         em_m = _add_col(em_m, IZ, -sm)
         imm = jnp.concatenate([em_p, em_m], axis=-1)
@@ -292,10 +291,22 @@ def _kernel_rebin(par_ref, c_ref, o_ref, st_ref, emz_scr, *, nz, ny, nx,
         store(iz, cols)
         return ovf | o1
 
-    ovf = jax.lax.fori_loop(0, nz, xy_pass, jnp.asarray(False),
-                            unroll=False)
-    ovf = jax.lax.fori_loop(0, nz, z_collect, ovf, unroll=False)
-    ovf = jax.lax.fori_loop(0, nz, z_place, ovf, unroll=False)
+    # UNROLLED z sweeps: rolled fori_loop plane visits cost ~64us each
+    # in dynamic-slice machinery (measured: the whole selection algebra
+    # ablates to noise, the sweep structure is the entire runtime);
+    # static plane indices compile it away.  Interpret mode (CPU tests)
+    # keeps the rolled loops — the unrolled trace pays per-op Python
+    # cost nz times there.
+    if interpret:
+        ovf = jax.lax.fori_loop(0, nz, sweep1, jnp.asarray(False),
+                                unroll=False)
+        ovf = jax.lax.fori_loop(0, nz, z_place, ovf, unroll=False)
+    else:
+        ovf = jnp.asarray(False)
+        for iz in range(nz):
+            ovf = sweep1(iz, ovf)
+        for iz in range(nz):
+            ovf = z_place(iz, ovf)
     z = jnp.zeros((128,), jnp.float32)
     st_ref[...] = jnp.stack([z + jnp.where(ovf, 1.0, 0.0),
                              z, z, z, z, z, z, z])
