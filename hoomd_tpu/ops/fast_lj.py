@@ -57,6 +57,9 @@ class FastCarry:
     n_rebuilds: jnp.ndarray  # () int
     danger: jnp.ndarray     # () bool sticky: skin crossed mid-window
     since: jnp.ndarray      # () int steps since last rebuild
+    wmax: jnp.ndarray       # () max per-window drift^2 seen this segment
+                            # (host feedback for the adaptive rebuild
+                            # cadence; reset when the host reads it)
 
 
 def plan_fast_lj(N, box_L, rcut, r_buff):
@@ -323,6 +326,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         md2 = jnp.max(jnp.where(valid, jnp.sum(d * d, -1, keepdims=True),
                                 0.0))
         danger = c.danger | (md2 > (0.5 * skin) ** 2)
+        wmax = jnp.maximum(c.wmax, md2)
         img, tag, typ, mass = c.img, c.tag, c.typ, c.mass
 
         # ---- forces (Pallas cell-pair kernel); pe/virial are NOT
@@ -362,7 +366,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                          img=img, tag=tag, typ=typ, mass=mass,
                          ref_pos=c.ref_pos, timestep=c.timestep + 1,
                          aux=aux, overflow=c.overflow, danger=danger,
-                         n_rebuilds=c.n_rebuilds, since=c.since + 1)
+                         n_rebuilds=c.n_rebuilds, since=c.since + 1,
+                         wmax=wmax)
 
     # ---- fully-fused step path (one pallas_call per MD step) -----------
     # Eligible: 'plane' impl, single type, nve/nvt (langevin keeps the
@@ -395,7 +400,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         aux = dict(c.aux)
         xi0 = aux.get('xi', jnp.zeros((), dtype))
         eta0 = aux.get('eta', jnp.zeros((), dtype))
-        p, v, f, xi, eta, danger, _ = cell_megastep_plane(
+        p, v, f, xi, eta, danger, _, mdmax = cell_megastep_plane(
             c.pos, c.vel, c.frc, c.mass, 1.0 / c.mass, cell_dim, shifts,
             dyn['pv'], dyn['dt'], kt, xi0, eta0, skin, C=C, k=k,
             method=method_kind, eval_name=eval_name, pnames=pnames,
@@ -406,6 +411,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             aux['eta'] = eta
         return c.replace(pos=p, vel=v, frc=f, aux=aux,
                          danger=c.danger | danger,
+                         wmax=jnp.maximum(c.wmax, mdmax),
                          timestep=c.timestep + k, since=c.since + k)
 
     def _to_planes(a):
@@ -559,7 +565,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             ref_pos=p.reshape(shape3),
             timestep=state.timestep, aux=aux,
             overflow=ovf, n_rebuilds=jnp.zeros((), idt),
-            danger=jnp.zeros((), bool), since=jnp.zeros((), idt))
+            danger=jnp.zeros((), bool), since=jnp.zeros((), idt),
+            wmax=jnp.zeros((), dtype))
         return carry
 
     @jax.jit

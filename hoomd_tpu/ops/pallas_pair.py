@@ -1927,7 +1927,7 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
     z = jnp.zeros((128,), jnp.float32)
     st_ref[...] = jnp.stack(
         [z + xi, z + eta, z + jnp.where(mdmax > thr, 1.0, 0.0),
-         z + ke2, z, z, z, z])
+         z + ke2, z + mdmax, z, z, z])
 
 
 @functools.partial(jax.jit,
@@ -2015,4 +2015,4 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
     def unplane(a):
         return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
     return (unplane(po), unplane(vo), unplane(fo),
-            st[0, 0], st[1, 0], st[2, 0] > 0.5, st[3, 0])
+            st[0, 0], st[1, 0], st[2, 0] > 0.5, st[3, 0], st[4, 0])

@@ -291,22 +291,15 @@ def _kernel_rebin(par_ref, c_ref, o_ref, st_ref, emz_scr, *, nz, ny, nx,
         store(iz, cols)
         return ovf | o1
 
-    # UNROLLED z sweeps: rolled fori_loop plane visits cost ~64us each
-    # in dynamic-slice machinery (measured: the whole selection algebra
-    # ablates to noise, the sweep structure is the entire runtime);
-    # static plane indices compile it away.  Interpret mode (CPU tests)
-    # keeps the rolled loops — the unrolled trace pays per-op Python
-    # cost nz times there.
-    if interpret:
-        ovf = jax.lax.fori_loop(0, nz, sweep1, jnp.asarray(False),
-                                unroll=False)
-        ovf = jax.lax.fori_loop(0, nz, z_place, ovf, unroll=False)
-    else:
-        ovf = jnp.asarray(False)
-        for iz in range(nz):
-            ovf = sweep1(iz, ovf)
-        for iz in range(nz):
-            ovf = z_place(iz, ovf)
+    # Rolled z sweeps.  An unrolled variant (static plane indices) was
+    # tried to remove the per-visit dynamic-slice cost, but the 28
+    # unrolled read-modify-write plane bodies push Mosaic's compiler
+    # into a >80-minute compile — a compile bomb, not a speedup.  Keep
+    # the rolled loops until the kernel is restructured (e.g. fused
+    # into the megastep kernel with leaner bodies).
+    ovf = jax.lax.fori_loop(0, nz, sweep1, jnp.asarray(False),
+                            unroll=False)
+    ovf = jax.lax.fori_loop(0, nz, z_place, ovf, unroll=False)
     z = jnp.zeros((128,), jnp.float32)
     st_ref[...] = jnp.stack([z + jnp.where(ovf, 1.0, 0.0),
                              z, z, z, z, z, z, z])

@@ -475,7 +475,7 @@ class System:
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
                 'eval_name': eval_name, 'pnames': pnames,
-                'ntypes': ntypes, 'k_rebuild': k_rebuild}
+                'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
@@ -542,6 +542,7 @@ class System:
         k_dt = getattr(self, '_fast_k_dt', dt_now)
         if abs(dt_now - k_dt) > 0.25 * max(k_dt, 1e-12):
             self._grow.pop('fast_k_cap', None)
+            self._grow.pop('fast_k_floor', None)
             self._rebuild_program()
             self._pack_dyn()
         done = 0
@@ -565,6 +566,33 @@ class System:
                 if not (ovf or dng):
                     self._fast_carry = carry
                     self._fast_state_stale = True
+                    # adaptive cadence: the kernel reports the largest
+                    # per-window drift^2 (wmax); when the drift
+                    # extrapolated to the next window quantum still
+                    # sits below 0.55 of the half-skin, grow the
+                    # rebuild window.  Measured feedback, not the
+                    # ballistic vmax guess — typically 2-3x longer
+                    # windows at liquid statepoints.  The sticky danger
+                    # flag (segment retry + fast_k_cap shrink) remains
+                    # the correctness backstop.
+                    k_now = fast.get('k_rebuild', 8)
+                    quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
+                    cap = self._grow.get('fast_k_cap')
+                    nxt = next((q for q in reversed(quanta)
+                                if q > k_now), None)
+                    if (nxt is not None and (not cap or nxt <= cap)
+                            and seg >= 2 * k_now):
+                        import math
+                        wmax = float(carry.wmax)
+                        thr = (0.5 * fast['skin']) ** 2
+                        if 0.0 < wmax and (math.sqrt(wmax / thr)
+                                           * nxt / k_now) < 0.55:
+                            self._grow['fast_k_floor'] = nxt
+                            import jax.numpy as _j
+                            self._fast_carry = carry.replace(
+                                wmax=_j.zeros_like(carry.wmax))
+                            self._rebuild_program()
+                            self._pack_dyn()
                     break
                 # recover the pre-segment state, adjust, recompile, retry
                 if not bool(carry0.overflow):
@@ -579,6 +607,9 @@ class System:
                     quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
                     self._grow['fast_k_cap'] = next(
                         (q for q in quanta if q < k_now), 1)
+                    # the cap now bounds any future measured-drift
+                    # growth; drop the stale floor
+                    self._grow.pop('fast_k_floor', None)
                 self._rebuild_program()
                 self._pack_dyn()
             else:

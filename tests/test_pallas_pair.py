@@ -452,7 +452,7 @@ def test_megastep_kernel_matches_stepwise(method):
         return p, v, f, xi, eta
 
     kt = jnp.full((k,), kT, jnp.float32)
-    p2, v2, f2, xi2, eta2, danger, _ = cell_megastep_plane(
+    p2, v2, f2, xi2, eta2, danger, _, _ = cell_megastep_plane(
         pos, vel, jnp.asarray(force(pos)), mass, 1.0 / mass, cd, sh, pv,
         dt, kt, jnp.float32(0.05), jnp.float32(0.0), skin, C=C, k=k,
         method=method, recip='div', ndof=ndof,
@@ -494,7 +494,7 @@ def test_megastep_danger_flag():
     sh = jnp.asarray(build_cell_shifts(cd, (L,) * 3)[1], jnp.float32)
     pv0 = jnp.asarray([1e-6, 0.0, 4.0, 4.0], jnp.float32)
     kt = jnp.ones((3,), jnp.float32)
-    _, _, _, _, _, danger, _ = cell_megastep_plane(
+    _, _, _, _, _, danger, _, _ = cell_megastep_plane(
         pos, zeros, zeros, mass, 1.0 / mass, cd, sh, pv0,
         jnp.float32(0.002), kt, jnp.float32(0.0), jnp.float32(0.0),
         0.5, C=C, k=3, method='nve', recip='div', ndof=3.0,
@@ -502,7 +502,7 @@ def test_megastep_danger_flag():
     assert not bool(danger)
     # ballistic drift past the threshold -> danger True
     v = jnp.full((nc, C, 3), 50.0, jnp.float32)
-    _, _, _, _, _, danger, _ = cell_megastep_plane(
+    _, _, _, _, _, danger, _, _ = cell_megastep_plane(
         pos, v, zeros, mass, 1.0 / mass, cd, sh, pv0,
         jnp.float32(0.002), kt, jnp.float32(0.0), jnp.float32(0.0),
         0.5, C=C, k=3, method='nve', recip='div', ndof=3.0,
