@@ -546,9 +546,16 @@ class System:
             self._rebuild_program()
             self._pack_dyn()
         done = 0
+        import os as _os
+        import time as _time
+        dbg = _os.environ.get('HOOMD_TPU_DEBUG_FAST')
         while done < chunk:
             seg = min(512, chunk - done)
             for attempt in range(6):
+                if dbg:
+                    print(f"[fast] seg={seg} attempt={attempt} "
+                          f"k={self._program['fast']['k_rebuild']} "
+                          f"t={_time.time():.1f}", flush=True)
                 fast = self._program['fast']
                 m = fast['method']
                 fdyn = self._dyn['fast']
@@ -578,21 +585,32 @@ class System:
                     k_now = fast.get('k_rebuild', 8)
                     quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
                     cap = self._grow.get('fast_k_cap')
-                    nxt = next((q for q in reversed(quanta)
-                                if q > k_now), None)
-                    if (nxt is not None and (not cap or nxt <= cap)
-                            and seg >= 2 * k_now):
+                    if seg >= 2 * k_now and k_now < (cap or 32):
                         import math
                         wmax = float(carry.wmax)
                         thr = (0.5 * fast['skin']) ** 2
-                        if 0.0 < wmax and (math.sqrt(wmax / thr)
-                                           * nxt / k_now) < 0.55:
-                            self._grow['fast_k_floor'] = nxt
-                            import jax.numpy as _j
-                            self._fast_carry = carry.replace(
-                                wmax=_j.zeros_like(carry.wmax))
-                            self._rebuild_program()
-                            self._pack_dyn()
+                        if wmax > 0.0:
+                            # one-shot jump to the largest quantum the
+                            # measured drift predicts safe (drift ~
+                            # linear in window length): each distinct k
+                            # is a fresh kernel compile, so walking
+                            # quantum-by-quantum is unaffordable
+                            kmax = k_now * 0.55 / max(
+                                math.sqrt(wmax / thr), 1e-9)
+                            nxt = next((q for q in quanta
+                                        if q <= kmax
+                                        and q <= (cap or 32)), 1)
+                            if nxt > k_now:
+                                if dbg:
+                                    print(f"[fast] grow k {k_now}->"
+                                          f"{nxt} (wmax={wmax:.4g} "
+                                          f"thr={thr:.4g})", flush=True)
+                                self._grow['fast_k_floor'] = nxt
+                                import jax.numpy as _j
+                                self._fast_carry = carry.replace(
+                                    wmax=_j.zeros_like(carry.wmax))
+                                self._rebuild_program()
+                                self._pack_dyn()
                     break
                 # recover the pre-segment state, adjust, recompile, retry
                 if not bool(carry0.overflow):
@@ -682,6 +700,21 @@ class System:
         end = start + nsteps
         t_wall0 = time.perf_counter()
         deadline = (t_wall0 + limit_hours * 3600.0) if limit_hours else None
+        # HOOMD_WALLTIME_STOP (reference System.cc:520-549): absolute
+        # unix time the job will be killed; end the run at the last
+        # chunk the measured step rate predicts completes before it
+        import os as _os
+        _wts = _os.environ.get('HOOMD_WALLTIME_STOP')
+        wstop = float(_wts) if _wts else None
+        t_unix0 = time.time()
+
+        def _wstop_hit(next_chunk):
+            if wstop is None:
+                return False
+            now = time.time()
+            done_steps = max(self.timestep - start, 1)
+            rate = (now - t_unix0) / done_steps
+            return now + next_chunk * rate > wstop
 
         # SIGINT ends the run at the next chunk boundary with valid state
         # (reference SignalHandler.cc / System.cc:610-615 g_sigint_recvd);
@@ -770,6 +803,11 @@ class System:
                     if not quiet:
                         print("** walltime limit reached **")
                     break
+                if _wstop_hit(min(chunk, end - cur)):
+                    if not quiet:
+                        print("** HOOMD_WALLTIME_STOP predicted: "
+                              "ending run **")
+                    break
                 continue
             if self._program['kind'] == 'hpmc':
                 state0 = self.state
@@ -825,6 +863,11 @@ class System:
             if deadline and time.perf_counter() > deadline:
                 if not quiet:
                     print("** walltime limit reached **")
+                break
+            if _wstop_hit(min(chunk, end - cur)):
+                if not quiet:
+                    print("** HOOMD_WALLTIME_STOP predicted: "
+                          "ending run **")
                 break
         if prev_handler is not None:
             try:
