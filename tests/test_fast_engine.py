@@ -233,3 +233,32 @@ def test_fast_engine_other_evaluators(pot, coeffs):
     scale = max(np.abs(f1).max(), 1.0)
     assert np.abs(f1 - f2).max() < 2e-4 * scale
     assert pe1 == pytest.approx(pe2, abs=1e-2, rel=1e-4)
+
+
+def test_adaptive_rebuild_cadence_grows():
+    """Measured-drift feedback: with slow dynamics the controller must
+    grow the rebuild window beyond the conservative ballistic estimate
+    (system.py _run_fast_chunk), and physics must stay sane across the
+    recompile (energy conserved in NVE)."""
+    hoomd, system = _build(True, dt=0.004, method='nve')
+    # hot velocities at program build -> small ballistic k estimate
+    snap = system.take_snapshot()
+    snap.particles.velocity[:] *= 8.0
+    system.restore_snapshot(snap)
+    hoomd.run(2)               # compile + initial k from ballistic vmax
+    k0 = system._program['fast']['k_rebuild']
+    assert k0 < 32, k0
+    # cool the system 40x: the estimate is now stale-conservative and
+    # the measured per-window drift undershoots it -> one-shot jump
+    snap = system.take_snapshot()
+    snap.particles.velocity[:] *= 0.025
+    system.restore_snapshot(snap)
+    q = system.thermo_quantities()
+    e0 = q['kinetic_energy'] + q['potential_energy']
+    hoomd.run(3 * max(k0, 2) + 400)
+    k1 = system._program['fast']['k_rebuild']
+    assert k1 > k0, (k0, k1)
+    q = system.thermo_quantities()
+    e1 = q['kinetic_energy'] + q['potential_energy']
+    N = system.state.N
+    assert abs(e1 - e0) / N < 5e-3, (e0, e1)
