@@ -60,6 +60,9 @@ class FastCarry:
     wmax: jnp.ndarray       # () max per-window drift^2 seen this segment
                             # (host feedback for the adaptive rebuild
                             # cadence; reset when the host reads it)
+    rebin_ovf: jnp.ndarray  # () bool sticky: plane-local rebin buffer
+                            # overflow — the carry is unusable; the host
+                            # retries the segment on the sort rebuild
 
 
 def plan_fast_lj(N, box_L, rcut, r_buff):
@@ -108,7 +111,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         method_seed, dtype, interpret=False,
                         impl='xla', eval_name='lj',
                         pnames=('lj1', 'lj2', 'rcut'), ntypes=1,
-                        k_rebuild=8):
+                        k_rebuild=8, rebin_impl='sort', rebin_E=16):
     """Returns (to_fast, run_chunk, to_state_fields).
 
     dyn layout: {'pv': [rc2, e_shift, *pnames] evaluator params, 'lj':
@@ -367,7 +370,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                          ref_pos=c.ref_pos, timestep=c.timestep + 1,
                          aux=aux, overflow=c.overflow, danger=danger,
                          n_rebuilds=c.n_rebuilds, since=c.since + 1,
-                         wmax=wmax)
+                         wmax=wmax, rebin_ovf=c.rebin_ovf)
 
     # ---- fully-fused step path (one pallas_call per MD step) -----------
     # Eligible: 'plane' impl, single type, nve/nvt (langevin keeps the
@@ -475,7 +478,28 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
 
     def rebuild_carry(c: FastCarry):
         """Unconditional re-bin into fresh cell-major layout (forces
-        ride the sort so the next half-kick sees them in slot order)."""
+        ride the sort so the next half-kick sees them in slot order).
+
+        rebin_impl='pallas' routes to the plane-local migration stencil
+        (ops/pallas_rebin.py) — eligible because the engine's danger
+        protocol bounds inter-rebuild drift to half the Verlet skin,
+        far under one cell width, so migration is nearest-neighbor
+        only.  Its buffer-overflow flag is sticky on the carry; the
+        host retries the segment on the sort path (same protocol as
+        capacity overflow)."""
+        if rebin_impl == 'pallas':
+            from .pallas_rebin import cell_rebin_plane
+            p, v, f, im, t, m, o = cell_rebin_plane(
+                c.pos, c.vel, c.frc, c.img, c.tag, c.mass,
+                tuple(cell_dim), jnp.asarray(L_np, dtype),
+                C=C, E=rebin_E, interpret=interpret)
+            # typ stays: ntypes == 1 (gated by the caller), so valid
+            # slots and padding both carry type 0
+            return c.replace(
+                pos=p, vel=v, img=im, tag=t, mass=m, ref_pos=p, frc=f,
+                rebin_ovf=c.rebin_ovf | o,
+                n_rebuilds=c.n_rebuilds + 1,
+                since=jnp.zeros((), idt))
         p, v, im, t, ty, m, f, o = _rebin(
             c.pos.reshape(M, 3), c.vel.reshape(M, 3),
             c.img.reshape(M, 3), c.tag.reshape(M), c.typ.reshape(M),
@@ -566,7 +590,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             timestep=state.timestep, aux=aux,
             overflow=ovf, n_rebuilds=jnp.zeros((), idt),
             danger=jnp.zeros((), bool), since=jnp.zeros((), idt),
-            wmax=jnp.zeros((), dtype))
+            wmax=jnp.zeros((), dtype),
+            rebin_ovf=jnp.zeros((), bool))
         return carry
 
     @jax.jit

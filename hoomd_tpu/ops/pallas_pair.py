@@ -1758,7 +1758,8 @@ _N3L_DEBUG = None
 def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
                      f_ref, po_ref, vo_ref, fo_ref, st_ref, r_scr,
                      *scr_refs, k, nz, ny, nx, C, YB, method, eval_name,
-                     pnames, recip, ndof, interpret, half=False):
+                     pnames, recip, ndof, interpret, half=False,
+                     unroll_z=True):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1880,16 +1881,18 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         d = pn - r_scr[...]
         md2 = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
         mdmax = jnp.maximum(mdmax, md2)
-        # forces from the drifted state.  The z loop is UNROLLED: a
+        # forces from the drifted state.  The z loop CAN be unrolled: a
         # rolled fori_loop body addresses the plane refs through
         # dynamic slices, and the per-iteration slice machinery costs
         # ~15% of the whole step (measured 0.726 -> 0.627 ms/step at
-        # nz=14, N=64k); static plane indices compile it away.
-        # (interpret mode keeps the rolled loop: the unrolled trace
-        # makes CPU-interpret tests pay per-op Python cost nz times)
+        # nz=14, N=64k); static plane indices compile it away.  BUT the
+        # unroll is a Mosaic compile bomb at production grids (nz*YB
+        # force bodies): the caller picks via unroll_z.  (interpret
+        # mode always keeps the rolled loop: the unrolled trace makes
+        # CPU-interpret tests pay per-op Python cost nz times)
         if half:
             jb_scr = scr_refs[0]
-            if interpret:
+            if interpret or not unroll_z:
                 jax.lax.fori_loop(
                     0, nz,
                     lambda iz, _: (force_plane_n3l(iz, jb_scr), 0.0)[1],
@@ -1899,7 +1902,7 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
                     force_plane_n3l(iz, jb_scr)
             if _N3L_DEBUG != 'nostore':
                 fold_n3l(jb_scr)
-        elif interpret:
+        elif interpret or not unroll_z:
             jax.lax.fori_loop(
                 0, nz, lambda iz, _: (force_plane(iz), 0.0)[1],
                 0.0, unroll=False)
@@ -1933,12 +1936,13 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
 @functools.partial(jax.jit,
                    static_argnames=('cell_dim', 'C', 'k', 'method',
                                     'eval_name', 'pnames', 'recip',
-                                    'ndof', 'interpret', 'half'))
+                                    'ndof', 'interpret', 'half',
+                                    'unroll_z'))
 def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
                         params_vec, dt, kt_table, xi, eta, skin, *, C, k,
                         method, eval_name='lj', pnames=('lj1', 'lj2'),
                         recip='approx', ndof=1.0, tau_inv2=0.0,
-                        interpret=False, half=False):
+                        interpret=False, half=False, unroll_z=None):
     """k fused velocity-Verlet steps, state VMEM-resident throughout.
 
     pos/vel/frc (nc, C, 3); mass/minv (nc, C); params_vec = [rc2,
@@ -1962,6 +1966,19 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
     nx, ny, nz = cell_dim
     nc = nx * ny * nz
     dtp = pos.dtype
+    if unroll_z is None:
+        # the unrolled z loop is ~15% faster per step but its Mosaic
+        # compile time grows superlinearly in nz * ceil(ny/YB) force
+        # bodies — beyond ~16 bodies the compile takes tens of minutes
+        # (a compile bomb) for a 15% step gain that a persistent cache
+        # only amortizes for repeat runs.  HOOMD_TPU_MEGA_UNROLL
+        # overrides the heuristic ('on'/'off').
+        import os as _os
+        env = _os.environ.get('HOOMD_TPU_MEGA_UNROLL', 'auto')
+        if env in ('on', 'off'):
+            unroll_z = env == 'on'
+        else:
+            unroll_z = nz * -(-ny // min(ny, 7)) <= 16
 
     def planes(a):
         return jnp.transpose(a.reshape(nz, ny, nx, C, 3), (4, 0, 1, 2, 3))
@@ -1992,7 +2009,8 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
         functools.partial(_kernel_megastep, k=k, nz=nz, ny=ny, nx=nx,
                           C=C, YB=YB, method=method, eval_name=eval_name,
                           pnames=pnames, recip=recip, ndof=float(ndof),
-                          interpret=interpret, half=half),
+                          interpret=interpret, half=half,
+                          unroll_z=unroll_z),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # par (1, NPAR)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kt (1, k)

@@ -305,10 +305,193 @@ def _kernel_rebin(par_ref, c_ref, o_ref, st_ref, emz_scr, *, nz, ny, nx,
                              z, z, z, z, z, z, z])
 
 
+def _select_axis(cand, local, w, C, tri3):
+    """One-shot re-selection: each cell pulls its new occupants out of
+    the 3C-wide candidate window (own slots + both axis neighbors'
+    slots, positions pre-shifted at the periodic boundary).
+
+    cand (NCOL, ny, nx, 3C); local (ny, nx, 3C) = candidate position
+    minus the cell's axis origin.  A candidate belongs to the cell iff
+    0 <= local < w; compaction rank comes from the strictly-lower
+    triangular ones matmul (MXU); the one-hot select keeps 3C in the
+    lane dimension (120 of 128 lanes at C=40 — the (…, E, C) layouts of
+    the compact/place formulation pad C=40 lanes to 128 and measure ~6x
+    slower end-to-end).  Returns (cols' (NCOL, ny, nx, C), ovf)."""
+    sf = ((cand[TG] >= 0.0) & (local >= 0.0)
+          & (local < w)).astype(jnp.float32)        # (ny, nx, 3C)
+    rank = _rank_f32(sf, tri3)                      # (ny, nx, 3C)
+    K3 = cand.shape[-1]
+    sio = jax.lax.broadcasted_iota(
+        jnp.int32, sf.shape[:-1] + (C, K3), sf.ndim - 1)
+    oh = sf[..., None, :] * (rank[..., None, :]
+                             == sio.astype(jnp.float32)).astype(
+                                 jnp.float32)       # (ny, nx, C, 3C)
+    # per-column product+lane-reduce (a (NCOL, ny, nx, C, 3C) tensor
+    # would be ~45 MB; the static column loop keeps each intermediate
+    # one (ny, nx, C, 3C) tile chain)
+    outs = [jnp.sum(cand[c][..., None, :] * oh, axis=-1)
+            for c in range(NCOL)]
+    out = jnp.stack(outs)                           # (NCOL, ny, nx, C)
+    got = jnp.sum(oh, axis=-1)                      # (ny, nx, C)
+    ci = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+    fill = jnp.where(ci <= PZ, jnp.float32(PAD_COORD), 0.0)
+    fill = jnp.where(ci == TG, -1.0, fill)
+    fill = jnp.where(ci == MS, 1.0, fill)
+    out = out + (1.0 - got)[None] * fill
+    ovf = jnp.any(sf * rank >= C)
+    return out, ovf
+
+
+def _window3(cols, axis_in_plane, n, L, pos_col, img_col):
+    """3-cell candidate window along an in-plane axis: own slots plus
+    both neighbors' (rolled, boundary-shifted).  cols (NCOL, ny, nx, C)
+    -> (NCOL, ny, nx, 3C)."""
+    arr_axis = 1 + axis_in_plane
+    cp = jnp.roll(cols, 1, axis=arr_axis)           # from index-1
+    cp = _shift_boundary(cp, axis_in_plane, n, 0, pos_col, img_col, L)
+    cm = jnp.roll(cols, -1, axis=arr_axis)          # from index+1
+    cm = _shift_boundary(cm, axis_in_plane, n, n - 1, pos_col, img_col,
+                         L)
+    return jnp.concatenate([cp, cols, cm], axis=-1)
+
+
+def _kernel_rebin_select(par_ref, c0_ref, c1_ref, c2_ref, o_ref, st_ref,
+                         *, nz, ny, nx, C):
+    """Grid-over-z one-pass rebin: z-select from the 3-plane window,
+    then x- and y-selects in-plane.  c0/c1/c2 blocks are planes
+    (iz-1)%nz, iz, (iz+1)%nz of the raw state (BlockSpec index maps);
+    o block is plane iz; st (8, 128) is the revisited ovf accumulator."""
+    from jax.experimental import pallas as pl
+
+    iz = pl.program_id(0)
+    Lx = par_ref[0, 0]
+    Ly = par_ref[0, 1]
+    Lz = par_ref[0, 2]
+    wx = par_ref[0, 3]
+    wy = par_ref[0, 4]
+    wz = par_ref[0, 5]
+    tri3 = _tri(3 * C)
+
+    # ---- z window: planes iz-1, iz, iz+1 with periodic shifts at the
+    # boundary planes (scalar-conditional: only iz==0 receives from
+    # nz-1 across the boundary, only iz==nz-1 from 0)
+    cb = c0_ref[:, 0]
+    sp = jnp.where(iz == 0, 1.0, 0.0)
+    cb = _add_col(cb, PZ, -sp * Lz)
+    cb = _add_col(cb, IZ, sp)
+    ca = c2_ref[:, 0]
+    sm = jnp.where(iz == nz - 1, 1.0, 0.0)
+    ca = _add_col(ca, PZ, sm * Lz)
+    ca = _add_col(ca, IZ, -sm)
+    cand = jnp.concatenate([cb, c1_ref[:, 0], ca], axis=-1)
+    origin_z = iz.astype(jnp.float32) * wz - 0.5 * Lz
+    cols, o1 = _select_axis(cand, cand[PZ] - origin_z, wz, C, tri3)
+
+    # ---- x then y, in-plane
+    iox = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, 3 * C),
+                                   1).astype(jnp.float32)
+    cand = _window3(cols, 1, nx, Lx, PX, IX)
+    cols, o2 = _select_axis(cand, cand[PX] - (iox * wx - 0.5 * Lx), wx,
+                            C, tri3)
+    ioy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, 3 * C),
+                                   0).astype(jnp.float32)
+    cand = _window3(cols, 0, ny, Ly, PY, IY)
+    cols, o3 = _select_axis(cand, cand[PY] - (ioy * wy - 0.5 * Ly), wy,
+                            C, tri3)
+
+    o_ref[:, 0] = cols
+    ovf = (o1 | o2 | o3).astype(jnp.float32)
+    prev = jnp.where(iz == 0, 0.0, st_ref[0, 0])
+    st_ref[...] = jnp.full((8, 128), jnp.maximum(prev, ovf),
+                           jnp.float32)
+
+
+def _kernel_rebin_sweep(par_ref, c_ref, o_ref, emz_ref, st_ref, *, nz,
+                        ny, nx, C, E):
+    """Grid-over-z sweep pass: x pass + y pass + z-emigrant collection
+    for ONE plane per grid step (static block indexing — the in-kernel
+    fori_loop variant pays ~0.1 ms of dynamic-slice machinery per plane
+    visit, ~2.5 ms/call at production grids; the grid form pipelines).
+    c/o blocks (NCOL, 1, ny, nx, C); emz block (2, 1, ny, nx, NCOL*E);
+    st (8, 128) revisited by every step (ovf accumulator)."""
+    from jax.experimental import pallas as pl
+
+    iz = pl.program_id(0)
+    Lx = par_ref[0, 0]
+    Ly = par_ref[0, 1]
+    Lz = par_ref[0, 2]
+    wx = par_ref[0, 3]
+    wy = par_ref[0, 4]
+    wz = par_ref[0, 5]
+    tris = {'C': _tri(C), 'K': _tri(2 * E)}
+
+    cols = c_ref[:, 0]                              # (NCOL, ny, nx, C)
+    cols, o1 = _rebin_plane_axis(
+        cols, axis_in_plane=1, pos_col=PX, img_col=IX, n=nx, w=wx,
+        L=Lx, E=E, tris=tris)
+    cols, o2 = _rebin_plane_axis(
+        cols, axis_in_plane=0, pos_col=PY, img_col=IY, n=ny, w=wy,
+        L=Ly, E=E, tris=tris)
+    origin = iz.astype(jnp.float32) * wz - 0.5 * Lz
+    local = cols[PZ] - origin
+    valid = cols[TG] >= 0.0
+    migp = valid & (local >= wz)
+    migm = valid & (local < 0.0)
+    em_p, vp, o3 = _compact(cols, migp, E, tris['C'])
+    em_m, vm, o4 = _compact(cols, migm, E, tris['C'])
+    stay = valid & ~(migp | migm)
+    o_ref[:, 0] = _clear(cols, stay)
+    em_p = _set_col(em_p, TG, jnp.where(vp > 0.0, em_p[TG], -1.0))
+    em_m = _set_col(em_m, TG, jnp.where(vm > 0.0, em_m[TG], -1.0))
+    for c in range(NCOL):
+        emz_ref[0, 0, :, :, c * E:(c + 1) * E] = em_p[c]
+        emz_ref[1, 0, :, :, c * E:(c + 1) * E] = em_m[c]
+    ovf = (o1 | o2 | o3 | o4).astype(jnp.float32)
+    prev = jnp.where(iz == 0, 0.0, st_ref[0, 0])
+    st_ref[...] = jnp.full((8, 128), jnp.maximum(prev, ovf),
+                           jnp.float32)
+
+
+def _kernel_rebin_place(par_ref, c_ref, emp_ref, emm_ref, o_ref, st_ref,
+                        *, nz, ny, nx, C, E):
+    """Grid-over-z place pass: insert the z immigrants of plane iz
+    (emigrant buffers of planes iz∓1, selected by the BlockSpec index
+    maps — no in-kernel dynamic slicing) into its free slots."""
+    from jax.experimental import pallas as pl
+
+    iz = pl.program_id(0)
+    Lz = par_ref[0, 2]
+    tris = {'C': _tri(C), 'K': _tri(2 * E)}
+    cols = c_ref[:, 0]
+    pk_p = emp_ref[0, 0]                            # (ny, nx, NCOL*E)
+    pk_m = emm_ref[0, 0]
+    em_p = jnp.stack([pk_p[..., c * E:(c + 1) * E] for c in range(NCOL)])
+    em_m = jnp.stack([pk_m[..., c * E:(c + 1) * E] for c in range(NCOL)])
+    sp = jnp.where(iz == 0, 1.0, 0.0)
+    em_p = _add_col(em_p, PZ, -sp * Lz)
+    em_p = _add_col(em_p, IZ, sp)
+    sm = jnp.where(iz == nz - 1, 1.0, 0.0)
+    em_m = _add_col(em_m, PZ, sm * Lz)
+    em_m = _add_col(em_m, IZ, -sm)
+    imm = jnp.concatenate([em_p, em_m], axis=-1)
+    imm_valid = jnp.concatenate(
+        [(em_p[TG] >= 0.0).astype(jnp.float32),
+         (em_m[TG] >= 0.0).astype(jnp.float32)], axis=-1)
+    free = cols[TG] < 0.0
+    cols, o1 = _place(cols, free, imm, imm_valid,
+                      {'C': tris['C'], 'K': tris['K']})
+    o_ref[:, 0] = cols
+    ovf = o1.astype(jnp.float32)
+    prev = jnp.where(iz == 0, 0.0, st_ref[0, 0])
+    st_ref[...] = jnp.full((8, 128), jnp.maximum(prev, ovf),
+                           jnp.float32)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=('cell_dim', 'C', 'E', 'interpret'))
+                   static_argnames=('cell_dim', 'C', 'E', 'interpret',
+                                    'variant'))
 def cell_rebin_plane(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
-                     C, E=8, interpret=False):
+                     C, E=8, interpret=False, variant='grid'):
     """Re-bin cell-major state by plane-local migration.
 
     pos/vel/frc (nc, C, 3) f32, img (nc, C, 3) int, tag (nc, C) int
@@ -343,18 +526,93 @@ def cell_rebin_plane(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     shp = (NCOL, nz, ny, nx, C)
-    out, st = pl.pallas_call(
-        functools.partial(_kernel_rebin, nz=nz, ny=ny, nx=nx, C=C, E=E,
-                          interpret=interpret),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec],
-        out_specs=[vspec, vspec],
-        out_shape=[jax.ShapeDtypeStruct(shp, dtp),
-                   jax.ShapeDtypeStruct((8, 128), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((2, nz, ny, nx, NCOL * E), dtp)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
-        interpret=interpret,
-    )(par.reshape(1, 8), cols)
+    if variant == 'select':
+        # one grid-over-z pass: 3-plane-window z select + in-plane x/y
+        # selects, all compactions straight out of 3C-lane candidate
+        # windows (the force kernel's window trick applied to rebinning)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        cblk = pl.BlockSpec((NCOL, 1, ny, nx, C),
+                            lambda i: (0, i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        blkm = pl.BlockSpec((NCOL, 1, ny, nx, C),
+                            lambda i: (0, (i + nz - 1) % nz, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        blkp = pl.BlockSpec((NCOL, 1, ny, nx, C),
+                            lambda i: (0, (i + 1) % nz, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        sblk = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+        out, st = pl.pallas_call(
+            functools.partial(_kernel_rebin_select, nz=nz, ny=ny, nx=nx,
+                              C=C),
+            grid=(nz,),
+            in_specs=[smem, blkm, cblk, blkp],
+            out_specs=[cblk, sblk],
+            out_shape=[jax.ShapeDtypeStruct(shp, dtp),
+                       jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(par.reshape(1, 8), cols, cols, cols)
+    elif variant == 'grid':
+        # two grid-over-z passes with static block indexing; ~6x faster
+        # than the fori_loop variant (latency-bound dynamic plane
+        # slicing) at production grids
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        cblk = pl.BlockSpec((NCOL, 1, ny, nx, C),
+                            lambda i: (0, i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        eblk = pl.BlockSpec((2, 1, ny, nx, NCOL * E),
+                            lambda i: (0, i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        sblk = pl.BlockSpec((8, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+        swept, emz, st1 = pl.pallas_call(
+            functools.partial(_kernel_rebin_sweep, nz=nz, ny=ny, nx=nx,
+                              C=C, E=E),
+            grid=(nz,),
+            in_specs=[smem, cblk],
+            out_specs=[cblk, eblk, sblk],
+            out_shape=[jax.ShapeDtypeStruct(shp, dtp),
+                       jax.ShapeDtypeStruct((2, nz, ny, nx, NCOL * E),
+                                            dtp),
+                       jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(par.reshape(1, 8), cols)
+        epblk = pl.BlockSpec((1, 1, ny, nx, NCOL * E),
+                             lambda i: (0, (i + nz - 1) % nz, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        emblk = pl.BlockSpec((1, 1, ny, nx, NCOL * E),
+                             lambda i: (1, (i + 1) % nz, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out, st2 = pl.pallas_call(
+            functools.partial(_kernel_rebin_place, nz=nz, ny=ny, nx=nx,
+                              C=C, E=E),
+            grid=(nz,),
+            in_specs=[smem, cblk, epblk, emblk],
+            out_specs=[cblk, sblk],
+            out_shape=[jax.ShapeDtypeStruct(shp, dtp),
+                       jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(par.reshape(1, 8), swept, emz, emz)
+        st = jnp.maximum(st1, st2)
+    else:
+        out, st = pl.pallas_call(
+            functools.partial(_kernel_rebin, nz=nz, ny=ny, nx=nx, C=C,
+                              E=E, interpret=interpret),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec],
+            out_specs=[vspec, vspec],
+            out_shape=[jax.ShapeDtypeStruct(shp, dtp),
+                       jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((2, nz, ny, nx, NCOL * E), dtp)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(par.reshape(1, 8), cols)
 
     def unplane3(i0):
         return jnp.stack([out[i0 + i].reshape(nc, C) for i in range(3)],

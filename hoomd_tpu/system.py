@@ -465,17 +465,32 @@ class System:
         if floor:
             k_rebuild = max(k_rebuild, min(floor, cap or floor))
         self._fast_k_dt = dt
+        # rebuild implementation: the plane-local migration stencil
+        # (ops/pallas_rebin.py) replaces the 12-operand sort when the
+        # one-cell-drift precondition and the f32-value-exactness of the
+        # integer payload hold; the rebin_ovf sticky flag + segment
+        # retry (below) falls back to the sort on buffer overflow
+        rebin_impl = 'sort'
+        if (ntypes == 1 and N < (1 << 23)
+                and min(cell_dim) >= 3
+                and self.real_dtype == _jnp.float32
+                and impl in ('plane', 'planar', 'planar_n3l')
+                and not self._grow.get('fast_rebin_sort')
+                and os.environ.get('HOOMD_TPU_REBIN', 'on') != 'off'):
+            rebin_impl = 'pallas'
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
             method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
             interpret=interpret, impl=impl, eval_name=eval_name,
-            pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild)
+            pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
+            rebin_impl=rebin_impl)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
                 'eval_name': eval_name, 'pnames': pnames,
-                'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin}
+                'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin,
+                'rebin_impl': rebin_impl}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
@@ -570,7 +585,8 @@ class System:
                 carry = fast['run_chunk'](carry0, fdyn, seg)
                 ovf = bool(carry.overflow)
                 dng = bool(carry.danger)
-                if not (ovf or dng):
+                rbo = bool(carry.rebin_ovf)
+                if not (ovf or dng or rbo):
                     self._fast_carry = carry
                     self._fast_state_stale = True
                     # adaptive cadence: the kernel reports the largest
@@ -620,6 +636,11 @@ class System:
                 self._fast_state_stale = False
                 if ovf:
                     self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
+                if rbo:
+                    # plane-local rebin buffers overflowed (heavy local
+                    # density churn): fall back to the sort rebuild for
+                    # the rest of this simulation
+                    self._grow['fast_rebin_sort'] = True
                 if dng:
                     k_now = fast.get('k_rebuild', 8)
                     quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)

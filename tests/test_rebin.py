@@ -78,10 +78,11 @@ def _oracle(pos, vel, frc, img, tag, mass, cell_dim, L):
     return out
 
 
+@pytest.mark.parametrize('variant', ['select', 'grid'])
 @pytest.mark.parametrize('cell_dim,C,fill', [((4, 4, 4), 24, (6, 10)),
                                              ((5, 3, 4), 32, (10, 14)),
                                              ((3, 3, 3), 24, (4, 8))])
-def test_rebin_matches_oracle(cell_dim, C, fill):
+def test_rebin_matches_oracle(cell_dim, C, fill, variant):
     rng = np.random.RandomState(7)
     L = (float(cell_dim[0]) * 3.1, float(cell_dim[1]) * 3.3,
          float(cell_dim[2]) * 2.9)
@@ -93,7 +94,7 @@ def test_rebin_matches_oracle(cell_dim, C, fill):
         jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(frc),
         jnp.asarray(img), jnp.asarray(tag), jnp.asarray(mass),
         cell_dim, jnp.asarray(L, jnp.float32), C=C, E=8,
-        interpret=True)
+        interpret=True, variant=variant)
     p2, v2, f2, i2, t2, m2 = map(np.asarray, (p2, v2, f2, i2, t2, m2))
     assert not bool(ovf)
 
