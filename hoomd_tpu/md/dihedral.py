@@ -2,8 +2,11 @@
 
 from __future__ import annotations
 
+import math as _math
+
 from ..ops import bonded as _ops
 from ._bonded import BondedForce
+from .angle import _vt_table
 
 
 class harmonic(BondedForce):
@@ -30,3 +33,21 @@ class opls(BondedForce):
     def __init__(self, name=None):
         BondedForce.__init__(self, name)
         self.dihedral_coeff = self.coeff
+
+
+class table(_vt_table):
+    """Tabulated dihedral potential (reference md/dihedral.py:293 table,
+    md/TableDihedralForceCompute.cc): V and T on `width` uniform points
+    over phi in [-pi, pi]; dihedral_coeff.set('type', func=f,
+    coeff=dict(...)) with f(phi, **coeff) -> (V, T)."""
+    _topology = 'dihedrals'
+    _log_prefix = 'dihedral_table'
+    _xrange = (-_math.pi, _math.pi)
+
+    def __init__(self, width, name=None):
+        _vt_table.__init__(self, width, name)
+        self.dihedral_coeff = self.coeff
+
+    @staticmethod
+    def _coordinate(disps):
+        return _ops._dihedral_phi(*disps)

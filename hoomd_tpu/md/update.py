@@ -66,12 +66,39 @@ class enforce2d(Updater):
 
 
 class constraint_ellipsoid(Updater):
-    """Placeholder (reference md/ConstraintEllipsoid); algebraic manifold
-    constraints arrive with md.constrain."""
+    """Project a group onto an ellipsoid surface every step (reference
+    md/update.py:142 constraint_ellipsoid, md/ConstraintEllipsoidUpdater):
+    positions are re-projected each period (normalized-direction
+    projection, the same geometry as md.constrain.ellipsoid)."""
 
-    def __init__(self, group, P, rx, ry, rz, period=1, phase=0):
-        raise NotImplementedError(
-            "constraint_ellipsoid: not yet implemented in hoomd_tpu")
+    def __init__(self, group, r=None, rx=None, ry=None, rz=None,
+                 P=(0, 0, 0), period=1, phase=0):
+        Updater.__init__(self, period, phase)
+        if r is not None:
+            rx = ry = rz = r
+        if rx is None or ry is None or rz is None:
+            raise RuntimeError(
+                "update.constraint_ellipsoid: specify r or all of "
+                "rx, ry, rz")
+        self.group = group
+        self.P = tuple(float(x) for x in P)
+        self.radii = (float(rx), float(ry), float(rz))
+        _sys().register_updater(self)
+
+    def update(self, system, timestep):
+        import jax.numpy as jnp
+        st = system.state
+        member = np.zeros(st.N, bool)
+        member[np.asarray(self.group.member_tags, dtype=int)] = True
+        member = jnp.asarray(member)[st.tag]
+        P = jnp.asarray(self.P, st.pos.dtype)
+        radii = jnp.asarray(self.radii, st.pos.dtype)
+        d = (st.pos - P[None, :]) / radii[None, :]
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d = d / jnp.maximum(n, 1e-12)
+        proj = P[None, :] + d * radii[None, :]
+        pos = jnp.where(member[:, None], proj, st.pos)
+        system.state = st.replace(pos=pos)
 
 
 class mueller_plathe_flow(Updater):
