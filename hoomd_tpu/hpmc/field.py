@@ -27,6 +27,11 @@ class lattice_field:
             self.k = float(k)
         context.current.system._dirty()
 
+    def reset(self, timestep=0):
+        """Reset accumulated statistics (reference
+        ExternalFieldLattice::reset); energies here are instantaneous,
+        so only the protocol hook is needed."""
+
     def get_energy(self):
         import jax.numpy as jnp
         system = context.current.system
@@ -138,3 +143,45 @@ class callback:
 
     def get_energy(self):
         return 0.0
+
+
+class frenkel_ladd_energy:
+    """Frenkel-Ladd Einstein-crystal free-energy protocol (reference
+    hpmc/field.py:824 frenkel_ladd_energy): couples a lattice_field with
+    spring constant exp(ln_gamma) (rotational q_factor * that) to an
+    update.remove_drift, with set_params to anneal the spring along the
+    integration path."""
+
+    def __init__(self, mc, ln_gamma, q_factor, r0, q0, drift_period,
+                 symmetry=()):
+        import math
+        from . import update as hpmc_update
+        self.mc = mc
+        self.q_factor = float(q_factor)
+        self.trans_spring_const = math.exp(ln_gamma)
+        self.rotat_spring_const = self.q_factor * self.trans_spring_const
+        self.lattice_positions = np.asarray(r0, dtype=float)
+        self.lattice_orientations = np.asarray(q0, dtype=float)
+        self.lattice = lattice_field(
+            mc, position=self.lattice_positions,
+            orientation=self.lattice_orientations,
+            k=self.trans_spring_const, q=self.rotat_spring_const,
+            symmetry=list(symmetry))
+        self.remove_drift = hpmc_update.remove_drift(
+            mc, self.lattice, period=drift_period)
+
+    def reset_statistics(self):
+        self.lattice.reset(0)
+
+    def set_params(self, ln_gamma=None, q_factor=None):
+        import math
+        if q_factor is not None:
+            self.q_factor = float(q_factor)
+        if ln_gamma is not None:
+            self.trans_spring_const = math.exp(ln_gamma)
+        self.rotat_spring_const = self.q_factor * self.trans_spring_const
+        self.lattice.set_params(self.trans_spring_const,
+                                self.rotat_spring_const)
+
+    def get_energy(self):
+        return self.lattice.get_energy()

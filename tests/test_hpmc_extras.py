@@ -71,3 +71,37 @@ def test_lattice_field_localizes():
     # <r^2> = 3/(2k) per equipartition at kT=1
     assert msd == pytest.approx(3.0 / (2 * 100.0), rel=0.4)
     assert lat.get_energy() > 0
+
+
+def test_frenkel_ladd_energy_protocol():
+    """frenkel_ladd_energy (reference hpmc/field.py:824) builds the
+    lattice_field + remove_drift pair; annealing ln_gamma rescales the
+    spring and the measured MSD follows equipartition."""
+    import math
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd_mod, mc, L, N = hs(eta=0.1, d=0.3)
+    system = hoomd_mod.context.current.system
+    snap = system.take_snapshot()
+    ref = snap.particles.position.copy()
+    q0 = np.tile([1.0, 0, 0, 0], (N, 1))
+    fl = hpmc.field.frenkel_ladd_energy(
+        mc=mc, ln_gamma=math.log(100.0), q_factor=10.0, r0=ref, q0=q0,
+        drift_period=10)
+    assert fl.trans_spring_const == pytest.approx(100.0)
+    assert fl.rotat_spring_const == pytest.approx(1000.0)
+    hoomd_mod.run(60, quiet=True)
+    d = system.take_snapshot().particles.position - ref
+    d -= L * np.round(d / L)
+    msd = (d ** 2).sum(axis=1).mean()
+    assert msd == pytest.approx(3.0 / (2 * 100.0), rel=0.4)
+    assert fl.get_energy() > 0
+    # anneal the spring down; particles spread further
+    fl.set_params(ln_gamma=math.log(10.0))
+    fl.reset_statistics()
+    assert fl.trans_spring_const == pytest.approx(10.0)
+    hoomd_mod.run(80, quiet=True)
+    d = system.take_snapshot().particles.position - ref
+    d -= L * np.round(d / L)
+    msd2 = (d ** 2).sum(axis=1).mean()
+    assert msd2 > msd * 2.0
