@@ -390,32 +390,56 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 and method_kind in ('nve', 'nvt')
                 and _os.environ.get('HOOMD_TPU_MEGA', 'on') != 'off')
 
-    def mega_steps(c: FastCarry, dyn, k):
-        """k fused steps with the whole state resident in VMEM."""
-        from .pallas_pair import cell_megastep_plane
+    def mega_windows(c: FastCarry, dyn, nw, k):
+        """nw chained megastep windows (k fused VV steps each), the
+        state plane-resident throughout — transposes happen once per
+        call, not per window.  Drift is monitored against c.ref_pos, so
+        the danger check stays exact across chained windows and the
+        REBUILD CADENCE becomes a runtime quantity (nw is traced): the
+        host stretches/shrinks it from measured drift without paying a
+        kernel recompile (each distinct kernel k costs a full Mosaic
+        compile — the old design that tied cadence == kernel window was
+        stuck at whatever k it first compiled)."""
+        from .pallas_pair import cell_megastep_planes
         if method_kind == 'nvt':
-            kt = variant_mod.eval_packed(
-                dyn['kT'], c.timestep + jnp.arange(k, dtype=idt))
             ti2 = 1.0 / dyn['tau'] ** 2
         else:
-            kt = jnp.ones((k,), dtype)
             ti2 = jnp.zeros((), dtype)
         aux = dict(c.aux)
-        xi0 = aux.get('xi', jnp.zeros((), dtype))
-        eta0 = aux.get('eta', jnp.zeros((), dtype))
-        p, v, f, xi, eta, danger, _, mdmax = cell_megastep_plane(
-            c.pos, c.vel, c.frc, c.mass, 1.0 / c.mass, cell_dim, shifts,
-            dyn['pv'], dyn['dt'], kt, xi0, eta0, skin, C=C, k=k,
-            method=method_kind, eval_name=eval_name, pnames=pnames,
-            recip=('approx' if method_kind == 'nvt' else 'div'),
-            ndof=ndof, tau_inv2=ti2, interpret=interpret)
+        plane4 = (cell_dim[2], cell_dim[1], cell_dim[0], C)
+        gw = (1.0 / c.mass).reshape(plane4)
+        gm = c.mass.reshape(plane4)
+        gr = _to_planes(c.ref_pos)
+        st0 = (_to_planes(c.pos), _to_planes(c.vel), _to_planes(c.frc),
+               aux.get('xi', jnp.zeros((), dtype)),
+               aux.get('eta', jnp.zeros((), dtype)),
+               c.danger, c.wmax, c.timestep)
+
+        def w(_, st):
+            gp, gv, gf, xi, eta, danger, wmax, ts = st
+            if method_kind == 'nvt':
+                kt = variant_mod.eval_packed(
+                    dyn['kT'], ts + jnp.arange(k, dtype=idt))
+            else:
+                kt = jnp.ones((k,), dtype)
+            gp, gv, gf, xi, eta, d, _, mdmax = cell_megastep_planes(
+                gp, gv, gf, gw, gm, gr, cell_dim, shifts, dyn['pv'],
+                dyn['dt'], kt, xi, eta, skin, C=C, k=k,
+                method=method_kind, eval_name=eval_name, pnames=pnames,
+                recip=('approx' if method_kind == 'nvt' else 'div'),
+                ndof=ndof, tau_inv2=ti2, interpret=interpret)
+            return (gp, gv, gf, xi, eta, danger | d,
+                    jnp.maximum(wmax, mdmax), ts + k)
+
+        st = jax.lax.fori_loop(0, nw, w, st0)
+        gp, gv, gf, xi, eta, danger, wmax, ts = st
         if method_kind == 'nvt':
             aux['xi'] = xi
             aux['eta'] = eta
-        return c.replace(pos=p, vel=v, frc=f, aux=aux,
-                         danger=c.danger | danger,
-                         wmax=jnp.maximum(c.wmax, mdmax),
-                         timestep=c.timestep + k, since=c.since + k)
+        return c.replace(pos=_from_planes(gp), vel=_from_planes(gv),
+                         frc=_from_planes(gf), aux=aux, danger=danger,
+                         wmax=wmax, timestep=ts,
+                         since=c.since + nw * k)
 
     def _to_planes(a):
         return jnp.transpose(a.reshape(cell_dim[2], cell_dim[1],
@@ -513,18 +537,30 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             since=jnp.zeros((), idt))
 
     @functools.partial(jax.jit, static_argnames=('k',))
-    def run_blocks(carry, dyn, nblocks, *, k):
-        """nblocks windows of k steps, each followed by a rebuild."""
-        def blk(_, c):
+    def run_cycles(carry, dyn, ncycles, nwin, *, k):
+        """ncycles rebuild cycles, each = nwin megastep windows of k
+        steps followed by one rebuild.  nwin is TRACED: the rebuild
+        cadence k*nwin adapts at runtime with no recompile."""
+        def cyc(_, c):
             if use_mega:
-                c = mega_steps(c, dyn, k)
+                c = mega_windows(c, dyn, nwin, k)
             elif use_fused:
-                c = fused_steps(c, dyn, k)
+                c = fused_steps(c, dyn, nwin * k)
             else:
                 c = jax.lax.fori_loop(
-                    0, k, lambda _, cc: one_step(cc, dyn), c)
+                    0, nwin * k, lambda _, cc: one_step(cc, dyn), c)
             return rebuild_carry(c)
-        return jax.lax.fori_loop(0, nblocks, blk, carry)
+        return jax.lax.fori_loop(0, ncycles, cyc, carry)
+
+    @functools.partial(jax.jit, static_argnames=('k',))
+    def run_wins(carry, dyn, nwin, *, k):
+        """nwin megastep windows (dynamic count), no rebuild."""
+        if use_mega:
+            return mega_windows(carry, dyn, nwin, k)
+        if use_fused:
+            return fused_steps(carry, dyn, nwin * k)
+        return jax.lax.fori_loop(
+            0, nwin * k, lambda _, c: one_step(c, dyn), carry)
 
     @jax.jit
     def run_steps(carry, dyn, m):
@@ -538,26 +574,38 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     def run_rebuild(carry, dyn):
         return rebuild_carry(carry)
 
-    def run(carry, dyn, nsteps):
-        """Host orchestrator: windows of k_rebuild steps with a rebuild
-        between windows, honoring the carry's current steps-since-
-        rebuild; dynamic-length head/tail segments avoid recompiles for
-        arbitrary nsteps."""
+    def run(carry, dyn, nsteps, nwin=1):
+        """Host orchestrator: rebuild cycles of k_rebuild*nwin steps
+        (nwin is the host-adapted window count — traced, so adapting
+        the cadence costs nothing), honoring the carry's current
+        steps-since-rebuild; head/tail run as whole windows plus a
+        dynamic remainder.  At most 5 device dispatches per call."""
         k = k_rebuild
+        nwin = max(int(nwin), 1)
+        cadence = k * nwin
         left = int(nsteps)
         since = int(carry.since)
-        if since > 0 and since + left > k:
-            head = k - since
+        if since > 0 and since + left > cadence:
+            head = max(cadence - since, 0)
             if head > 0:
-                carry = run_steps(carry, dyn, jnp.asarray(head, idt))
+                hw, hrem = divmod(head, k)
+                if hw > 0:
+                    carry = run_wins(carry, dyn, jnp.asarray(hw, idt),
+                                     k=k)
+                if hrem > 0:
+                    carry = run_steps(carry, dyn, jnp.asarray(hrem, idt))
                 left -= head
             carry = run_rebuild(carry, dyn)
-        nb = left // k
+        nb = left // cadence
         if nb > 0:
-            carry = run_blocks(carry, dyn, jnp.asarray(nb, idt), k=k)
-            left -= nb * k
-        if left > 0:
-            carry = run_steps(carry, dyn, jnp.asarray(left, idt))
+            carry = run_cycles(carry, dyn, jnp.asarray(nb, idt),
+                               jnp.asarray(nwin, idt), k=k)
+            left -= nb * cadence
+        tw, trem = divmod(left, k)
+        if tw > 0:
+            carry = run_wins(carry, dyn, jnp.asarray(tw, idt), k=k)
+        if trem > 0:
+            carry = run_steps(carry, dyn, jnp.asarray(trem, idt))
         return carry
 
     # ---- conversions -------------------------------------------------------

@@ -1756,7 +1756,7 @@ _N3L_DEBUG = None
 
 
 def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
-                     f_ref, po_ref, vo_ref, fo_ref, st_ref, r_scr,
+                     f_ref, r_ref, po_ref, vo_ref, fo_ref, st_ref,
                      *scr_refs, k, nz, ny, nx, C, YB, method, eval_name,
                      pnames, recip, ndof, interpret, half=False,
                      unroll_z=True):
@@ -1793,7 +1793,6 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
     po_ref[...] = p_ref[...]
     vo_ref[...] = v_ref[...]
     fo_ref[...] = f_ref[...]
-    r_scr[...] = p_ref[...]            # skin-monitor reference positions
 
     w = w_ref[...]                     # (nz, ny, nx, C) 1/m
     mm = m_ref[...]                    # mass
@@ -1877,8 +1876,10 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         vo_ref[...] = vh
         pn = po_ref[...] + dt * vh
         po_ref[...] = pn
-        # skin monitor on post-drift positions
-        d = pn - r_scr[...]
+        # skin monitor on post-drift positions, relative to the
+        # positions at the last REBUILD (r_ref input) — windows chained
+        # between rebuilds keep an exact cumulative-drift check
+        d = pn - r_ref[...]
         md2 = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
         mdmax = jnp.maximum(mdmax, md2)
         # forces from the drifted state.  The z loop CAN be unrolled: a
@@ -1985,6 +1986,50 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
     gp, gv, gf = planes(pos), planes(vel), planes(frc)
     gw = minv.reshape(nz, ny, nx, C)
     gm = mass.reshape(nz, ny, nx, C)
+    po, vo, fo, xi1, eta1, dng, ke2, mdmax = cell_megastep_planes(
+        gp, gv, gf, gw, gm, gp, cell_dim, cell_shift, params_vec, dt,
+        kt_table, xi, eta, skin, C=C, k=k, method=method,
+        eval_name=eval_name, pnames=pnames, recip=recip, ndof=ndof,
+        tau_inv2=tau_inv2, interpret=interpret, half=half,
+        unroll_z=unroll_z)
+
+    def unplane(a):
+        return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
+    return (unplane(po), unplane(vo), unplane(fo),
+            xi1, eta1, dng, ke2, mdmax)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cell_dim', 'C', 'k', 'method',
+                                    'eval_name', 'pnames', 'recip',
+                                    'ndof', 'interpret', 'half',
+                                    'unroll_z'))
+def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
+                         params_vec, dt, kt_table, xi, eta, skin, *, C,
+                         k, method, eval_name='lj',
+                         pnames=('lj1', 'lj2'), recip='approx', ndof=1.0,
+                         tau_inv2=0.0, interpret=False, half=False,
+                         unroll_z=None):
+    """Plane-layout megastep: k fused VV steps on (3, nz, ny, nx, C)
+    arrays, drift monitored against the explicit rebuild-reference
+    positions ``gr``.  Chaining windows between rebuilds stays entirely
+    in plane layout (no transposes) and the danger check remains exact
+    for the CUMULATIVE drift since the last rebuild — the decoupling
+    that lets the host stretch the rebuild cadence at runtime (a traced
+    window count) instead of recompiling a longer kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dtp = gp.dtype
+    if unroll_z is None:
+        import os as _os
+        env = _os.environ.get('HOOMD_TPU_MEGA_UNROLL', 'auto')
+        if env in ('on', 'off'):
+            unroll_z = env == 'on'
+        else:
+            unroll_z = nz * -(-ny // min(ny, 7)) <= 16
 
     Lx = cell_shift[nc - 1, 26, 0]
     Ly = cell_shift[nc - 1, 26, 1]
@@ -2014,7 +2059,7 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # par (1, NPAR)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kt (1, k)
-            vspec, vspec, vspec, vspec, vspec, vspec,
+            vspec, vspec, vspec, vspec, vspec, vspec, vspec,
         ],
         out_specs=[vspec, vspec, vspec, vspec],
         out_shape=[jax.ShapeDtypeStruct(shp5, dtp),
@@ -2022,15 +2067,11 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
                    jax.ShapeDtypeStruct(shp5, dtp),
                    jax.ShapeDtypeStruct((8, 128), jnp.float32)],
         scratch_shapes=(
-            [pltpu.VMEM(shp5, dtp)]
-            + ([pltpu.VMEM((5,) + shp5, dtp)] if half else [])),
+            [pltpu.VMEM((5,) + shp5, dtp)] if half else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(par.reshape(1, NPAR), kt_table.reshape(1, k).astype(dtp), sx,
-      gw, gm, gp, gv, gf)
-
-    def unplane(a):
-        return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
-    return (unplane(po), unplane(vo), unplane(fo),
+      gw, gm, gp, gv, gf, gr)
+    return (po, vo, fo,
             st[0, 0], st[1, 0], st[2, 0] > 0.5, st[3, 0], st[4, 0])

@@ -441,29 +441,22 @@ class System:
                                                axis=-1)))
         dt = float(getattr(self.integrator_mode, 'dt', 0.005)
                    or 0.005)
-        # 0.55 margin: the danger flag is sticky over a whole segment
-        # (hundreds of windows) and a danger costs a full segment redo
-        # plus a recompile at the smaller k, so the per-window crossing
-        # probability must be negligible, not merely small — the
-        # extreme-value concentration of the 64k-particle max
-        # displacement makes the crossing time sharp, and 0.55x
-        # ballistic sits far in its tail (0.8x measured: danger storms,
-        # 80x slower end-to-end from redo+recompile cascades)
+        # k_rebuild here is the KERNEL window (steps fused into one
+        # megastep pallas_call) — capped at 8 since larger windows gain
+        # nothing per-step and cost superlinear Mosaic compiles.  The
+        # REBUILD CADENCE is k * fast_m where fast_m (window count per
+        # rebuild cycle) is a traced runtime value adapted from measured
+        # drift in _run_fast_chunk at zero recompile cost; 0.55x the
+        # ballistic estimate keeps the very first windows safely inside
+        # the skin before any drift has been measured
         k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
-        for q in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
+        for q in (8, 6, 4, 3, 2, 1):
             if q <= max(k_est, 1):
                 k_rebuild = q
                 break
         cap = self._grow.get('fast_k_cap')
         if cap:
             k_rebuild = min(k_rebuild, cap)
-        # measured-drift override: the adaptive cadence (see
-        # _run_fast_chunk) raises the window beyond the ballistic
-        # estimate when the observed per-window max displacement leaves
-        # a comfortable margin; the danger retry remains the backstop
-        floor = self._grow.get('fast_k_floor')
-        if floor:
-            k_rebuild = max(k_rebuild, min(floor, cap or floor))
         self._fast_k_dt = dt
         # rebuild implementation: the plane-local migration stencil
         # (ops/pallas_rebin.py) replaces the 12-operand sort when the
@@ -557,7 +550,7 @@ class System:
         k_dt = getattr(self, '_fast_k_dt', dt_now)
         if abs(dt_now - k_dt) > 0.25 * max(k_dt, 1e-12):
             self._grow.pop('fast_k_cap', None)
-            self._grow.pop('fast_k_floor', None)
+            self._grow.pop('fast_m', None)
             self._rebuild_program()
             self._pack_dyn()
         done = 0
@@ -567,10 +560,11 @@ class System:
         while done < chunk:
             seg = min(512, chunk - done)
             for attempt in range(6):
+                m_now = max(int(self._grow.get('fast_m', 1)), 1)
                 if dbg:
                     print(f"[fast] seg={seg} attempt={attempt} "
                           f"k={self._program['fast']['k_rebuild']} "
-                          f"t={_time.time():.1f}", flush=True)
+                          f"m={m_now} t={_time.time():.1f}", flush=True)
                 fast = self._program['fast']
                 m = fast['method']
                 fdyn = self._dyn['fast']
@@ -582,7 +576,7 @@ class System:
                         aux = {}
                     carry0 = fast['to_fast'](self._state_raw, aux)
                     carry0 = fast['refresh'](carry0, fdyn)
-                carry = fast['run_chunk'](carry0, fdyn, seg)
+                carry = fast['run_chunk'](carry0, fdyn, seg, m_now)
                 ovf = bool(carry.overflow)
                 dng = bool(carry.danger)
                 rbo = bool(carry.rebin_ovf)
@@ -590,67 +584,67 @@ class System:
                     self._fast_carry = carry
                     self._fast_state_stale = True
                     # adaptive cadence: the kernel reports the largest
-                    # per-window drift^2 (wmax); when the drift
-                    # extrapolated to the next window quantum still
-                    # sits below 0.55 of the half-skin, grow the
-                    # rebuild window.  Measured feedback, not the
-                    # ballistic vmax guess — typically 2-3x longer
-                    # windows at liquid statepoints.  The sticky danger
-                    # flag (segment retry + fast_k_cap shrink) remains
-                    # the correctness backstop.
+                    # drift^2 since the last rebuild (wmax); when the
+                    # drift extrapolated to a longer cadence still sits
+                    # below 0.7 of the half-skin, raise the per-cycle
+                    # window count fast_m.  fast_m is a TRACED operand
+                    # of run_chunk, so cadence changes are free (no
+                    # recompile); the sticky danger flag (segment
+                    # retry + fast_m shrink) is the exactness backstop,
+                    # and a retry costs only the segment redo.
                     k_now = fast.get('k_rebuild', 8)
-                    quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
-                    cap = self._grow.get('fast_k_cap')
-                    if seg >= 2 * k_now and k_now < (cap or 32):
+                    cadence = k_now * m_now
+                    if seg >= 2 * cadence and m_now < 16:
                         import math
                         wmax = float(carry.wmax)
                         thr = (0.5 * fast['skin']) ** 2
                         if wmax > 0.0:
-                            # one-shot jump to the largest quantum the
-                            # measured drift predicts safe (drift ~
-                            # linear in window length): each distinct k
-                            # is a fresh kernel compile, so walking
-                            # quantum-by-quantum is unaffordable
-                            kmax = k_now * 0.55 / max(
+                            # drift extrapolates ~linearly in window
+                            # length (ballistic worst case)
+                            cad_max = cadence * 0.7 / max(
                                 math.sqrt(wmax / thr), 1e-9)
-                            nxt = next((q for q in quanta
-                                        if q <= kmax
-                                        and q <= (cap or 32)), 1)
-                            if nxt > k_now:
+                            m_next = min(int(cad_max // k_now), 16)
+                            if m_next > m_now:
                                 if dbg:
-                                    print(f"[fast] grow k {k_now}->"
-                                          f"{nxt} (wmax={wmax:.4g} "
+                                    print(f"[fast] grow m {m_now}->"
+                                          f"{m_next} (wmax={wmax:.4g} "
                                           f"thr={thr:.4g})", flush=True)
-                                self._grow['fast_k_floor'] = nxt
+                                self._grow['fast_m'] = m_next
                                 import jax.numpy as _j
                                 self._fast_carry = carry.replace(
                                     wmax=_j.zeros_like(carry.wmax))
-                                self._rebuild_program()
-                                self._pack_dyn()
                     break
-                # recover the pre-segment state, adjust, recompile, retry
+                # recover the pre-segment state, adjust, retry (only
+                # capacity/impl changes force a program rebuild — a
+                # cadence shrink is free)
                 if not bool(carry0.overflow):
                     self._state_raw = fast['to_state'](carry0,
                                                        self._state_raw)
                 self._fast_carry = None
                 self._fast_state_stale = False
+                need_rebuild = False
                 if ovf:
                     self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
+                    need_rebuild = True
                 if rbo:
                     # plane-local rebin buffers overflowed (heavy local
                     # density churn): fall back to the sort rebuild for
                     # the rest of this simulation
                     self._grow['fast_rebin_sort'] = True
+                    need_rebuild = True
                 if dng:
-                    k_now = fast.get('k_rebuild', 8)
-                    quanta = (32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
-                    self._grow['fast_k_cap'] = next(
-                        (q for q in quanta if q < k_now), 1)
-                    # the cap now bounds any future measured-drift
-                    # growth; drop the stale floor
-                    self._grow.pop('fast_k_floor', None)
-                self._rebuild_program()
-                self._pack_dyn()
+                    if m_now > 1:
+                        # halve the cadence; traced operand, free
+                        self._grow['fast_m'] = max(m_now // 2, 1)
+                    else:
+                        k_now = fast.get('k_rebuild', 8)
+                        self._grow['fast_k_cap'] = next(
+                            (q for q in (8, 6, 4, 3, 2, 1) if q < k_now),
+                            1)
+                        need_rebuild = True
+                if need_rebuild:
+                    self._rebuild_program()
+                    self._pack_dyn()
             else:
                 raise RuntimeError(
                     "fast LJ engine: capacity overflow or dangerous "

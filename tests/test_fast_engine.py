@@ -247,17 +247,20 @@ def test_adaptive_rebuild_cadence_grows():
     system.restore_snapshot(snap)
     hoomd.run(2)               # compile + initial k from ballistic vmax
     k0 = system._program['fast']['k_rebuild']
-    assert k0 < 32, k0
+    m0 = max(int(system._grow.get('fast_m', 1)), 1)
+    assert k0 * m0 < 32, (k0, m0)
     # cool the system 40x: the estimate is now stale-conservative and
-    # the measured per-window drift undershoots it -> one-shot jump
+    # the measured drift undershoots it -> the controller raises the
+    # per-cycle window count fast_m (a traced operand: no recompile)
     snap = system.take_snapshot()
     snap.particles.velocity[:] *= 0.025
     system.restore_snapshot(snap)
     q = system.thermo_quantities()
     e0 = q['kinetic_energy'] + q['potential_energy']
-    hoomd.run(3 * max(k0, 2) + 400)
+    hoomd.run(3 * max(k0 * m0, 2) + 400)
     k1 = system._program['fast']['k_rebuild']
-    assert k1 > k0, (k0, k1)
+    m1 = max(int(system._grow.get('fast_m', 1)), 1)
+    assert k1 * m1 > k0 * m0, (k0, m0, k1, m1)
     q = system.thermo_quantities()
     e1 = q['kinetic_energy'] + q['potential_energy']
     N = system.state.N
