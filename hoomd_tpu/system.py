@@ -33,6 +33,19 @@ from .ops.reduce import ksum
 from .state import snapshot_from_state, state_from_snapshot
 
 
+def _device_sync(arr):
+    """Wait until ``arr`` is actually computed.
+
+    ``jax.block_until_ready`` returns before remote completion on
+    tunneled TPU backends (measured: a host fetch after "blocking"
+    still waits for the computation), so every wall-clock measurement
+    in the run loop syncs by fetching one scalar element to the host —
+    a genuine round-trip that cannot resolve early.
+    """
+    import jax
+    np.asarray(jax.device_get(arr.ravel()[0]))
+
+
 class System:
     """Holds the device state and all registered operations; compiles and
     runs the step pipeline."""
@@ -806,8 +819,7 @@ class System:
                 self._run_fast_chunk(chunk)
                 cur += chunk
                 if prof is not None:
-                    import jax as _jax
-                    _jax.block_until_ready(self.state.pos)
+                    _device_sync(self.state.pos)
                     prof['device_s'] += time.perf_counter() - t_chunk
                     prof['chunks'] += 1
                 if sigint['hit']:
@@ -867,7 +879,7 @@ class System:
                 for m, a in zip(self._program['methods'], auxs):
                     self._method_aux_by_obj[m] = a
             if prof is not None:
-                jax.block_until_ready(self.state.pos)
+                _device_sync(self.state.pos)
                 prof['device_s'] += time.perf_counter() - t_chunk
                 prof['chunks'] += 1
             cur += chunk
@@ -890,7 +902,7 @@ class System:
             except ValueError:
                 pass
         # block until the device is done so TPS is honest
-        jax.block_until_ready(self.state.pos)
+        _device_sync(self.state.pos)
         elapsed = time.perf_counter() - t_wall0
         done = self.timestep - start
         self._last_tps = done / elapsed if elapsed > 0 else 0.0
