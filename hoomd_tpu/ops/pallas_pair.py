@@ -1861,6 +1861,54 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
             f = f - g                            # Newton: j gets -f_i
         fo_ref[...] = f
 
+    def force_plane_n3l_lean(iz, pending):
+        """Pipelined half-stencil pass for plane iz — the scratch-free
+        rewrite of force_plane_n3l.  The j-side (Newton) row sums fold
+        into plane iz in-register (dz=0 rows) and into ``pending``, a
+        one-plane carry consumed when the loop reaches plane iz+1
+        (dz=1 rows) — the plane-0 slice of the carry left over after
+        the last iteration is fixed up by the caller.  This keeps the
+        half-stencil's ~45% pair-FMA saving WITHOUT the (5, 3, nz, ny,
+        nx, C) scratch round-trip + full-grid fold pass that made the
+        scratch variant slower than the full stencil (measured
+        ~17 MB/step of extra VMEM traffic)."""
+        izp = jnp.where(iz == nz - 1, 0, iz + 1)
+        szp = jnp.where(iz == nz - 1, Lz, 0.0)
+        p0 = po_ref[:, pl.ds(iz, 1)]            # (3, 1, ny, nx, C)
+        p1 = po_ref[:, pl.ds(izp, 1)]
+        drift = {0: (p0[0, 0], p0[1, 0], p0[2, 0]),
+                 1: (p1[0, 0], p1[1, 0], p1[2, 0])}
+        fi_blk, gj_blk = [], {key: [] for key in N3L_ROWS}
+        for (y0, yb) in y0s:
+            Fi, gj = _plane_window_forces_n3l(
+                drift, y0, yb, ny, nx, C, rc2, sx, Ly, szp,
+                energy_force)
+            fi_blk.append(jnp.stack(Fi))         # (3, yb, nx, C)
+            for key in N3L_ROWS:
+                gj_blk[key].append(jnp.stack(gj[key]))
+        fi = (fi_blk[0] if len(fi_blk) == 1
+              else jnp.concatenate(fi_blk, axis=1))   # (3, ny, nx, C)
+
+        def rolly(a, dy):
+            if dy == 0:
+                return a
+            if dy == 1:      # source row y contributes to row y+1
+                return jnp.concatenate([a[:, -1:], a[:, :-1]], axis=1)
+            return jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
+
+        gj1 = jnp.zeros((3, ny, nx, C), jnp.float32)
+        for (dz, dy) in N3L_ROWS:
+            blocks = gj_blk[(dz, dy)]
+            g = (blocks[0] if len(blocks) == 1
+                 else jnp.concatenate(blocks, axis=1))
+            g = rolly(g, dy)
+            if dz == 0:
+                fi = fi - g                      # Newton: j gets -f_i
+            else:
+                gj1 = gj1 + g
+        fo_ref[:, pl.ds(iz, 1)] = (fi - pending)[:, None]
+        return gj1
+
     def step_body(si, carry):
         xi, eta, ke2, mdmax = carry
         if method == 'nvt':
@@ -1891,7 +1939,18 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         # force bodies): the caller picks via unroll_z.  (interpret
         # mode always keeps the rolled loop: the unrolled trace makes
         # CPU-interpret tests pay per-op Python cost nz times)
-        if half:
+        if half == 'lean':
+            pend0 = jnp.zeros((3, ny, nx, C), jnp.float32)
+            if interpret or not unroll_z:
+                pending = jax.lax.fori_loop(
+                    0, nz, force_plane_n3l_lean, pend0, unroll=False)
+            else:
+                pending = pend0
+                for iz in range(nz):
+                    pending = force_plane_n3l_lean(iz, pending)
+            # the carry leaving iz = nz-1 targets plane 0 (z wrap)
+            fo_ref[:, 0:1] = fo_ref[:, 0:1] - pending[:, None]
+        elif half:
             jb_scr = scr_refs[0]
             if interpret or not unroll_z:
                 jax.lax.fori_loop(
@@ -2067,7 +2126,7 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                    jax.ShapeDtypeStruct(shp5, dtp),
                    jax.ShapeDtypeStruct((8, 128), jnp.float32)],
         scratch_shapes=(
-            [pltpu.VMEM((5,) + shp5, dtp)] if half else []),
+            [pltpu.VMEM((5,) + shp5, dtp)] if half is True else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

@@ -484,19 +484,24 @@ class System:
                 and not self._grow.get('fast_rebin_sort')
                 and os.environ.get('HOOMD_TPU_REBIN', 'on') != 'off'):
             rebin_impl = 'pallas'
+        # emigrant-buffer width: 8 covers the drift bound with a wide
+        # margin at liquid densities (measured E=8 rebin ~2x faster
+        # than E=16); the rebin_ovf retry widens it to 16 once before
+        # falling back to the sort
+        rebin_E = int(self._grow.get('fast_rebin_E', 8))
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
             method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
             interpret=interpret, impl=impl, eval_name=eval_name,
             pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
-            rebin_impl=rebin_impl)
+            rebin_impl=rebin_impl, rebin_E=rebin_E)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
                 'eval_name': eval_name, 'pnames': pnames,
                 'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin,
-                'rebin_impl': rebin_impl}
+                'rebin_impl': rebin_impl, 'rebin_E': rebin_E}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
@@ -607,7 +612,7 @@ class System:
                     # and a retry costs only the segment redo.
                     k_now = fast.get('k_rebuild', 8)
                     cadence = k_now * m_now
-                    if seg >= 2 * cadence and m_now < 16:
+                    if seg >= 2 * cadence and m_now < 64:
                         import math
                         wmax = float(carry.wmax)
                         thr = (0.5 * fast['skin']) ** 2
@@ -616,7 +621,8 @@ class System:
                             # length (ballistic worst case)
                             cad_max = cadence * 0.7 / max(
                                 math.sqrt(wmax / thr), 1e-9)
-                            m_next = min(int(cad_max // k_now), 16)
+                            m_next = min(int(cad_max // k_now), 64,
+                                         max(seg // (2 * k_now), 1))
                             if m_next > m_now:
                                 if dbg:
                                     print(f"[fast] grow m {m_now}->"
@@ -641,9 +647,14 @@ class System:
                     need_rebuild = True
                 if rbo:
                     # plane-local rebin buffers overflowed (heavy local
-                    # density churn): fall back to the sort rebuild for
-                    # the rest of this simulation
-                    self._grow['fast_rebin_sort'] = True
+                    # density churn): widen the emigrant buffers once
+                    # (E 8 -> 16 costs ~2x rebin time, measured), then
+                    # fall back to the sort rebuild for the rest of
+                    # this simulation
+                    if self._program['fast'].get('rebin_E', 8) < 16:
+                        self._grow['fast_rebin_E'] = 16
+                    else:
+                        self._grow['fast_rebin_sort'] = True
                     need_rebuild = True
                 if dng:
                     if m_now > 1:

@@ -376,8 +376,10 @@ def test_plane_kernel_tiny_grids():
     np.testing.assert_allclose(fn, fr, atol=5e-5 * scale)
 
 
-@pytest.mark.parametrize("method", ["nve", "nvt"])
-def test_megastep_kernel_matches_stepwise(method):
+@pytest.mark.parametrize("method,half", [
+    ("nve", False), ("nvt", False),
+    ("nvt", True), ("nvt", "lean"), ("nve", "lean")])
+def test_megastep_kernel_matches_stepwise(method, half):
     """k fused VV steps in one pallas_call == k explicit python steps.
 
     Mirrors the per-step chain of the reference integrator
@@ -456,7 +458,7 @@ def test_megastep_kernel_matches_stepwise(method):
         pos, vel, jnp.asarray(force(pos)), mass, 1.0 / mass, cd, sh, pv,
         dt, kt, jnp.float32(0.05), jnp.float32(0.0), skin, C=C, k=k,
         method=method, recip='div', ndof=ndof,
-        tau_inv2=jnp.float32(1.0 / tau ** 2), interpret=True)
+        tau_inv2=jnp.float32(1.0 / tau ** 2), interpret=True, half=half)
     p1, v1, f1, xi1, eta1 = ref_run()
     m = np.abs(np.asarray(pos)[..., 0]) < 1e8
 
