@@ -467,6 +467,10 @@ class System:
             if q <= max(k_est, 1):
                 k_rebuild = q
                 break
+        if self._grow.get('fast_k_grown'):
+            # measured drift cleared 4x the planned cadence (see
+            # _run_fast_chunk): the ballistic estimate was conservative
+            k_rebuild = 8
         cap = self._grow.get('fast_k_cap')
         if cap:
             k_rebuild = min(k_rebuild, cap)
@@ -569,6 +573,7 @@ class System:
         if abs(dt_now - k_dt) > 0.25 * max(k_dt, 1e-12):
             self._grow.pop('fast_k_cap', None)
             self._grow.pop('fast_m', None)
+            self._grow.pop('fast_k_grown', None)
             self._rebuild_program()
             self._pack_dyn()
         done = 0
@@ -632,6 +637,26 @@ class System:
                                 import jax.numpy as _j
                                 self._fast_carry = carry.replace(
                                     wmax=_j.zeros_like(carry.wmax))
+                            # grow the KERNEL window too when measured
+                            # drift supports 4x the current cadence:
+                            # per-window dispatch overhead halves
+                            # (one recompile, amortized by the
+                            # persistent cache).  Never after a danger
+                            # shrink (fast_k_cap) — that cap is the
+                            # measured truth.
+                            if (k_now < 8 and cad_max >= 4 * k_now
+                                    and 'fast_k_cap' not in self._grow
+                                    and not self._grow.get(
+                                        'fast_k_grown')):
+                                self._grow['fast_k_grown'] = True
+                                self._grow['fast_m'] = max(
+                                    (k_now * max(m_next, m_now)) // 8,
+                                    1)
+                                if dbg:
+                                    print(f"[fast] grow k {k_now}->8",
+                                          flush=True)
+                                self._rebuild_program()
+                                self._pack_dyn()
                     break
                 # recover the pre-segment state, adjust, retry (only
                 # capacity/impl changes force a program rebuild — a
