@@ -130,6 +130,15 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # free (rebuilds are the dominant non-kernel cost)
     skin = float(min(L_np[d] / cell_dim[d] for d in range(3)) - rcut)
     skin = max(skin, r_buff)
+    # per-axis skins: stencil coverage is per-axis (a pair is missed
+    # only when combined drift along ONE axis exceeds width_a - rcut),
+    # so each axis earns its own danger budget — the wide axis of an
+    # uneven grid is nearly free and isotropic movers gain ~sqrt(3)
+    # rebuild cadence over a scalar-norm check
+    skin3_np = np.maximum(L_np / np.asarray(cell_dim, float) - rcut,
+                          r_buff)
+    skin3 = jnp.asarray(skin3_np, dtype)
+    inv_thr3 = jnp.asarray(1.0 / (0.5 * skin3_np) ** 2, dtype)
     adj_np, shift_np = build_cell_shifts(cell_dim, L_np)
     adj = jnp.asarray(adj_np)
     shifts = jnp.asarray(shift_np, dtype)
@@ -326,9 +335,22 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         # (the reference only warns on dangerous builds; the retry makes
         # the fixed cadence exact).
         d = pos - c.ref_pos
-        md2 = jnp.max(jnp.where(valid, jnp.sum(d * d, -1, keepdims=True),
-                                0.0))
-        danger = c.danger | (md2 > (0.5 * skin) ** 2)
+        # EXACT pair bound, per axis (see _kernel_megastep): danger
+        # iff the two largest per-axis drifts sum past that axis'
+        # skin; reported as the normalized ratio ((d1+d2)/skin_a)^2
+        md2 = c.wmax * 0.0
+        dv = jnp.where(valid, d, 0.0)
+        for a in range(3):
+            q = dv[..., a] * dv[..., a]
+            m1 = jnp.max(q)
+            eq = q == m1
+            tie = jnp.sum(jnp.where(eq, 1.0, 0.0)) > 1.5
+            m2 = jnp.maximum(jnp.max(jnp.where(eq, -1.0, q)), 0.0)
+            m2 = jnp.where(tie, m1, m2)
+            sd = 0.5 * (jnp.sqrt(m1 * inv_thr3[a])
+                        + jnp.sqrt(m2 * inv_thr3[a]))
+            md2 = jnp.maximum(md2, sd * sd)
+        danger = c.danger | (md2 > 1.0)
         wmax = jnp.maximum(c.wmax, md2)
         img, tag, typ, mass = c.img, c.tag, c.typ, c.mass
 
@@ -424,7 +446,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 kt = jnp.ones((k,), dtype)
             gp, gv, gf, xi, eta, d, _, mdmax = cell_megastep_planes(
                 gp, gv, gf, gw, gm, gr, cell_dim, shifts, dyn['pv'],
-                dyn['dt'], kt, xi, eta, skin, C=C, k=k,
+                dyn['dt'], kt, xi, eta, skin3, C=C, k=k,
                 method=method_kind, eval_name=eval_name, pnames=pnames,
                 recip=('approx' if method_kind == 'nvt' else 'div'),
                 ndof=ndof, tau_inv2=ti2, interpret=interpret)

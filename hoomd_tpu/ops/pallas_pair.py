@@ -1772,7 +1772,15 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
     Lz = par_ref[0, 2 + NP]
     dt = par_ref[0, 3 + NP]
     tinv2 = par_ref[0, 4 + NP]
-    thr = par_ref[0, 5 + NP]          # (skin/2)^2 danger threshold
+    # per-axis inverse danger thresholds 1/(skin_a/2)^2: stencil
+    # coverage is per-axis (a pair is missed only when the COMBINED
+    # drift along ONE axis exceeds that axis' skin = width_a - rcut),
+    # so each component is checked against its own skin — an isotropic
+    # mover earns ~sqrt(3) more cadence than a scalar-norm check, and
+    # wide axes (x here) are nearly free
+    it0 = par_ref[0, 5 + NP]
+    it1 = par_ref[0, 6 + NP]
+    it2 = par_ref[0, 7 + NP]
     hdt = 0.5 * dt
     sx = sx_ref[...]
 
@@ -1926,10 +1934,29 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         po_ref[...] = pn
         # skin monitor on post-drift positions, relative to the
         # positions at the last REBUILD (r_ref input) — windows chained
-        # between rebuilds keep an exact cumulative-drift check
+        # between rebuilds keep an exact cumulative-drift check.
+        # EXACT pair bound, per axis: a pair is missed only when the
+        # COMBINED drift of its two members along one axis exceeds
+        # that axis' skin, so the check is d1_a + d2_a > skin_a with
+        # d1/d2 the two largest per-axis drifts (the single-particle
+        # half-skin convention is ~2x conservative in the extreme
+        # tail, where the runner-up drift is far below the max).
+        # Reported as a normalized ratio ((d1+d2)/skin_a)^2 chained
+        # with max; danger iff > 1.  Exact f32 ties count as two
+        # particles at the max (the masked second max would miss
+        # them).
         d = pn - r_ref[...]
-        md2 = jnp.max(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-        mdmax = jnp.maximum(mdmax, md2)
+        md2 = mdmax
+        for a, it in ((0, it0), (1, it1), (2, it2)):
+            q = d[a] * d[a]
+            m1 = jnp.max(q)
+            eq = q == m1
+            tie = jnp.sum(jnp.where(eq, 1.0, 0.0)) > 1.5
+            m2 = jnp.maximum(jnp.max(jnp.where(eq, -1.0, q)), 0.0)
+            m2 = jnp.where(tie, m1, m2)
+            sd = 0.5 * (jnp.sqrt(m1 * it) + jnp.sqrt(m2 * it))
+            md2 = jnp.maximum(md2, sd * sd)
+        mdmax = md2
         # forces from the drifted state.  The z loop CAN be unrolled: a
         # rolled fori_loop body addresses the plane refs through
         # dynamic slices, and the per-iteration slice machinery costs
@@ -1982,14 +2009,14 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
             xi = xi1
         return (xi, eta, ke2n, mdmax)
 
-    xi0 = par_ref[0, 6 + NP]
-    eta0 = par_ref[0, 7 + NP]
+    xi0 = par_ref[0, 8 + NP]
+    eta0 = par_ref[0, 9 + NP]
     ke2_0 = jnp.sum(vo_ref[...] * vo_ref[...] * mm[None])
     xi, eta, ke2, mdmax = jax.lax.fori_loop(
         0, k, step_body, (xi0, eta0, ke2_0, jnp.float32(0.0)))
     z = jnp.zeros((128,), jnp.float32)
     st_ref[...] = jnp.stack(
-        [z + xi, z + eta, z + jnp.where(mdmax > thr, 1.0, 0.0),
+        [z + xi, z + eta, z + jnp.where(mdmax > 1.0, 1.0, 0.0),
          z + ke2, z + mdmax, z, z, z])
 
 
@@ -2098,14 +2125,19 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                     jnp.zeros((nx,), dtp),
                     jnp.where(ar == nx - 1, Lx, 0.0)])
     sx = jnp.broadcast_to(sx[:, :, None], (3, nx, C))
-    # par = [rc2, *pnames, Ly, Lz, dt, tinv2, thr, xi, eta]
+    # par = [rc2, *pnames, Ly, Lz, dt, tinv2, it_x, it_y, it_z, xi,
+    # eta] where it_a = 1/(skin_a/2)^2 (per-axis danger thresholds —
+    # skin may be a scalar or a (3,) per-axis vector)
     pv = jnp.concatenate([params_vec[:1], params_vec[2:]])
+    skin3 = jnp.broadcast_to(
+        jnp.asarray(skin, dtp).reshape(-1), (3,))
+    it3 = 1.0 / (0.5 * skin3) ** 2
     par = jnp.concatenate([
         pv, jnp.stack([Ly, Lz, jnp.asarray(dt, dtp),
                        jnp.asarray(tau_inv2, dtp),
-                       jnp.asarray((0.5 * skin) ** 2, dtp),
+                       it3[0], it3[1], it3[2],
                        jnp.asarray(xi, dtp), jnp.asarray(eta, dtp)])])
-    NPAR = 8 + len(pnames)
+    NPAR = 10 + len(pnames)
     YB = min(ny, 7)
     shp5 = (3, nz, ny, nx, C)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)

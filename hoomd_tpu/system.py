@@ -462,6 +462,17 @@ class System:
         # drift in _run_fast_chunk at zero recompile cost; 0.55x the
         # ballistic estimate keeps the very first windows safely inside
         # the skin before any drift has been measured
+        # cadence state measured at a materially different dt is
+        # stale — drift per step scales with dt, so carrying fast_m
+        # (or its danger ceiling) across a dt change probes wrongly
+        k_dt = getattr(self, '_fast_k_dt', dt)
+        if abs(dt - k_dt) > 0.25 * max(k_dt, 1e-12):
+            self._grow.pop('fast_m', None)
+            self._grow.pop('fast_m_ceil', None)
+            self._grow.pop('fast_k_cap', None)
+            self._grow.pop('fast_k_grown', None)
+            self._grow.pop('fast_k_grow_block', None)
+            self._grow.pop('fast_clean_segs', None)
         k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
         for q in (8, 6, 4, 3, 2, 1):
             if q <= max(k_est, 1):
@@ -573,15 +584,22 @@ class System:
         if abs(dt_now - k_dt) > 0.25 * max(k_dt, 1e-12):
             self._grow.pop('fast_k_cap', None)
             self._grow.pop('fast_m', None)
+            self._grow.pop('fast_m_ceil', None)
             self._grow.pop('fast_k_grown', None)
+            self._grow.pop('fast_k_grow_block', None)
+            self._grow.pop('fast_clean_segs', None)
             self._rebuild_program()
             self._pack_dyn()
         done = 0
         import os as _os
         import time as _time
         dbg = _os.environ.get('HOOMD_TPU_DEBUG_FAST')
+        # segment size bounds the retry redo cost; each segment pays
+        # one device->host flag fetch (a full tunnel round-trip), so
+        # clean segments earn exponentially longer ones
+        seg_cap = getattr(self, '_fast_seg_cap', 512)
         while done < chunk:
-            seg = min(512, chunk - done)
+            seg = min(seg_cap, chunk - done)
             for attempt in range(6):
                 m_now = max(int(self._grow.get('fast_m', 1)), 1)
                 if dbg:
@@ -600,67 +618,101 @@ class System:
                     carry0 = fast['to_fast'](self._state_raw, aux)
                     carry0 = fast['refresh'](carry0, fdyn)
                 carry = fast['run_chunk'](carry0, fdyn, seg, m_now)
-                ovf = bool(carry.overflow)
-                dng = bool(carry.danger)
-                rbo = bool(carry.rebin_ovf)
+                # ONE packed device->host fetch for all control flags:
+                # each separate bool()/float() is a full tunnel
+                # round-trip (~15 ms on remote backends)
+                import jax as _jax
+                import jax.numpy as _j
+                fl = np.asarray(_jax.device_get(_j.stack([
+                    carry.overflow.astype(_j.float32),
+                    carry.danger.astype(_j.float32),
+                    carry.rebin_ovf.astype(_j.float32),
+                    carry.wmax.astype(_j.float32)])))
+                ovf = bool(fl[0] > 0.5)
+                dng = bool(fl[1] > 0.5)
+                rbo = bool(fl[2] > 0.5)
                 if not (ovf or dng or rbo):
                     self._fast_carry = carry
                     self._fast_state_stale = True
-                    # adaptive cadence: the kernel reports the largest
-                    # drift^2 since the last rebuild (wmax); when the
-                    # drift extrapolated to a longer cadence still sits
-                    # below 0.7 of the half-skin, raise the per-cycle
-                    # window count fast_m.  fast_m is a TRACED operand
-                    # of run_chunk, so cadence changes are free (no
-                    # recompile); the sticky danger flag (segment
-                    # retry + fast_m shrink) is the exactness backstop,
-                    # and a retry costs only the segment redo.
+                    seg_cap = min(seg_cap * 2, 8192)
+                    self._fast_seg_cap = seg_cap
+                    # adaptive cadence, optimistic: the in-kernel
+                    # danger check + segment retry makes ANY cadence
+                    # exact, so each clean segment DOUBLES the
+                    # per-cycle window count fast_m (a traced operand:
+                    # no recompile) up to a ceiling that a dangerous
+                    # probe pins — at most log2(64) probe retries per
+                    # run, no storms.  The measured-drift linear
+                    # extrapolation (ballistic worst case from the
+                    # kernel-reported max drift^2) only FAST-TRACKS
+                    # growth past doubling when it is confident.
                     k_now = fast.get('k_rebuild', 8)
                     cadence = k_now * m_now
-                    if seg >= 2 * cadence and m_now < 64:
+                    ceil_m = int(self._grow.get('fast_m_ceil', 64))
+                    # a pinned ceiling decays: after 4 consecutive
+                    # clean segments at the ceiling, allow one more
+                    # doubling probe (transients — e.g. right after a
+                    # melt — pin it low; the equilibrated system
+                    # deserves a re-try).  Probe segments restart at
+                    # the small segment size so a failed probe redoes
+                    # little work.
+                    clean = self._grow.get('fast_clean_segs', 0) + 1
+                    self._grow['fast_clean_segs'] = clean
+                    if ceil_m < 64 and m_now >= ceil_m and clean >= 4:
+                        ceil_m = min(ceil_m * 2, 64)
+                        self._grow['fast_m_ceil'] = ceil_m
+                        self._grow['fast_clean_segs'] = 0
+                        seg_cap = 512
+                        self._fast_seg_cap = seg_cap
+                    m_next = m_now
+                    if seg >= 2 * cadence and m_now < ceil_m:
                         import math
-                        wmax = float(carry.wmax)
-                        thr = (0.5 * fast['skin']) ** 2
+                        # wmax is the NORMALIZED max drift ratio (the
+                        # kernels report max_a drift_a^2/(skin_a/2)^2;
+                        # danger fires at 1.0)
+                        wmax = float(fl[3])
+                        m_next = m_now * 2
                         if wmax > 0.0:
-                            # drift extrapolates ~linearly in window
-                            # length (ballistic worst case)
                             cad_max = cadence * 0.7 / max(
-                                math.sqrt(wmax / thr), 1e-9)
-                            m_next = min(int(cad_max // k_now), 64,
-                                         max(seg // (2 * k_now), 1))
-                            if m_next > m_now:
-                                if dbg:
-                                    print(f"[fast] grow m {m_now}->"
-                                          f"{m_next} (wmax={wmax:.4g} "
-                                          f"thr={thr:.4g})", flush=True)
-                                self._grow['fast_m'] = m_next
-                                import jax.numpy as _j
-                                self._fast_carry = carry.replace(
-                                    wmax=_j.zeros_like(carry.wmax))
-                            # grow the KERNEL window too when measured
-                            # drift supports 4x the current cadence:
-                            # per-window dispatch overhead halves
-                            # (one recompile, amortized by the
-                            # persistent cache).  Never after a danger
-                            # shrink (fast_k_cap) — that cap is the
-                            # measured truth.
-                            if (k_now < 8 and cad_max >= 4 * k_now
-                                    and 'fast_k_cap' not in self._grow
-                                    and not self._grow.get(
-                                        'fast_k_grown')):
-                                self._grow['fast_k_grown'] = True
-                                self._grow['fast_m'] = max(
-                                    (k_now * max(m_next, m_now)) // 8,
-                                    1)
-                                if dbg:
-                                    print(f"[fast] grow k {k_now}->8",
-                                          flush=True)
-                                self._rebuild_program()
-                                self._pack_dyn()
+                                math.sqrt(wmax), 1e-9)
+                            m_next = max(m_next, int(cad_max // k_now))
+                        m_next = min(m_next, ceil_m,
+                                     max(seg // (2 * k_now), 1))
+                        if m_next > m_now:
+                            if dbg:
+                                print(f"[fast] grow m {m_now}->"
+                                      f"{m_next} (wmax={wmax:.4g})",
+                                      flush=True)
+                            self._grow['fast_m'] = m_next
+                            import jax.numpy as _j
+                            self._fast_carry = carry.replace(
+                                wmax=_j.zeros_like(carry.wmax))
+                    # grow the KERNEL window when the ACHIEVED clean
+                    # cadence (m_now just ran clean — not the untested
+                    # optimistic probe) shows 4x headroom over the
+                    # plan: per-window dispatch overhead halves (one
+                    # recompile, amortized by the persistent cache).
+                    # Never after a danger shrink (fast_k_cap is
+                    # measured truth).
+                    if (k_now < 8 and m_now >= 4
+                            and 'fast_k_cap' not in self._grow
+                            and not self._grow.get('fast_k_grow_block')
+                            and not self._grow.get('fast_k_grown')):
+                        self._grow['fast_k_grown'] = True
+                        self._grow['fast_m'] = max(
+                            (k_now * max(m_next, m_now)) // 8, 1)
+                        if dbg:
+                            print(f"[fast] grow k {k_now}->8",
+                                  flush=True)
+                        self._rebuild_program()
+                        self._pack_dyn()
                     break
                 # recover the pre-segment state, adjust, retry (only
                 # capacity/impl changes force a program rebuild — a
-                # cadence shrink is free)
+                # cadence shrink is free); retries re-earn segment size
+                seg_cap = 512
+                self._fast_seg_cap = seg_cap
+                seg = min(seg, seg_cap)
                 if not bool(carry0.overflow):
                     self._state_raw = fast['to_state'](carry0,
                                                        self._state_raw)
@@ -683,8 +735,23 @@ class System:
                     need_rebuild = True
                 if dng:
                     if m_now > 1:
-                        # halve the cadence; traced operand, free
+                        # halve the cadence (traced operand, free) and
+                        # pin the ceiling so optimistic growth never
+                        # re-probes past the measured danger point
                         self._grow['fast_m'] = max(m_now // 2, 1)
+                        self._grow['fast_m_ceil'] = max(m_now // 2, 1)
+                        self._grow['fast_clean_segs'] = 0
+                    elif self._grow.get('fast_k_grown'):
+                        # revert the opportunistic k growth first: the
+                        # plan-k program was already compiled earlier
+                        # this process, so this shrink is cheap —
+                        # quantized k-cap steps would each pay a fresh
+                        # Mosaic compile (measured: a danger storm of
+                        # recompiles took a 3000-step run to 209 s)
+                        self._grow.pop('fast_k_grown')
+                        self._grow['fast_k_grow_block'] = True
+                        self._grow['fast_clean_segs'] = 0
+                        need_rebuild = True
                     else:
                         k_now = fast.get('k_rebuild', 8)
                         self._grow['fast_k_cap'] = next(
