@@ -50,13 +50,16 @@ def test_spatial_dd_matches_oracle(mesh4):
     import jax
     from hoomd_tpu.parallel.spatial import build_spatial_lj_md
     rng = np.random.RandomState(0)
-    N, L, rcut = 300, 16.0, 1.5
-    # seeded non-overlapping configuration
-    grid = np.stack(np.meshgrid(*[np.arange(7)] * 3,
-                                indexing='ij'), -1).reshape(-1, 3)[:N]
-    pos0 = (grid + 0.5) * (L / 7) - L / 2 \
-        + rng.uniform(-0.2, 0.2, (N, 3))
-    vel0 = rng.normal(0, 0.5, (N, 3))
+    # lattice spacing 1.2 < r_cut 1.5: every particle interacts, and
+    # pairs straddle every slab cut (a sparser start once validated only
+    # ballistic streaming — zero interacting pairs)
+    L, rcut = 12.0, 1.5
+    grid = np.stack(np.meshgrid(*[np.arange(10)] * 3,
+                                indexing='ij'), -1).reshape(-1, 3)
+    N = len(grid)
+    pos0 = (grid + 0.5) * (L / 10) - L / 2 \
+        + rng.uniform(-0.05, 0.05, (N, 3))
+    vel0 = rng.normal(0, 0.3, (N, 3))
     vel0 -= vel0.mean(axis=0)
 
     step_fn, init_fn, run_steps, gather_fn, rebalance_fn = \
@@ -72,11 +75,13 @@ def test_spatial_dd_matches_oracle(mesh4):
 
     p_ref, v_ref, ke_ref, pe_ref = lj_oracle_traj(
         pos0, vel0, L, 0.002, rcut, nsteps)
+    # load-bearing check: the oracle itself must see real interactions
+    assert abs(pe_ref) > 0.05 * N
     # wrap-consistent comparison
     d = p_dd - p_ref
     d -= L * np.round(d / L)
-    assert np.abs(d).max() < 1e-3
-    assert np.abs(v_dd - v_ref).max() < 1e-3
+    assert np.abs(d).max() < 2e-3
+    assert np.abs(v_dd - v_ref).max() < 2e-2
     np.testing.assert_allclose(float(ths['ke'][-1]), ke_ref, rtol=1e-4)
     np.testing.assert_allclose(float(ths['pe'][-1]), pe_ref, rtol=1e-3,
                                atol=1e-3)
