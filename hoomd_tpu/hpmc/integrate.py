@@ -29,6 +29,7 @@ import numpy as np
 
 from .. import context
 from ..ops import cells as cells_ops
+from . import data
 
 
 class _hpmc_counters:
@@ -81,22 +82,9 @@ class interaction_matrix:
         return m
 
 
-class shape_param_proxy:
-    """Per-type shape parameters (reference hpmc ShapeProxy.h:34-397)."""
-
-    def __init__(self, mc):
-        self._mc = mc
-        self._params = {}
-
-    def set(self, types, **params):
-        if not isinstance(types, (list, tuple)):
-            types = [types]
-        for t in types:
-            self._params.setdefault(t, {}).update(params)
-        self._mc._dirty()
-
-    def __getitem__(self, t):
-        return dict(self._params.get(t, {}))
+# per-type shape parameters live in hpmc.data (reference hpmc/data.py,
+# ShapeProxy.h:34-397); re-exported here for backward compatibility
+shape_param_proxy = data.param_dict
 
 
 class mode_hpmc:

@@ -1,12 +1,17 @@
 """Neighbor list configuration objects (reference md/nlist.py:45-860).
 
-On TPU there is a single neighbor-list algorithm — the binned, padded,
-sort-based build in ops/neighbor.py (the NeighborListBinned analog).  The
-reference's ``tree`` (AABB BVH, NeighborListTree.h) and ``stencil``
-(CellListStencil) variants exist for size-asymmetric systems on CPUs/GPUs;
-pointer-chasing tree traversals do not map to the TPU's vector units, so
-those classes are provided for API compatibility and use the binned build
-with a conservatively sized stencil.
+All three variants share the binned, padded, sort-based build in
+ops/neighbor.py (the NeighborListBinned analog); they differ in how the
+cell grid is dimensioned:
+
+  * ``cell`` — bin width = maximum interaction range, 27-cell stencil
+    (NeighborListBinned);
+  * ``stencil`` — bin width = user ``cell_width`` or the shortest active
+    cutoff, adjacency widened to cover the largest cutoff, per-type-pair
+    range culling (NeighborListStencil / CellListStencil);
+  * ``tree`` — same fine-grid wide-stencil machinery, auto-dimensioned;
+    the TPU-native replacement for the reference's AABB-BVH traversal
+    (NeighborListTree.h), which is pointer chasing the VPU cannot do.
 
 Multiple forces subscribing to one nlist have their r_cut matrices merged
 exactly like the reference (nlist.py:417 ``rcut`` class).
@@ -25,7 +30,9 @@ class _NlistConfig:
     """Frozen per-compile static configuration of one neighbor list."""
 
     def __init__(self, cell_dim, cell_cap, max_neigh, cell_adj, rmax_table,
-                 excl_tags, exclude_body, diameter_shift, r_buff, r_max):
+                 excl_tags, exclude_body, diameter_shift, r_buff, r_max,
+                 reach=(1, 1, 1)):
+        self.reach = reach                  # static per-axis stencil reach
         self.cell_dim = cell_dim
         self.cell_cap = cell_cap
         self.max_neigh = max_neigh
@@ -113,6 +120,11 @@ class nlist:
         return best[0]
 
     # -- internal: static config construction -----------------------------
+    def _cell_width_target(self, rmax, r_span):
+        """Bin width the cell grid aims for.  Base/`cell`: the maximum
+        interaction range (27-stencil); subclasses narrow it."""
+        return r_span
+
     def _max_rcut_matrix(self, types):
         ntypes = len(types)
         rmat = np.zeros((ntypes, ntypes))
@@ -167,7 +179,14 @@ class nlist:
             r_span = 1.0
         box = system.state.box
         L = np.asarray(box.L)
-        cell_dim = cells.choose_cell_dim(L, r_span, box.dimensions)
+        width = self._cell_width_target(rmax, r_span)
+        cell_dim = cells.choose_cell_dim(L, width, box.dimensions)
+        # adjacency reach per axis: actual cell widths are L/dim >= width,
+        # and the stencil must cover r_span (CellListStencil.h analog)
+        actual_w = L[:3] / np.maximum(np.asarray(cell_dim), 1)
+        reach = tuple(int(np.ceil(r_span / w - 1e-9)) for w in actual_w)
+        if box.dimensions == 2:
+            reach = (reach[0], reach[1], 0)
         N = system.state.N
         ncells = int(np.prod(cell_dim))
         # capacity estimates from mean density with headroom; the overflow
@@ -189,13 +208,14 @@ class nlist:
             cell_dim=cell_dim,
             cell_cap=cell_cap,
             max_neigh=max_neigh,
-            cell_adj=jnp.asarray(cells.build_cell_adj(cell_dim)),
+            cell_adj=jnp.asarray(cells.build_cell_adj(cell_dim, reach)),
             rmax_table=jnp.asarray(rmax, dtype=system.real_dtype),
             excl_tags=None if excl is None else jnp.asarray(excl),
             exclude_body='body' in self.exclusions,
             diameter_shift=self.diameter_shift,
             r_buff=self.r_buff,
             r_max=r_span,
+            reach=reach,
         )
         return self._cfg
 
@@ -205,20 +225,78 @@ class cell(nlist):
     GPU kernel NeighborListGPUBinned.cu:75)."""
 
 
-class tree(nlist):
-    """API-compatible stand-in for the AABB-tree list
-    (reference md/NeighborListTree.h).  BVH traversal is irregular pointer
-    chasing — the TPU-native build is the same binned construction."""
-
-
 class stencil(nlist):
-    """API-compatible stand-in for the stenciled list
-    (reference md/NeighborListStencil.h)."""
+    """Stenciled neighbor list for size-asymmetric systems
+    (reference md/NeighborListStencil.h, hoomd/CellListStencil.h).
+
+    Bins at ``cell_width`` (default: the shortest active cutoff, the
+    reference default md/nlist.py:612) and searches a wider adjacency
+    stencil that covers the largest cutoff; candidates are culled by the
+    per-type-pair range mask during the build.  With a size-ratio-3
+    binary mixture this keeps the per-cell capacity (and so the
+    candidate set and HBM footprint) sized to the small species, where a
+    max-cutoff bin would pad every cell to the large species' occupancy."""
 
     def __init__(self, r_buff=0.4, check_period=1, d_max=None,
-                 dist_check=True, name=None, cell_width=None):
+                 dist_check=True, name=None, cell_width=None,
+                 deterministic=True):
         super().__init__(r_buff, check_period, d_max, dist_check, name)
         self.cell_width = cell_width
+
+    def set_cell_width(self, cell_width):
+        """Set the cell width (reference md/nlist.py:688)."""
+        self.cell_width = cell_width
+        _sys()._dirty()
+
+    def tune_cell_width(self, warmup=0, min_width=None, max_width=None,
+                        jumps=20, steps=5000, quiet=False):
+        """Sweep cell_width for the fastest steps/sec
+        (reference md/nlist.py:698 tune_cell_width)."""
+        import time
+        import hoomd_tpu as hoomd
+        sys_ = _sys()
+        types = sys_.particle_types
+        rmat = self._max_rcut_matrix(types)
+        r_span = float(np.max(rmat + np.where(rmat > 0, self.r_buff, 0.0)))
+        lo = min_width or 0.5 * r_span
+        hi = max_width or r_span
+        best = (None, -1.0)
+        if warmup:
+            hoomd.run(warmup, quiet=True)
+        for w in np.linspace(lo, hi, jumps):
+            self.set_cell_width(float(w))
+            t0 = time.perf_counter()
+            hoomd.run(steps, quiet=True)
+            tps = steps / (time.perf_counter() - t0)
+            if not quiet:
+                print(f"cell_width={w:.3f} -> {tps:.1f} TPS")
+            if tps > best[1]:
+                best = (float(w), tps)
+        self.set_cell_width(best[0])
+        return best[0]
+
+    def _cell_width_target(self, rmax, r_span):
+        if self.cell_width is not None:
+            return float(self.cell_width)
+        active = rmax[rmax > 0]
+        return float(active.min()) if active.size else r_span
+
+
+class tree(nlist):
+    """Neighbor list for large size disparity
+    (reference md/NeighborListTree.h).
+
+    The reference walks an AABB BVH — irregular pointer chasing that does
+    not map to the TPU's vector units.  The TPU-native equivalent of the
+    same capability (bounded per-query work under heterogeneous particle
+    sizes) is a fine uniform grid with a per-type-pair-range-culled wide
+    stencil: cells sized to the smallest active cutoff bound per-cell
+    occupancy the way BVH leaves bound theirs, and the wrap-deduplicated
+    offset stencil replaces the tree traversal with dense regular loads."""
+
+    def _cell_width_target(self, rmax, r_span):
+        active = rmax[rmax > 0]
+        return float(active.min()) if active.size else r_span
 
 
 def _sys():

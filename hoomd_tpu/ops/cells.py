@@ -26,22 +26,31 @@ def choose_cell_dim(box_L_np, r_max, dimensions=3):
     return tuple(int(d) for d in dim)
 
 
-def build_cell_adj(cell_dim):
-    """Host-side (ncells, 27) adjacency of each cell to its 3^3 stencil,
-    periodic-wrapped and deduplicated (duplicates appear when a dimension has
-    <3 cells).  Duplicate slots get the sentinel id ``ncells`` which maps to
-    an all-padding row of the cell list."""
+def build_cell_adj(cell_dim, reach=(1, 1, 1)):
+    """Host-side (ncells, n_adj) adjacency of each cell to its
+    (2*reach+1)^3 stencil, periodic-wrapped and deduplicated (duplicates
+    appear when a dimension has fewer cells than the stencil spans).
+    Duplicate slots get the sentinel id ``ncells`` which maps to an
+    all-padding row of the cell list.
+
+    reach > 1 per axis is the CellListStencil analog
+    (reference hoomd/CellListStencil.h): cells narrower than the
+    interaction range searched over a wider offset neighborhood, so the
+    bin width can follow the *smallest* cutoff in a size-disparate
+    mixture instead of the largest."""
     nx, ny, nz = cell_dim
+    rx, ry, rz = reach
     ncells = nx * ny * nz
     ids = np.arange(ncells)
     ix = ids % nx
     iy = (ids // nx) % ny
     iz = ids // (nx * ny)
-    adj = np.empty((ncells, 27), np.int32)
+    n_adj = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
+    adj = np.empty((ncells, n_adj), np.int32)
     c = 0
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
+    for dz in range(-rz, rz + 1):
+        for dy in range(-ry, ry + 1):
+            for dx in range(-rx, rx + 1):
                 jx = (ix + dx) % nx
                 jy = (iy + dy) % ny
                 jz = (iz + dz) % nz

@@ -802,11 +802,15 @@ class System:
                 g['cell_cap'] = max(g.get('cell_cap', 0),
                                     int(cfg.cell_cap * 1.5) + 4)
                 grew = True
-            # box deformation (NPT/box_resize) can shrink cells below the
-            # interaction range: re-grid and retry (reference CellList
-            # recomputes its dimensions on box changes, CellList.cc)
-            width = min(L[d] / cfg.cell_dim[d] for d in range(dims))
-            if width < cfg.r_max * 0.9999:
+            # box deformation (NPT/box_resize) can shrink cells until the
+            # stencil no longer covers the interaction range: re-grid and
+            # retry (reference CellList recomputes its dimensions on box
+            # changes, CellList.cc).  Coverage is per-axis width*reach
+            # (reach > 1 for the stencil/tree fine-grid variants).
+            reach = getattr(cfg, 'reach', (1, 1, 1))
+            covered = min(L[d] / cfg.cell_dim[d] * reach[d]
+                          for d in range(dims))
+            if covered < cfg.r_max * 0.9999:
                 grew = True
         if grew:
             self._rebuild_program()

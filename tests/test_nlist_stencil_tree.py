@@ -1,0 +1,95 @@
+"""Stencil/tree neighbor lists on size-disparate mixtures.
+
+Reference md/NeighborListStencil.h + NeighborListTree.h: variants that
+keep per-query cost bounded when cutoffs differ strongly between types.
+Here both are fine-grid wide-stencil builds (md/nlist.py stencil/tree);
+the gate is force parity against the max-cutoff binned `cell` build on a
+size-ratio-3 binary LJ mixture, plus the structural claims: a finer cell
+grid and a smaller per-cell capacity than the binned build.
+"""
+
+import numpy as np
+import pytest
+
+
+def _mixture(seed=3, n_small=180, n_big=20, L=14.0):
+    import hoomd_tpu as hoomd
+    rng = np.random.RandomState(seed)
+    N = n_small + n_big
+    snap = hoomd.data.make_snapshot(
+        N, hoomd.data.boxdim(L=L), particle_types=['S', 'B'])
+    snap.particles.position[:] = rng.uniform(-L / 2, L / 2, (N, 3))
+    snap.particles.typeid[:n_small] = 0
+    snap.particles.typeid[n_small:] = 1
+    return hoomd.init.read_snapshot(snap)
+
+
+def _forces_with(nlist_factory):
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    hoomd.context.initialize("--notice-level=0")
+    _mixture()
+    nl = nlist_factory(md)
+    lj = md.pair.lj(r_cut=1.2, nlist=nl)
+    # size-ratio-3 mixture: sigma_BB = 3 sigma_SS, r_cut scales with sigma
+    lj.pair_coeff.set('S', 'S', epsilon=1.0, sigma=1.0, r_cut=1.2)
+    lj.pair_coeff.set('S', 'B', epsilon=1.0, sigma=2.0, r_cut=2.4)
+    lj.pair_coeff.set('B', 'B', epsilon=1.0, sigma=3.0, r_cut=3.6)
+    md.integrate.mode_standard(dt=0.0)
+    md.integrate.nve(group=hoomd.group.all())
+    hoomd.run(1, quiet=True)
+    system = hoomd.context.current.system
+    st = system.state
+    return (np.asarray(st.net_force), float(np.asarray(st.net_pe).sum()),
+            nl._cfg)
+
+
+@pytest.mark.parametrize("variant", ["stencil", "tree"])
+def test_stencil_tree_force_parity_vs_cell(variant):
+    f_ref, pe_ref, cfg_cell = _forces_with(lambda md: md.nlist.cell())
+    f_var, pe_var, cfg_var = _forces_with(
+        lambda md: getattr(md.nlist, variant)())
+
+    np.testing.assert_allclose(f_var, f_ref, rtol=1e-5, atol=1e-5)
+    assert pe_var == pytest.approx(pe_ref, rel=1e-5)
+
+    # the point of the variant: finer grid, bounded per-cell capacity
+    assert np.prod(cfg_var.cell_dim) > np.prod(cfg_cell.cell_dim)
+    assert cfg_var.cell_cap < cfg_cell.cell_cap
+    # and the adjacency is wider than 27 to cover the large cutoff
+    assert cfg_var.cell_adj.shape[1] > 27
+
+
+def test_stencil_explicit_cell_width():
+    f_ref, pe_ref, _ = _forces_with(lambda md: md.nlist.cell())
+    f_s, pe_s, cfg = _forces_with(
+        lambda md: md.nlist.stencil(cell_width=2.0))
+    np.testing.assert_allclose(f_s, f_ref, rtol=1e-5, atol=1e-5)
+    assert pe_s == pytest.approx(pe_ref, rel=1e-5)
+    # L=14, width 2.0 -> 7 cells/axis
+    assert cfg.cell_dim == (7, 7, 7)
+
+
+def test_wide_adjacency_oracle():
+    """build_cell_adj(reach>1) against a brute-force offset enumeration,
+    including wrap-dedup on an axis shorter than the stencil span."""
+    from hoomd_tpu.ops import cells
+
+    for cell_dim, reach in [((6, 5, 4), (2, 2, 2)), ((3, 7, 7), (2, 1, 3))]:
+        nx, ny, nz = cell_dim
+        ncells = nx * ny * nz
+        adj = cells.build_cell_adj(cell_dim, reach)
+        assert adj.shape == (ncells, np.prod([2 * r + 1 for r in reach]))
+        for cid in [0, ncells // 2, ncells - 1]:
+            ix, iy, iz = cid % nx, (cid // nx) % ny, cid // (nx * ny)
+            want = set()
+            for dz in range(-reach[2], reach[2] + 1):
+                for dy in range(-reach[1], reach[1] + 1):
+                    for dx in range(-reach[0], reach[0] + 1):
+                        want.add(((ix + dx) % nx) + nx * (
+                            ((iy + dy) % ny) + ny * ((iz + dz) % nz)))
+            got = set(int(a) for a in adj[cid] if a < ncells)
+            assert got == want
+            # dedup: each real cell appears exactly once
+            real = [int(a) for a in adj[cid] if a < ncells]
+            assert len(real) == len(set(real))
