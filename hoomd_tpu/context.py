@@ -24,6 +24,9 @@ class options:
         self.msg_file = None
         self.user = []
         self.nrank = None
+        self.nx = None
+        self.ny = None
+        self.nz = None
         self.single_mpi = False
         self.autotuner_enable = True
 
@@ -38,6 +41,7 @@ class SimulationContext:
         self.integrator = None
         self.options = options()
         self.device = None
+        self.mesh = None            # jax.sharding.Mesh when --nrank/--nx..
 
     def __enter__(self):
         global current
@@ -73,7 +77,16 @@ def initialize(args=None, memory_traceback=False):
         elif tok.startswith('--nrank'):
             v = tok.split('=', 1)[1] if '=' in tok else next(it)
             opts.nrank = int(v)
-        # remaining reference flags (--gpu, --nx, --linear, --onelevel,
+        elif tok.startswith('--nx'):
+            v = tok.split('=', 1)[1] if '=' in tok else next(it)
+            opts.nx = int(v)
+        elif tok.startswith('--ny'):
+            v = tok.split('=', 1)[1] if '=' in tok else next(it)
+            opts.ny = int(v)
+        elif tok.startswith('--nz'):
+            v = tok.split('=', 1)[1] if '=' in tok else next(it)
+            opts.nz = int(v)
+        # remaining reference flags (--gpu, --linear, --onelevel,
         # --nthreads, ...) have no TPU meaning and are accepted silently
     import jax
     # persistent compilation cache: the fused/stencil Pallas kernels
@@ -92,6 +105,34 @@ def initialize(args=None, memory_traceback=False):
         except Exception:
             pass
     ctx.device = jax.devices()[0]
+    # multi-device execution (the reference's MPI rank grid,
+    # hoomd/ExecutionConfiguration.cc + DomainDecomposition.h:49-175):
+    # --nrank=N (or --nx/--ny/--nz whose product is N) lays the
+    # simulation over an N-device 1-D 'domain' mesh.  The job-script
+    # engine runs unchanged: state arrays are sharded over the particle
+    # axis with jax.sharding.NamedSharding and XLA's SPMD partitioner
+    # inserts the collectives (the "annotate shardings, let XLA insert
+    # collectives" recipe) — there is no per-rank code path to keep in
+    # sync with the single-chip one.
+    n_req = opts.nrank
+    grid = [g for g in (opts.nx, opts.ny, opts.nz) if g]
+    if grid:
+        prod = 1
+        for g in grid:
+            prod *= g
+        n_req = prod if n_req is None else n_req
+    if n_req is not None and n_req > 1:
+        devs = jax.devices()
+        if len(devs) < n_req:
+            raise RuntimeError(
+                f"--nrank={n_req} requested but only {len(devs)} JAX "
+                f"device(s) visible (reference analog: mpirun -n vs "
+                f"world size). Set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_req} with "
+                f"JAX_PLATFORMS=cpu to oversubscribe for testing.")
+        import numpy as _np
+        from jax.sharding import Mesh
+        ctx.mesh = Mesh(_np.asarray(devs[:n_req]), ('domain',))
     if opts.notice_level >= 2:
         print(f"hoomd_tpu: JAX {jax.__version__} on "
               f"{len(jax.devices())} device(s): "

@@ -365,6 +365,8 @@ class System:
         mode_env = os.environ.get('HOOMD_TPU_FAST', 'auto')
         if mode_env == 'off':
             return None
+        if self._mesh() is not None:
+            return None     # multi-device runs use the sharded general engine
         if jax.default_backend() != 'tpu' and mode_env not in (
                 'on', 'interpret'):
             return None
@@ -774,6 +776,56 @@ class System:
             self._rebuild_program()
         if self._params_dirty or self._dyn is None:
             self._pack_dyn()
+        self._apply_sharding()
+
+    # -- multi-device sharding -------------------------------------------------
+    def _mesh(self):
+        from . import context
+        ctx = context.current
+        return getattr(ctx, 'mesh', None) if ctx is not None else None
+
+    def _apply_sharding(self):
+        """Lay the particle state over the context's device mesh.
+
+        The reference distributes by spatial DomainDecomposition + ghost
+        exchange hand-wired into every step
+        (hoomd/Communicator.cc:1300, md/IntegratorTwoStep.cc:96-161).
+        Here the SAME job-script engine runs multi-device: every (N,...)
+        array is sharded over the 'domain' mesh axis with NamedSharding
+        and XLA's SPMD partitioner inserts the collectives for the cell
+        build, force sums and thermostat reductions.  One code path,
+        any device count.  device_put on an already-correctly-sharded
+        array is a no-op, so calling this every run boundary is cheap.
+        """
+        mesh = self._mesh()
+        if mesh is None or self._program is None:
+            return
+        if self._program['kind'] != 'md' or self._program.get('fast'):
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        N = self.state.N
+        nshard = mesh.devices.size
+
+        def spec_for(leaf):
+            if (hasattr(leaf, 'ndim') and leaf.ndim >= 1
+                    and leaf.shape[0] == N and N % nshard == 0):
+                return NamedSharding(
+                    mesh, P('domain', *([None] * (leaf.ndim - 1))))
+            return NamedSharding(mesh, P())   # replicate small leaves
+
+        def put(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, spec_for(x)), tree)
+
+        self.state = put(self.state)
+        if self._nl_data is not None:
+            self._nl_data = put(self._nl_data)
+        if self._method_aux is not None:
+            self._method_aux = put(self._method_aux)
+        if self._mode_aux is not None:
+            self._mode_aux = put(self._mode_aux)
 
     def reset_nlist(self):
         """Force neighbor rebuild on next step (after sorts/snapshot

@@ -1,0 +1,149 @@
+"""Multi-device execution from the job-script API (VERDICT item 2).
+
+The reference runs any job script on N MPI ranks unchanged via
+DomainDecomposition + Communicator wired into every integrator step
+(hoomd/Communicator.cc:1300, md/IntegratorTwoStep.cc:96-161).  Here
+``context.initialize('--nrank=8')`` lays the SAME general engine over an
+8-device 'domain' mesh (GSPMD: NamedSharding on the particle axis, XLA
+inserts the collectives).  These tests check trajectory/energy parity vs
+the single-device run, with interacting cross-shard pairs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _build_lj(nrank):
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    args = '--notice-level=0' + (f' --nrank={nrank}' if nrank > 1 else '')
+    hoomd.context.initialize(args)
+    # spacing 1.2 << r_cut 2.5: every particle interacts across shard
+    # boundaries (the round-1 flaw of a zero-interacting-pair config)
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.2), n=8)
+    system = hoomd.context.current.system
+    N = system.state.N
+    rng = np.random.RandomState(5)
+    snap = system.take_snapshot()
+    v = rng.normal(0, 0.5, (N, 3))
+    v -= v.mean(axis=0)
+    snap.particles.velocity[:] = v
+    system.restore_snapshot(snap)
+    nl = md.nlist.cell(r_buff=0.4)
+    lj = md.pair.lj(r_cut=2.5, nlist=nl)
+    lj.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+    md.integrate.mode_standard(dt=0.002)
+    md.integrate.nvt(group=hoomd.group.all(), kT=1.0, tau=0.5)
+    return hoomd, system
+
+
+def _run_and_grab(system, steps):
+    system.run(steps, quiet=True)
+    snap = system.take_snapshot()
+    q = system.thermo_quantities()
+    return snap.particles.position.copy(), q
+
+
+def test_lj_sharded_parity_vs_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    _, sys1 = _build_lj(nrank=1)
+    pos1, q1 = _run_and_grab(sys1, 25)
+
+    _, sys8 = _build_lj(nrank=8)
+    pos8, q8 = _run_and_grab(sys8, 25)
+    # the state must actually be laid over all 8 devices
+    assert len(sys8.state.pos.sharding.device_set) == 8
+
+    # load-bearing: cross-shard pairs interact (pe strongly negative —
+    # a zeroed ghost-force bug would show pe == 0 here)
+    assert q8['potential_energy'] < -100.0
+    assert q8['potential_energy'] == pytest.approx(
+        q1['potential_energy'], rel=1e-4)
+    assert q8['temperature'] == pytest.approx(q1['temperature'], rel=1e-4)
+    # f32 reduction order differs across shardings; 25 steps of chaos
+    # growth from ~1e-7 noise stays well under 1e-3
+    np.testing.assert_allclose(pos8, pos1, atol=2e-3)
+
+
+def _build_kg(nrank):
+    """Small Kremer-Grest melt: FENE bonds + WCA pairs + angles —
+    bonded forces and multi-component force sums under sharding."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    args = '--notice-level=0' + (f' --nrank={nrank}' if nrank > 1 else '')
+    hoomd.context.initialize(args)
+    n_chains, chain_len = 16, 16
+    N = n_chains * chain_len            # 256 = 8 * 32
+    side = 4
+    box_L = max(side * 1.6, chain_len * 0.97 + 2.0)
+    snap = hoomd.data.make_snapshot(
+        N, hoomd.data.boxdim(L=box_L), particle_types=['A'],
+        bond_types=['polymer'], angle_types=['backbone'])
+    idx = 0
+    bonds, angles = [], []
+    for c in range(n_chains):
+        cx = (c % side) * 1.6 - box_L / 2 + 0.8
+        cy = (c // side) * 1.6 - box_L / 2 + 0.8
+        for m in range(chain_len):
+            z = (m - (chain_len - 1) / 2) * 0.97
+            snap.particles.position[idx] = [cx, cy, z]
+            if m > 0:
+                bonds.append([idx - 1, idx])
+            if m > 1:
+                angles.append([idx - 2, idx - 1, idx])
+            idx += 1
+    rng = np.random.RandomState(7)
+    v = rng.normal(0, 0.8, (N, 3))
+    v -= v.mean(axis=0)
+    snap.particles.velocity[:] = v
+    snap.bonds.resize(len(bonds)); snap.bonds.group[:] = bonds
+    snap.angles.resize(len(angles)); snap.angles.group[:] = angles
+    hoomd.init.read_snapshot(snap)
+    system = hoomd.context.current.system
+    nl = md.nlist.cell()
+    wca = md.pair.lj(r_cut=2 ** (1 / 6), nlist=nl)
+    wca.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+    wca.set_params(mode='shift')
+    fene = md.bond.fene()
+    fene.bond_coeff.set('polymer', k=30.0, r0=1.5, sigma=1.0, epsilon=1.0)
+    ang = md.angle.harmonic()
+    ang.angle_coeff.set('backbone', k=1.5, t0=np.pi)
+    md.integrate.mode_standard(dt=0.002)
+    md.integrate.nvt(group=hoomd.group.all(), kT=1.0, tau=0.5)
+    return hoomd, system
+
+
+def test_kg_polymer_sharded_parity_vs_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    _, sys1 = _build_kg(nrank=1)
+    pos1, q1 = _run_and_grab(sys1, 25)
+
+    _, sys8 = _build_kg(nrank=8)
+    pos8, q8 = _run_and_grab(sys8, 25)
+    assert len(sys8.state.pos.sharding.device_set) == 8
+
+    assert abs(q8['potential_energy']) > 1.0   # bonded terms live
+    assert q8['potential_energy'] == pytest.approx(
+        q1['potential_energy'], rel=1e-4)
+    np.testing.assert_allclose(pos8, pos1, atol=2e-3)
+
+
+def test_nrank_over_device_count_raises():
+    import hoomd_tpu as hoomd
+    with pytest.raises(RuntimeError, match='device'):
+        hoomd.context.initialize(
+            f'--notice-level=0 --nrank={len(jax.devices()) * 2}')
+
+
+def test_nx_ny_grid_flags():
+    """--nx/--ny multiply into the rank count like the reference's
+    DomainDecomposition grid flags (hoomd/option.py --nx/--ny/--nz)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import hoomd_tpu as hoomd
+    ctx = hoomd.context.initialize('--notice-level=0 --nx=2 --ny=4')
+    assert ctx.mesh is not None and ctx.mesh.devices.size == 8
