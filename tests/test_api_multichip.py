@@ -132,6 +132,47 @@ def test_kg_polymer_sharded_parity_vs_single_device():
     np.testing.assert_allclose(pos8, pos1, atol=2e-3)
 
 
+def test_pppm_sharded_madelung():
+    """Distributed PPPM (VERDICT item 8): the charge-spread -> FFT ->
+    Green's function -> iFFT -> gather pipeline runs on the sharded
+    state; XLA reshards jnp.fft.fftn across the 'domain' mesh (the
+    reference's dfftlib pencil FFT + CommunicatorGrid analog,
+    md/PPPMForceCompute.h:185-186).  Oracle: NaCl Madelung constant."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+    hoomd.context.initialize('--nrank=8 --notice-level=0')
+    n, a = 8, 1.0
+    L = n * a
+    N = n ** 3
+    snap = hoomd.data.make_snapshot(
+        N, hoomd.data.boxdim(L=L), particle_types=['A', 'B'])
+    idx = 0
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                snap.particles.position[idx] = [
+                    (i + 0.5) * a - L / 2, (j + 0.5) * a - L / 2,
+                    (k + 0.5) * a - L / 2]
+                s = 1.0 if (i + j + k) % 2 == 0 else -1.0
+                snap.particles.charge[idx] = s
+                snap.particles.typeid[idx] = 0 if s > 0 else 1
+                idx += 1
+    hoomd.init.read_snapshot(snap)
+    system = hoomd.context.current.system
+    nl = md.nlist.cell()
+    p = md.charge.pppm(group=hoomd.group.all(), nlist=nl)
+    p.set_params(Nx=32, Ny=32, Nz=32, order=5, rcut=3.0)
+    md.integrate.mode_standard(dt=0.0)
+    md.integrate.nve(group=hoomd.group.all())
+    hoomd.run(1, quiet=True)
+    pe = system.thermo_quantities()['potential_energy']
+    madelung = -1.747565
+    assert pe / N == pytest.approx(madelung / 2, rel=3e-3)
+    assert len(system.state.pos.sharding.device_set) == 8
+
+
 def test_nrank_over_device_count_raises():
     import hoomd_tpu as hoomd
     with pytest.raises(RuntimeError, match='device'):
