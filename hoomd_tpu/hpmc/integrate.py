@@ -324,6 +324,13 @@ class mode_hpmc:
         cell_adj = jnp.asarray(cells_ops.build_cell_adj(cell_dim))
         cell_cap = max(4, int(np.ceil(N / ncells * 3.0)) + 4,
                        system._grow.get('hpmc_cell_cap', 0))
+        # candidate compaction width: the 27-cell stencil yields
+        # 27*cell_cap lanes but only the few within the circumsphere
+        # reach w_min can interact — a distance top-k keeps the SAT /
+        # GJK tensor narrow (the reference's check_circumsphere_overlap
+        # prefilter, hpmc/ShapeConvexPolyhedron.h).  Grows on overflow
+        # like the neighbor list.
+        cand_cap = max(32, system._grow.get('hpmc_cand_cap', 0))
 
         # parity classes: host-side (8, max_class_size) table of cell ids
         nx, ny, nz = cell_dim
@@ -427,8 +434,22 @@ class mode_hpmc:
             adj_pad = jnp.concatenate(
                 [cell_adj, jnp.full((1, 27), ncells, jnp.int32)], axis=0)
             my_cell = jnp.where(has, active, ncells)
-            cand = cl_pad[adj_pad[my_cell]].reshape(csize, -1)
-            dr = box.min_image(x_new[:, None, :] - pos_pad[cand])
+            cand_w = cl_pad[adj_pad[my_cell]].reshape(csize, -1)
+            # circumsphere prefilter + top-k compaction: of the
+            # 27*cell_cap stencil lanes only those within w_min of the
+            # mover can interact (incl. depletant/patch reach — w_min
+            # was sized for them); keep the cand_cap nearest and flag
+            # overflow for the grow/retry protocol
+            dr_w = box.min_image(x_new[:, None, :] - pos_pad[cand_w])
+            rr_w = jnp.sum(dr_w * dr_w, axis=-1)
+            lane_w = (cand_w != i_sel[:, None]) & (cand_w < N)
+            rr_m = jnp.where(lane_w, rr_w, jnp.inf)
+            kc = min(cand_cap, cand_w.shape[1])
+            n_in = jnp.sum(rr_m <= w_min * w_min, axis=1)
+            cand_ovf = jnp.any(n_in > kc)
+            _, kidx = jax.lax.top_k(-rr_m, kc)
+            cand = jnp.take_along_axis(cand_w, kidx, axis=1)
+            dr = jnp.take_along_axis(dr_w, kidx[..., None], axis=1)
             tj = t_pad[cand]
             olap = overlap_fn(dr, ti[:, None], tj, state, i_sel, cand,
                               q_i=q_new, q_j=quat_pad[cand])
@@ -578,6 +599,7 @@ class mode_hpmc:
                 'rotate_reject': counters['rotate_reject']
                 + (n_try_r - n_acc_r),
                 'cell_overflow': counters['cell_overflow'] | cell_ovf,
+                'cand_overflow': counters['cand_overflow'] | cand_ovf,
                 'depletant_overflow':
                     counters['depletant_overflow'] | dep_ovf,
             }
@@ -604,6 +626,7 @@ class mode_hpmc:
             return {'translate_accept': z, 'translate_reject': z,
                     'rotate_accept': z, 'rotate_reject': z,
                     'cell_overflow': jnp.zeros((), bool),
+                    'cand_overflow': jnp.zeros((), bool),
                     'depletant_overflow': jnp.zeros((), bool)}
 
         import jax
@@ -611,6 +634,7 @@ class mode_hpmc:
                 'run_chunk_raw': run_chunk,
                 'init_counters': init_counters,
                 'cell_cap': cell_cap,
+                'cand_cap': cand_cap,
                 'dep_cap': M_dep}
 
     # -- python-visible state sync ------------------------------------------
@@ -702,11 +726,26 @@ def _hull_data(verts):
                 out.append(r)
         return np.array(out)
     normals = dedupe(normals)
-    edges = set()
-    for simplex in hull.simplices:
+    # true hull edges only: Qhull triangulates faces, so an "edge" shared
+    # by two COPLANAR triangles is a face-internal diagonal, not a real
+    # edge — including it multiplies the SAT cross-axis count (a cube
+    # would get 9 edge directions instead of 3, i.e. 81 cross axes
+    # instead of 9, and the (M,C,NE^2,3) tensor OOMs large systems)
+    edge_owners = {}
+    raw_normals = hull.equations[:, :3]
+    raw_normals = raw_normals / np.linalg.norm(raw_normals, axis=1,
+                                               keepdims=True)
+    for si, simplex in enumerate(hull.simplices):
         for a, b in ((0, 1), (1, 2), (2, 0)):
             e = tuple(sorted((simplex[a], simplex[b])))
-            edges.add(e)
+            edge_owners.setdefault(e, []).append(si)
+    edges = []
+    for e, owners in edge_owners.items():
+        if len(owners) == 2 and np.allclose(
+                raw_normals[owners[0]], raw_normals[owners[1]],
+                atol=1e-7):
+            continue                      # coplanar neighbors: diagonal
+        edges.append(e)
     evecs = np.array([v[b] - v[a] for a, b in edges])
     evecs = evecs / np.linalg.norm(evecs, axis=1, keepdims=True)
     evecs = dedupe(evecs)

@@ -1001,15 +1001,19 @@ class System:
                     state, counters = self._program['run_chunk'](
                         state0, self._hpmc_counters, chunk)
                     cell_ovf = bool(counters['cell_overflow'])
+                    cand_ovf = bool(counters.get('cand_overflow', False))
                     dep_ovf = bool(counters.get('depletant_overflow',
                                                 False))
-                    if not (cell_ovf or dep_ovf):
+                    if not (cell_ovf or cand_ovf or dep_ovf):
                         break
                     # grow the overflowed capacity and retry from the
                     # saved state (same protocol as the neighbor list)
                     if cell_ovf:
                         self._grow['hpmc_cell_cap'] = \
                             int(self._program['cell_cap'] * 1.5) + 4
+                    if cand_ovf:
+                        self._grow['hpmc_cand_cap'] = \
+                            int(self._program.get('cand_cap', 32) * 1.5) + 8
                     if dep_ovf:
                         self._grow['hpmc_dep_cap'] = \
                             int(self._program.get('dep_cap', 0) * 1.5) + 8
