@@ -19,15 +19,35 @@ def get_num_ranks():
 
 
 def get_partition():
+    """Partition index (reference comm.get_partition): replica-axis
+    slice when a ('replica','domain') mesh is active, else 0."""
+    from . import context
+    ctx = context.current
+    mesh = getattr(ctx, 'mesh', None) if ctx is not None else None
+    if mesh is not None and 'replica' in mesh.axis_names:
+        import jax
+        # single-controller: this process owns every replica; report the
+        # replica slice of the default device, matching the reference's
+        # per-rank view
+        dev = jax.devices()[0]
+        idx = list(mesh.devices.flatten()).index(dev) \
+            if dev in mesh.devices.flatten() else 0
+        return idx // mesh.shape.get('domain', 1)
     return 0
 
 
 def barrier():
-    pass
+    """Wait for all enqueued device work to complete — the
+    single-controller analog of MPI_Barrier (reference comm.barrier):
+    after this returns, every device has drained its execution queue."""
+    import jax
+    import jax.numpy as jnp
+    for d in jax.devices():
+        jax.device_put(jnp.zeros(()), d).block_until_ready()
 
 
 def barrier_all():
-    pass
+    barrier()
 
 
 class decomposition:

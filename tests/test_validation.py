@@ -15,12 +15,13 @@ import hoomd_tpu as hoomd
 from hoomd_tpu import hpmc, md
 
 
-@pytest.mark.slow
-def test_lj_nvt_johnson_eos():
+def _johnson_eos(n, melt_steps, equil_steps, n_samples):
+    """LJ NVT vs Johnson et al. 1993 EOS; returns (u_full, u_trunc, tail,
+    U_ref).  The reference gate is N=1000 / 0.3%
+    (hpmc/validation/lj_spheres.py:13-15,30)."""
     rho, Tstar, rcut = 0.6, 1.0, 3.0
     U_ref = -4.223
     a = (1.0 / rho) ** (1.0 / 3.0)
-    n = 8                                # 512 particles
     hoomd.context.initialize("--notice-level=0")
     hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=a), n=n)
     system = hoomd.context.current.system
@@ -42,14 +43,14 @@ def test_lj_nvt_johnson_eos():
     mode = md.integrate.mode_standard(dt=0.002)
     lan = md.integrate.langevin(group=hoomd.group.all(), kT=Tstar,
                                 seed=11)
-    hoomd.run(2000, quiet=True)          # melt + equilibrate
+    hoomd.run(melt_steps, quiet=True)    # melt + equilibrate
     lan.disable()
     mode.set_params(dt=0.005)
     md.integrate.nvt(group=hoomd.group.all(), kT=Tstar, tau=0.5)
-    hoomd.run(2000, quiet=True)
+    hoomd.run(equil_steps, quiet=True)
 
     samples = []
-    for _ in range(40):
+    for _ in range(n_samples):
         hoomd.run(50, quiet=True)
         q = system.thermo_quantities()
         samples.append(q['potential_energy'] / N)
@@ -57,10 +58,26 @@ def test_lj_nvt_johnson_eos():
     # tail: (8/3) pi rho [ (1/3) rc^-9 - rc^-3 ]
     tail = (8.0 / 3.0) * np.pi * rho * ((1.0 / 3.0) * rcut ** -9
                                         - rcut ** -3)
-    u_full = u_trunc + tail
-    # 512 particles, ~2k tau sampling: 1.5% band (the reference runs
-    # longer at N=1000 for its 0.3% band)
+    return u_trunc + tail, u_trunc, tail, U_ref
+
+
+@pytest.mark.slow
+def test_lj_nvt_johnson_eos():
+    # 512 particles, ~2k tau sampling: 1.5% band (CI-speed tier)
+    u_full, u_trunc, tail, U_ref = _johnson_eos(
+        n=8, melt_steps=2000, equil_steps=2000, n_samples=40)
     assert abs(u_full - U_ref) / abs(U_ref) < 0.015, \
+        (u_full, u_trunc, tail)
+
+
+@pytest.mark.validation
+def test_lj_nvt_johnson_eos_reference_grade():
+    """The reference's own gate: N=1000, 0.3% band
+    (hpmc/validation/lj_spheres.py:13-15,30) — bounds f32 accumulation
+    error at the reference tolerance.  Run with -m validation."""
+    u_full, u_trunc, tail, U_ref = _johnson_eos(
+        n=10, melt_steps=4000, equil_steps=6000, n_samples=160)
+    assert abs(u_full - U_ref) / abs(U_ref) < 0.003, \
         (u_full, u_trunc, tail)
 
 
