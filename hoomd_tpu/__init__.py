@@ -24,7 +24,8 @@ decomposition.  Job scripts written for the reference API
 from __future__ import annotations
 
 from . import (analyze, benchmark, cite, comm, compute, context, data, dump,
-               group, init, lattice, meta, option, update, util, variant)
+               ensemble, group, init, lattice, meta, option, update, util,
+               variant)
 from ._config import set_precision
 from .snapshot import Snapshot
 

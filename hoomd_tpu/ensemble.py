@@ -1,0 +1,233 @@
+"""Partition-parallel ensembles: many independent replicas in ONE program.
+
+The reference runs ensembles by splitting the MPI world into partitions
+(``mpirun -n 16 ... --nrank=2`` -> 8 independent simulations;
+hoomd/comm.py get_partition, hoomd/context.py partition setup, used by
+UpdaterMuVT Gibbs partitions).  Every partition executes the same
+script with per-partition parameters.
+
+The TPU-native redesign exploits that the general engine's step program
+is a pure function: ``replicas(n, vary=...)`` stacks the (state,
+neighbor-data, aux, dyn) pytrees along a leading replica axis, ``vmap``s
+one compiled ``run_chunk`` over it, and lays the batch over a 'replica'
+device mesh axis with NamedSharding — n independent simulations advance
+in a single XLA program, one replica per device (or device group), with
+zero cross-replica communication.  Per-replica RNG comes from the seeds
+riding ``dyn['mseeds']`` (system.py packs them as traced values for
+exactly this).
+
+Parameter sweeps (the dominant ensemble use: temperature ladders,
+pressure scans) vary any ``set_params``-settable method parameter or
+the method seed; each replica's dyn is packed by the same host code
+that packs a single run's, so variants/tables behave identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import context
+
+
+class replicas:
+    """n independent copies of the current job-script simulation.
+
+    Usage (after the usual init/force/integrator setup)::
+
+        ens = hoomd_tpu.ensemble.replicas(4, vary={'kT': [0.5, 1, 2, 4]})
+        ens.run(10000)
+        snap = ens.take_snapshot(2)
+        T = ens.thermo(2)['temperature']
+
+    ``vary`` maps a method parameter name to an n-sequence; it is applied
+    through the method's ``set_params`` (falling back to setattr) before
+    packing that replica's dyn.  Method seeds are automatically offset
+    per replica (seed + r) unless ``seeds`` (an n-sequence) is given.
+    """
+
+    def __init__(self, n, vary=None, seeds=None, system=None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.n = int(n)
+        sys_ = system or context.current.system
+        if sys_ is None:
+            raise RuntimeError("ensemble.replicas: no system — call "
+                               "init.* first")
+        self._system = sys_
+        sys_._ensure_ready()
+        prog = sys_._program
+        if prog['kind'] != 'md':
+            raise RuntimeError("ensemble.replicas supports the MD engine")
+        self._prog = prog
+        methods = prog['methods']
+        vary = dict(vary or {})
+        for k, v in vary.items():
+            if len(v) != self.n:
+                raise ValueError(f"vary[{k!r}] must have length {n}")
+        if seeds is not None and len(seeds) != self.n:
+            raise ValueError(f"seeds must have length {n}")
+
+        # pack each replica's dyn with the per-replica parameters applied
+        # on the host (same packing code as a single run — variants,
+        # per-type tables, group masks all behave identically)
+        saved = [dict(m.__dict__) for m in methods]
+        dyns = []
+        try:
+            for r in range(self.n):
+                for j, m in enumerate(methods):
+                    if 'seed' not in saved[j]:
+                        continue      # deterministic method (e.g. nve)
+                    m.seed = (int(seeds[r]) if seeds is not None
+                              else int(saved[j]['seed']) + r)
+                for k, v in vary.items():
+                    hit = False
+                    for m in methods:
+                        if hasattr(m, k):
+                            try:
+                                m.set_params(**{k: v[r]})
+                            except TypeError:
+                                setattr(m, k, v[r])
+                            hit = True
+                    if not hit:
+                        raise ValueError(
+                            f"vary[{k!r}]: no integration method has "
+                            f"that parameter")
+                sys_._pack_dyn()
+                dyns.append(sys_._dyn)
+        finally:
+            for m, s in zip(methods, saved):
+                m.__dict__.update(s)
+            sys_._pack_dyn()
+
+        stack = lambda *xs: jnp.stack(xs)
+        self._dyn = jax.tree_util.tree_map(stack, *dyns)
+
+        def bcast(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    jnp.asarray(x)[None], (self.n,) + jnp.shape(x)), tree)
+
+        state = bcast(sys_.state)
+        nls = bcast(sys_._nl_data)
+        auxs = bcast(sys_._method_aux)
+        mode_aux = bcast(sys_._mode_aux)
+
+        # replica-axis mesh: one device (group) per replica when the
+        # device count allows; otherwise replicate
+        devs = jax.devices()
+        R = 0
+        for cand in range(min(self.n, len(devs)), 0, -1):
+            if self.n % cand == 0:
+                R = cand
+                break
+        self._sharding = None
+        if R > 1:
+            from jax.sharding import Mesh
+            self._mesh = Mesh(np.asarray(devs[:R]), ('replica',))
+
+            def put(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, NamedSharding(
+                        self._mesh,
+                        P('replica', *([None] * (x.ndim - 1))))), tree)
+            self._sharding = put
+            state, nls, auxs, mode_aux, self._dyn = (
+                put(state), put(nls), put(auxs), put(mode_aux),
+                put(self._dyn))
+
+        self._vrun = jax.jit(
+            jax.vmap(prog['run_chunk_raw'], in_axes=(0, 0, 0, 0, 0, None)),
+            static_argnums=5)
+        vprep = jax.jit(jax.vmap(
+            lambda s, d, dy: prog['prep'](s, d, dy), in_axes=(0, 0, 0)))
+        state, nls = vprep(state, nls, self._dyn)
+        self._carry = (state, nls, auxs, mode_aux)
+
+    # -- state access ---------------------------------------------------------
+    @property
+    def state(self):
+        """The stacked (n, ...) state pytree."""
+        return self._carry[0]
+
+    def _replica_state(self, i):
+        import jax
+        return jax.tree_util.tree_map(lambda x: x[i], self._carry[0])
+
+    def take_snapshot(self, i):
+        """Snapshot of replica ``i`` (reference: per-partition
+        take_snapshot)."""
+        sys_ = self._system
+        saved = sys_.state
+        try:
+            sys_.state = self._replica_state(i)
+            return sys_.take_snapshot()
+        finally:
+            sys_.state = saved
+
+    def thermo(self, i):
+        """thermo_quantities() of replica ``i``."""
+        sys_ = self._system
+        saved = sys_.state
+        try:
+            sys_.state = self._replica_state(i)
+            return sys_.thermo_quantities()
+        finally:
+            sys_.state = saved
+
+    # -- run loop ---------------------------------------------------------------
+    def run(self, nsteps, chunk=1000):
+        """Advance every replica ``nsteps`` steps (one vmapped program;
+        the chunk/retry protocol mirrors System.run's capacity growth)."""
+        import jax
+        import jax.numpy as jnp
+        sys_ = self._system
+        nsteps = int(nsteps)
+        done = 0
+        while done < nsteps:
+            c = min(chunk, nsteps - done)
+            carry0 = self._carry
+            for _ in range(8):
+                state, nls, auxs, mode_aux = self._vrun(
+                    carry0[0], carry0[1], carry0[2], carry0[3],
+                    self._dyn, c)
+                # replica-reduced overflow view for the shared grow logic
+                red = jax.tree_util.tree_map(
+                    lambda x: (jnp.any(x, axis=0)
+                               if x.dtype == jnp.bool_ else x[0]), nls)
+                if not sys_._check_overflow(red):
+                    break
+                # capacities grew: rebuild this ensemble's stacked nls at
+                # the new width and retry the chunk from the saved carry
+                self._rebuild_after_growth()
+                carry0 = (carry0[0], self._fresh_nls(), carry0[2],
+                          carry0[3])
+            else:
+                raise RuntimeError("ensemble: neighbor capacity still "
+                                   "overflowing after repeated growth")
+            self._carry = (state, nls, auxs, mode_aux)
+            done += c
+
+    def _fresh_nls(self):
+        import jax
+        import jax.numpy as jnp
+        from .ops.neighbor import fresh_neighbor_list
+        sys_ = self._system
+        dtype = sys_.real_dtype
+        nls = tuple(
+            fresh_neighbor_list(sys_.state.N, cfg.max_neigh, dtype)
+            for cfg in sys_._program['nl_cfgs'])
+        nls = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (self.n,) + x.shape), nls)
+        return self._sharding(nls) if self._sharding else nls
+
+    def _rebuild_after_growth(self):
+        """_check_overflow already rebuilt the system program; re-derive
+        the vmapped runner against the new static capacities."""
+        import jax
+        prog = self._system._program
+        self._prog = prog
+        self._vrun = jax.jit(
+            jax.vmap(prog['run_chunk_raw'], in_axes=(0, 0, 0, 0, 0, None)),
+            static_argnums=5)

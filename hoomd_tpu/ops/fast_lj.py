@@ -111,14 +111,25 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         method_seed, dtype, interpret=False,
                         impl='xla', eval_name='lj',
                         pnames=('lj1', 'lj2', 'rcut'), ntypes=1,
-                        k_rebuild=8, rebin_impl='sort', rebin_E=16):
+                        k_rebuild=8, rebin_impl='sort', rebin_E=16,
+                        bonded_cfg=()):
     """Returns (to_fast, run_chunk, to_state_fields).
 
     dyn layout: {'pv': [rc2, e_shift, *pnames] evaluator params, 'lj':
                  legacy (4,) LJ vector for the lj-only impls, 'dt': (),
-                 'kT': packed variant, 'tau': (), 'gamma': ()}.  Any
+                 'kT': packed variant, 'tau': (), 'gamma': (),
+                 'bonded': tuple of per-group param dicts}.  Any
     single-type, charge/diameter-free evaluator from ops/pair_eval runs
     through the same planar stencil kernel ('planar'/'xla' impls).
+
+    bonded_cfg: tuple of {'energy_fn', 'groups' (Mb, arity) tag table} —
+    fixed-topology forces (bonds/angles/dihedrals + nlist-exclusion pair
+    corrections) evaluated in TAG space around the cell-pair kernel: one
+    tag-keyed scatter of positions, segment autodiff over groups
+    (ops/bonded.py), one gather back to cell slots.  Tags are the stable
+    identity across rebuilds, so topology needs no slot updates — the
+    cell-major analog of the reference's BondedGroupData tag addressing
+    (hoomd/BondedGroupData.h).
     """
     idt = int_dtype()
     nc = int(np.prod(cell_dim))
@@ -304,6 +315,43 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                                           if ntypes > 1 else None))
         return out if want_pv else out[0]
 
+    have_bonded = len(bonded_cfg) > 0
+    if have_bonded:
+        from .bonded import bonded_force
+        bond_groups = tuple(jnp.asarray(cfg['groups'], idt)
+                            for cfg in bonded_cfg)
+
+    def _bonded_terms(pos_cells, tag_cells, dyn, want_pv):
+        """Fixed-topology force terms in tag space (see build docstring).
+
+        Returns cell-layout (frc, pe, vir) additions; pe/vir are None
+        when want_pv is False (hot loop).  pos_cells may be unwrapped
+        (between rebuilds); box.min_image inside bonded_force absorbs
+        the skin-bounded excursion."""
+        tag_flat = tag_cells.reshape(M)
+        sel = jnp.where(tag_flat >= 0, tag_flat, N)
+        pos_tag = jnp.full((N + 1, 3), PAD_COORD, dtype).at[sel].set(
+            pos_cells.reshape(M, 3))
+        f_tag = jnp.zeros((N, 3), dtype)
+        pe_tag = jnp.zeros((N,), dtype)
+        vir_tag = jnp.zeros((N, 6), dtype)
+        for i, cfg in enumerate(bonded_cfg):
+            fb, peb, virb = bonded_force(
+                pos_tag[:N], box, bond_groups[i], dyn['bonded'][i],
+                cfg['energy_fn'])
+            f_tag = f_tag + fb
+            if want_pv:
+                pe_tag = pe_tag + peb
+                vir_tag = vir_tag + virb
+
+        def back(a):
+            pad = jnp.concatenate(
+                [a, jnp.zeros((1,) + a.shape[1:], dtype)])
+            return pad[sel].reshape((nc, C) + a.shape[1:])
+        if want_pv:
+            return back(f_tag), back(pe_tag), back(vir_tag)
+        return back(f_tag), None, None
+
     def one_step(c: FastCarry, dyn):
         dt = dyn['dt']
         valid = (c.tag >= 0)[..., None]
@@ -358,6 +406,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         # computed in the hot loop — refresh_forces fills them at chunk
         # boundaries before any observer reads them
         frc = _forces(pos, typ, dyn, want_pv=False)
+        if have_bonded:
+            fb, _, _ = _bonded_terms(pos, tag, dyn, want_pv=False)
+            frc = frc + fb
         frc = jnp.where(valid, frc, 0.0)
 
         # ---- step 2 (kick; thermostat post-scale / langevin bath)
@@ -403,12 +454,14 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # displacement reductions outweigh the saved XLA passes), so it is
     # opt-in until the lean leapfrog-storage variant lands.
     import os as _os
-    use_fused = (impl == 'plane' and ntypes == 1
+    use_fused = (impl == 'plane' and ntypes == 1 and not have_bonded
                  and method_kind in ('nve', 'nvt')
                  and _os.environ.get('HOOMD_TPU_FUSED') == 'on')
     # window-resident mega kernel: k full VV steps in one pallas_call,
-    # state VMEM-resident throughout (default hot path on TPU)
-    use_mega = (impl == 'plane' and ntypes == 1
+    # state VMEM-resident throughout (default hot path on TPU); bonded
+    # terms need the tag scatter between force and kick, so they ride
+    # the per-step one_step path instead
+    use_mega = (impl == 'plane' and ntypes == 1 and not have_bonded
                 and method_kind in ('nve', 'nvt')
                 and _os.environ.get('HOOMD_TPU_MEGA', 'on') != 'off')
 
@@ -667,6 +720,10 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     @jax.jit
     def refresh_forces(carry, dyn):
         frc, pe, vir = _forces(carry.pos, carry.typ, dyn)
+        if have_bonded:
+            fb, peb, virb = _bonded_terms(carry.pos, carry.tag, dyn,
+                                          want_pv=True)
+            frc, pe, vir = frc + fb, pe + peb, vir + virb
         valid = (carry.tag >= 0)[..., None]
         return carry.replace(frc=jnp.where(valid, frc, 0.0), pe=pe,
                              vir=vir)

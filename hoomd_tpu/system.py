@@ -261,8 +261,11 @@ class System:
             dt = (mode._resolve_dt(dyn, mode_aux) if has_mode_hooks
                   else dyn['dt'])
             auxs = list(auxs)
+            # seeds ride dyn (not the trace) so ensemble.replicas can
+            # vmap one compiled program over per-replica seeds
+            mseeds = dyn.get('mseeds', method_seeds)
             for i, m in enumerate(methods):
-                key = rng.step_key(method_seeds[i], state.timestep, salt=i)
+                key = rng.step_key(mseeds[i], state.timestep, salt=i)
                 state, auxs[i] = m._step1(state, auxs[i],
                                           dyn['methods'][i], dt, key)
             for cls, cp in zip(comp_classes, comp_params):
@@ -274,7 +277,7 @@ class System:
             if has_mode_hooks:
                 state, mode_aux = mode._post_force(state, mode_aux)
             for i, m in enumerate(methods):
-                key = rng.step_key(method_seeds[i], state.timestep,
+                key = rng.step_key(mseeds[i], state.timestep,
                                    salt=4096 + i)
                 state, auxs[i] = m._step2(state, auxs[i],
                                           dyn['methods'][i], dt, key)
@@ -347,6 +350,10 @@ class System:
                                                                 ())),
             'methods': tuple(m._pack_params(self) for m in p.get('methods',
                                                                  ())),
+            # per-method RNG seeds as traced values: ensemble.replicas
+            # vmaps over these to give each replica its own noise stream
+            'mseeds': tuple(jnp.asarray(getattr(m, 'seed', 0), jnp.uint32)
+                            for m in p.get('methods', ())),
         }
         if p.get('fast'):
             self._dyn['fast'] = self._fast_dyn()
@@ -372,11 +379,24 @@ class System:
             return None
         interpret = (mode_env == 'interpret'
                      and jax.default_backend() != 'tpu')
-        if (len(forces) != 1 or len(methods) != 1 or aniso
+        # bonded (fixed-topology) forces ride the fast engine as
+        # tag-space terms around the cell-pair kernel (fast_lj
+        # bonded_cfg); any count of them is allowed beside ONE pair
+        # force (reference analog: IntegratorTwoStep sums ForceComputes,
+        # md/IntegratorTwoStep.cc)
+        from .md._bonded import BondedForce
+        bonded_objs = [g for g in forces if isinstance(g, BondedForce)]
+        pair_list = [g for g in forces if g not in bonded_objs]
+        if (len(pair_list) != 1 or len(methods) != 1 or aniso
                 or has_mode_hooks or composites
                 or len(self.particle_types) > 4):
             return None
-        f = forces[0]
+        for g in bonded_objs:
+            if getattr(g, '_needs_charge', False):
+                return None          # coulomb special pairs: general path
+            if type(g)._energy_fn is None:
+                return None          # table bonded: custom-JVP compute
+        f = pair_list[0]
         # any single-type, charge/diameter-free pair evaluator rides the
         # planar stencil kernel; the math is injected from ops/pair_eval
         FAST_EVALS = ('lj', 'gauss', 'yukawa', 'morse', 'mie',
@@ -389,9 +409,24 @@ class System:
         if f.mode not in ('none', 'shift'):
             return None
         nl = f._nlist
-        if nl is None or nl._cfg is None or nl._cfg.excl_tags is not None \
-                or nl._cfg.diameter_shift:
+        if nl is None or nl._cfg is None or nl._cfg.diameter_shift:
             return None
+        # neighbor-list exclusions (bonded pairs removed from the pair
+        # sum, reference md/NeighborList.h exclusion machinery): the
+        # stencil kernel has no per-pair filtering, so the fast path
+        # computes the FULL pair sum and SUBTRACTS each excluded pair's
+        # contribution as one more tag-space fixed-topology term —
+        # algebraically identical, and the exclusion list is tiny
+        # compared to the pair sum
+        excl_pairs = None
+        if nl._cfg.excl_tags is not None:
+            et = np.asarray(nl._cfg.excl_tags)
+            t_idx = np.repeat(np.arange(et.shape[0]), et.shape[1])
+            u = et.reshape(-1)
+            keep = (u < et.shape[0]) & (t_idx < u)
+            if keep.any():
+                excl_pairs = np.stack([t_idx[keep], u[keep]],
+                                      axis=1).astype(np.int32)
         snap = self.snapshot_template
         if (snap.particles.body >= 0).any():
             return None
@@ -506,25 +541,51 @@ class System:
         # than E=16); the rebin_ovf retry widens it to 16 once before
         # falling back to the sort
         rebin_E = int(self._grow.get('fast_rebin_E', 8))
+        # tag-space fixed-topology terms: user bonded forces, then the
+        # exclusion-pair correction (subtracts the pair evaluator on
+        # excluded pairs, matching the kernel's shift mode exactly)
+        bonded_cfg = []
+        for g in bonded_objs:
+            data = g._topology_data(self)
+            bonded_cfg.append({'energy_fn': type(g)._energy_fn,
+                               'groups': np.asarray(data.group)})
+        if excl_pairs is not None:
+            evaluator = f._evaluator
+            shifted = (f.mode == 'shift')
+            import jax.numpy as _jnpx
+
+            def _excl_energy(disps, p, _ev=evaluator, _sh=shifted):
+                d = disps[0]
+                r2 = _jnpx.sum(d * d)
+                _, V = _ev.energy_force(r2, p)
+                if _sh:
+                    V = V - p['e_shift']
+                return -_jnpx.where(r2 < p['rcut2'], V, 0.0)
+            bonded_cfg.append({'energy_fn': _excl_energy,
+                               'groups': excl_pairs})
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
             method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
             interpret=interpret, impl=impl, eval_name=eval_name,
             pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
-            rebin_impl=rebin_impl, rebin_E=rebin_E)
+            rebin_impl=rebin_impl, rebin_E=rebin_E,
+            bonded_cfg=tuple(bonded_cfg))
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
                 'eval_name': eval_name, 'pnames': pnames,
                 'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin,
-                'rebin_impl': rebin_impl, 'rebin_E': rebin_E}
+                'rebin_impl': rebin_impl, 'rebin_E': rebin_E,
+                'pair_force': f, 'bonded_forces': list(bonded_objs),
+                'excl_pairs': excl_pairs}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
         fast = self._program['fast']
-        f = self._program['forces'][0]
-        fp = self._dyn['forces'][0]
+        f = fast.get('pair_force') or self._program['forces'][0]
+        fi = self._program['forces'].index(f)
+        fp = self._dyn['forces'][fi]
         pnames = fast['pnames']
         T = fast.get('ntypes', 1)
         if T == 1:
@@ -566,6 +627,30 @@ class System:
         gam = mp.get('gamma')
         out['gamma'] = (gam[0] if gam is not None
                         else jnp.ones((), self.real_dtype))
+        # tag-space fixed-topology params, aligned with the build's
+        # bonded_cfg order: user bonded forces first, then the
+        # exclusion-pair correction (per-pair evaluator params gathered
+        # by the STATIC endpoint typeids)
+        bd = []
+        for g in fast.get('bonded_forces', ()):
+            gi = self._program['forces'].index(g)
+            bd.append(self._dyn['forces'][gi])
+        ep = fast.get('excl_pairs')
+        if ep is not None:
+            tids = np.asarray(self.snapshot_template.particles.typeid)
+            ti = tids[ep[:, 0]]
+            tj = tids[ep[:, 1]]
+            p = {k: fp['tables'][k][ti, tj] for k in fp['tables']}
+            rc_e = fp['rcut'][ti, tj]
+            p['rcut2'] = rc_e * rc_e
+            if f.mode == 'shift':
+                _, es = f._evaluator.energy_force(rc_e * rc_e, p)
+            else:
+                es = jnp.zeros_like(rc_e)
+            p['e_shift'] = es
+            bd.append(p)
+        if bd:
+            out['bonded'] = tuple(bd)
         return out
 
     def _run_fast_chunk(self, chunk):
@@ -800,8 +885,15 @@ class System:
         mesh = self._mesh()
         if mesh is None or self._program is None:
             return
-        if self._program['kind'] != 'md' or self._program.get('fast'):
+        if self._program.get('fast'):
             return
+        if self._program['kind'] not in ('md', 'hpmc'):
+            return
+        # hpmc rides the same path: the checkerboard sweep is dense and
+        # data-parallel over particles/cells, so sharding the state
+        # arrays partitions the trial-move/overlap work the way the
+        # reference's cell-set scheme shards over spatial domains
+        # (hpmc/IntegratorHPMCMonoGPU.cuh:124-160)
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 

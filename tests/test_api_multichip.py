@@ -173,6 +173,45 @@ def test_pppm_sharded_madelung():
     assert len(system.state.pos.sharding.device_set) == 8
 
 
+def _build_hpmc(nrank, seed=11):
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    args = '--notice-level=0' + (f' --nrank={nrank}' if nrank > 1 else '')
+    hoomd.context.initialize(args)
+    # a=1.05 at sigma=1: dense enough that overlap rejections do real
+    # work (load-bearing acceptance < 1)
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.05), n=8)
+    mc = hpmc.integrate.sphere(seed=seed, d=0.06, nselect=2)
+    mc.shape_param.set('A', diameter=1.0)
+    return hoomd, hoomd.context.current.system, mc
+
+
+def test_hpmc_sharded_parity_vs_single_device():
+    """Multi-chip HPMC (VERDICT missing #8): the checkerboard sweep is
+    dense and data-parallel, so the state shards over the 'domain' mesh
+    exactly like MD — the cell-set scheme the reference shards over
+    spatial domains (hpmc/IntegratorHPMCMonoGPU.cuh:124-160).  The
+    counter RNG keys on (seed, timestep), so single- and multi-device
+    runs must produce the SAME Markov chain."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    hoomd1, sys1, mc1 = _build_hpmc(nrank=1)
+    hoomd1.run(12, quiet=True)
+    pos1 = sys1.take_snapshot().particles.position.copy()
+    acc1 = mc1.get_translate_acceptance()
+
+    hoomd8, sys8, mc8 = _build_hpmc(nrank=8)
+    hoomd8.run(12, quiet=True)
+    assert len(sys8.state.pos.sharding.device_set) == 8
+    pos8 = sys8.take_snapshot().particles.position.copy()
+    acc8 = mc8.get_translate_acceptance()
+
+    # load-bearing: moves were both accepted and rejected
+    assert 0.05 < acc1 < 0.95
+    assert acc8 == pytest.approx(acc1, abs=1e-12)
+    np.testing.assert_allclose(pos8, pos1, atol=1e-6)
+
+
 def test_nrank_over_device_count_raises():
     import hoomd_tpu as hoomd
     with pytest.raises(RuntimeError, match='device'):

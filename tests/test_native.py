@@ -41,7 +41,7 @@ def test_hilbert_is_permutation_complete():
 
 def test_async_writer_roundtrip(tmp_path):
     from hoomd_tpu.native import AsyncWriter
-    from hoomd_tpu.io.frames import MAGIC
+    from hoomd_tpu.io.frames import HTPF_MAGIC as MAGIC
     w = AsyncWriter(MAGIC)
     f = str(tmp_path / "x.bin")
     blobs = [bytes([i]) * (100 + i) for i in range(20)]
