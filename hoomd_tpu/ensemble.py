@@ -114,24 +114,42 @@ class replicas:
         auxs = bcast(sys_._method_aux)
         mode_aux = bcast(sys_._mode_aux)
 
-        # replica-axis mesh: one device (group) per replica when the
-        # device count allows; otherwise replicate
+        # two-level device hierarchy (the reference DomainDecomposition's
+        # node-local sub-grids, hoomd/DomainDecomposition.h:49-175, mapped
+        # to TPU topology): replicas over the OUTER 'replica' axis (no
+        # cross-replica communication — this axis can ride DCN across
+        # slices), each replica's particles over the INNER 'domain' axis
+        # (ghost/force collectives stay on ICI).  With fewer devices than
+        # replicas, device groups serve several replicas; with more, the
+        # spare factor becomes the domain axis.
         devs = jax.devices()
         R = 0
         for cand in range(min(self.n, len(devs)), 0, -1):
             if self.n % cand == 0:
                 R = cand
                 break
+        D = 1
+        N = int(sys_.state.N)
+        if R >= 1 and len(devs) // R > 1:
+            D = len(devs) // R
+            while D > 1 and N % D != 0:
+                D -= 1
         self._sharding = None
-        if R > 1:
+        if R > 1 or D > 1:
             from jax.sharding import Mesh
-            self._mesh = Mesh(np.asarray(devs[:R]), ('replica',))
+            self._mesh = Mesh(np.asarray(devs[:R * D]).reshape(R, D),
+                              ('replica', 'domain'))
+
+            def spec_for(x):
+                if x.ndim >= 2 and x.shape[1] == N and N % D == 0:
+                    return P('replica', 'domain',
+                             *([None] * (x.ndim - 2)))
+                return P('replica', *([None] * (x.ndim - 1)))
 
             def put(tree):
                 return jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, NamedSharding(
-                        self._mesh,
-                        P('replica', *([None] * (x.ndim - 1))))), tree)
+                    lambda x: jax.device_put(
+                        x, NamedSharding(self._mesh, spec_for(x))), tree)
             self._sharding = put
             state, nls, auxs, mode_aux, self._dyn = (
                 put(state), put(nls), put(auxs), put(mode_aux),

@@ -45,9 +45,32 @@ def test_replicas_sharded_over_devices():
     import hoomd_tpu as hoomd
     _, system = _build_lj_langevin()
     ens = hoomd.ensemble.replicas(4, vary={'kT': [0.5, 1.0, 1.5, 2.0]})
-    assert len(ens.state.pos.sharding.device_set) == 4
+    # 4 replicas on >= 4 devices: every device carries work (8 devices
+    # -> R=4 x D=2 two-level layout)
+    ndev = min(len(jax.devices()), 8)
+    assert len(ens.state.pos.sharding.device_set) == ndev
     ens.run(50)
-    assert len(ens.state.pos.sharding.device_set) == 4
+    assert len(ens.state.pos.sharding.device_set) == ndev
+
+
+def test_replicas_two_level_hierarchy():
+    """2 replicas x 4 domain shards on 8 devices: the two-level
+    ('replica','domain') mesh (reference DomainDecomposition node-local
+    sub-grids, DomainDecomposition.h:49-175) — replicas stay independent
+    while each replica's particle arrays shard over its device group."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import hoomd_tpu as hoomd
+    _, system = _build_lj_langevin()
+    assert system.state.N % 4 == 0
+    ens = hoomd.ensemble.replicas(2, vary={'kT': [0.5, 2.0]})
+    assert ens._mesh.shape == {'replica': 2, 'domain': 4}
+    assert len(ens.state.pos.sharding.device_set) == 8
+    ens.run(600)
+    T0 = ens.thermo(0)['temperature']
+    T1 = ens.thermo(1)['temperature']
+    assert T0 < T1                  # independent thermostats
+    assert np.isfinite(ens.thermo(0)['potential_energy'])
 
 
 def test_replica_matches_single_run():
