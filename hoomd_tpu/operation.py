@@ -51,40 +51,81 @@ class Force:
         return _current_system().force_energy(self, group)
 
 
-class Analyzer:
+class _Periodic:
+    """Period/phase firing schedule shared by Analyzer/Updater.
+
+    ``period`` may be a callable n -> step offset — the reference's
+    variable-period specification (System.h:210-232 shouldExecute,
+    sphinx-doc/varperiod.rst): the creation step is recorded, n starts
+    at 1, and after each fire the next execute step becomes
+    ``created + period(n)`` (clamped forward), n += 1.  The creation
+    step is captured at the first due-check (ops are created between
+    runs, so this equals the reference's creation-time capture)."""
+
+    def _init_period(self, period, phase):
+        self.phase = int(phase)
+        self.enabled = True
+        if callable(period):
+            self.period = period
+            self._vp_n = 1
+            self._vp_created = None
+            self._vp_next = None
+        else:
+            self.period = int(period) if period else None
+
+    def _due(self, ts):
+        """True when this op fires at ``ts`` (advances variable-period
+        state, like the reference's shouldExecute)."""
+        if not self.enabled or self.period is None:
+            return False
+        if callable(self.period):
+            if self._vp_created is None:
+                self._vp_created = ts
+                self._vp_next = ts
+            if ts == self._vp_next:
+                nxt = int(self.period(self._vp_n)) + self._vp_created
+                if nxt <= ts:
+                    nxt = ts + 1      # reference clamps forward
+                self._vp_next = nxt
+                self._vp_n += 1
+                return True
+            return False
+        return (ts - self.phase) % self.period == 0
+
+    def _next_stop(self, ts):
+        """First step > ts at which this op must fire (chunk boundary);
+        None when it never fires."""
+        if not self.enabled or self.period is None:
+            return None
+        if callable(self.period):
+            return self._vp_next if self._vp_next is not None else ts + 1
+        return ts + self.period - ((ts - self.phase) % self.period)
+
+    def disable(self):
+        self.enabled = False
+
+    def enable(self):
+        self.enabled = True
+
+
+class Analyzer(_Periodic):
     """Periodic host-side observer (reference Analyzer.h)."""
 
     def __init__(self, period, phase=0):
-        self.period = int(period) if period else None
-        self.phase = int(phase)
-        self.enabled = True
+        self._init_period(period, phase)
 
     def analyze(self, system, timestep):  # pragma: no cover - interface
         raise NotImplementedError
 
-    def disable(self):
-        self.enabled = False
 
-    def enable(self):
-        self.enabled = True
-
-
-class Updater:
+class Updater(_Periodic):
     """Periodic host-side state mutator (reference Updater.h)."""
 
     def __init__(self, period, phase=0):
-        self.period = int(period) if period else None
-        self.phase = int(phase)
-        self.enabled = True
+        self._init_period(period, phase)
 
     def update(self, system, timestep):  # pragma: no cover - interface
         raise NotImplementedError
-
-    def disable(self):
-        self.enabled = False
-
-    def enable(self):
-        self.enabled = True
 
 
 class IntegrationMethod:

@@ -1029,8 +1029,7 @@ class System:
             for op in self.analyzers + self.updaters:
                 if skip_sorter and isinstance(op, _sort_cls):
                     continue
-                if op.enabled and op.period and \
-                        (cur - op.phase) % op.period == 0:
+                if op._due(cur):
                     t_op = time.perf_counter()
                     self._fire(op, cur)
                     if prof is not None:
@@ -1051,8 +1050,8 @@ class System:
             for op in self.analyzers + self.updaters:
                 if skip_sorter and isinstance(op, _sort_cls):
                     continue
-                if op.enabled and op.period:
-                    nxt = cur + op.period - ((cur - op.phase) % op.period)
+                nxt = op._next_stop(cur)
+                if nxt is not None:
                     stops.append(nxt)
             if callback is not None and callback_period:
                 stops.append(cur + callback_period

@@ -159,3 +159,32 @@ def test_getar_zip_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(snap1.particles.position),
         np.asarray(snap0.particles.position), atol=2e-2)
+
+
+def test_variable_period_callback():
+    """Variable-period specification (reference System.h:210-232
+    shouldExecute + sphinx-doc/varperiod.rst): period=lambda n: 10**n
+    fires at creation, then at created + 10, 100, 1000, ..."""
+    hoomd_mod = small_md()
+    fired = []
+    hoomd_mod.analyze.callback(lambda ts: fired.append(ts),
+                               period=lambda n: 10 ** n)
+    hoomd_mod.run(250, quiet=True)
+    assert fired == [0, 10, 100]
+
+    # a second run continues the same schedule (next fire at 1000)
+    hoomd_mod.run(800, quiet=True)
+    assert fired == [0, 10, 100, 1000]
+
+
+def test_variable_period_offset_start():
+    """Created mid-run history: offsets are relative to the creation
+    step, matching the reference's m_created_tstep bookkeeping."""
+    hoomd_mod = small_md()
+    hoomd_mod.run(25, quiet=True)
+    fired = []
+    hoomd_mod.analyze.callback(lambda ts: fired.append(ts),
+                               period=lambda n: n * n)
+    hoomd_mod.run(20, quiet=True)
+    # created at 25: fires at 25, then 25+1, 25+4, 25+9, 25+16
+    assert fired == [25, 26, 29, 34, 41]
