@@ -166,7 +166,18 @@ class mode_hpmc:
             self.move_ratio = float(move_ratio)
         if nselect is not None:
             self.nselect = int(nselect)
-        self._dirty()
+            self._dirty()           # n_sub is a static loop count
+            return
+        # move sizes / ratio ride hdyn (traced), so tuners adjust them
+        # recompile-free — UNLESS a d grew past the stencil width the
+        # program was built for (w_min is a capacity; see _build_program)
+        built = getattr(self, '_built_d', None)
+        if built is None:
+            self._dirty()
+            return
+        if d is not None and any(
+                self.get_d(t) > built.get(t, 0.0) for t in built):
+            self._dirty()
 
     def get_d(self, type_name=None):
         return self.d_by_type.get(type_name, self._default_d)
@@ -350,14 +361,30 @@ class mode_hpmc:
         for k, c in enumerate(classes):
             class_table[k, :len(c)] = c
         class_table = jnp.asarray(class_table)
-        d_by_type = jnp.asarray(d_arr, dtype=dtype)
         overlap_fn = self._make_checked_overlap_fn(system)
         has_rotation = self._has_rotation()
         trial_rotation = (self._make_trial_rotation(system, dtype)
                           if has_rotation else None)
         n_sub = 8 * self.nselect
-        seed = self.seed
         dims = state.box.dimensions
+        # move parameters + seed ride a small traced dict (hdyn) packed
+        # at every chunk boundary: tuners (hpmc.util.tune) and
+        # set_params(d=..., a=...) adjust moves WITHOUT a recompile, and
+        # ensemble replicas can vmap over per-replica values.  The cell
+        # stencil width w_min is a build-time CAPACITY sized from the
+        # d at build; growing any d past it triggers a program rebuild
+        # (mode_hpmc._set_move_params), shrinking is free — the same
+        # split as the reference's cell-width vs nominal-width handling.
+        types_t = tuple(types)
+
+        def pack_hdyn():
+            d_now = np.array([self.get_d(t) for t in types_t])
+            a_now = np.array([self.get_a(t) for t in types_t])
+            return {'seed': jnp.asarray(self.seed, jnp.uint32),
+                    'd': jnp.asarray(d_now, dtype),
+                    'a': jnp.asarray(a_now, dtype),
+                    'mr': jnp.asarray(self.move_ratio, dtype),
+                    'nR': jnp.asarray(float(self.nR), dtype)}
 
         if implicit_on:
             # per-type depletant sampling radius (covers the exclusion
@@ -372,11 +399,10 @@ class mode_hpmc:
             M_dep = max(M_dep, system._grow.get('hpmc_dep_cap', 0))
             R_samp = jnp.asarray(R_samp_np, dtype)
             vol_samp = jnp.asarray(vol_np, dtype)
-            nR = float(self.nR)
         else:
             M_dep = 0
 
-        def sub_sweep(state, counters, sweep_idx, class_idx):
+        def sub_sweep(state, counters, sweep_idx, class_idx, hdyn):
             box = state.box
             cid, cell_list, cell_ovf = cells_ops.bin_particles(
                 state.pos, box, cell_dim, cell_cap)
@@ -388,7 +414,7 @@ class mode_hpmc:
 
             active = class_table[class_idx]            # (csize,) cell ids
             acount = counts_pad[active]                # occupancy
-            key = step_key(seed, state.timestep, salt=17)
+            key = step_key(hdyn['seed'], state.timestep, salt=17)
             key = jax.random.fold_in(key, sweep_idx)
             k_sel, k_move, k_aux = jax.random.split(key, 3)
             u_sel = jax.random.uniform(k_sel, (csize,), dtype=dtype)
@@ -416,10 +442,11 @@ class mode_hpmc:
                 ** (1.0 / dims)
             g = g / jnp.maximum(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
-            delta = g * (rad * d_by_type[ti])[:, None]
+            delta = g * (rad * hdyn['d'][ti])[:, None]
             if has_rotation:
                 k_rot = jax.random.fold_in(k_move, 3)
-                q_rot, do_rot = trial_rotation(k_rot, q_old, ti, None)
+                q_rot, do_rot = trial_rotation(k_rot, q_old, ti, None,
+                                               hdyn)
                 delta = jnp.where(do_rot[:, None], 0.0, delta)
                 q_new = jnp.where(do_rot[:, None], q_rot, q_old)
             else:
@@ -474,7 +501,7 @@ class mode_hpmc:
                 # exact by Poisson thinning.
                 kd = jax.random.fold_in(k_aux, 7)
                 Rs = R_samp[ti]                           # (csize,)
-                lam = nR * vol_samp[ti]
+                lam = hdyn['nR'] * vol_samp[ti]
                 ndep = jax.random.poisson(
                     jax.random.fold_in(kd, 0), lam)       # (csize,)
                 dep_ovf = jnp.any(ndep > M_dep)
@@ -605,20 +632,20 @@ class mode_hpmc:
             }
             return state.replace(pos=new_pos, orientation=new_q), counters
 
-        def one_sweep(state, counters):
-            key = step_key(seed, state.timestep, salt=23)
+        def one_sweep(state, counters, hdyn):
+            key = step_key(hdyn['seed'], state.timestep, salt=23)
             perm = jax.random.permutation(key, 8 * self.nselect) % 8
 
             def body(k, carry):
                 state, counters = carry
-                return sub_sweep(state, counters, k, perm[k])
+                return sub_sweep(state, counters, k, perm[k], hdyn)
             state, counters = jax.lax.fori_loop(
                 0, n_sub, body, (state, counters))
             return state.replace(timestep=state.timestep + 1), counters
 
-        def run_chunk(state, counters, nsteps):
+        def run_chunk(state, counters, hdyn, nsteps):
             def body(_, carry):
-                return one_sweep(*carry)
+                return one_sweep(*carry, hdyn)
             return jax.lax.fori_loop(0, nsteps, body, (state, counters))
 
         def init_counters():
@@ -630,19 +657,17 @@ class mode_hpmc:
                     'depletant_overflow': jnp.zeros((), bool)}
 
         import jax
+        # rebuild thresholds for _set_move_params: growing a move size
+        # past the stencil capacity (or enabling rotation classes the
+        # trace lacks) needs a recompile; anything else repacks hdyn
+        self._built_d = {t: float(d_arr[k]) for k, t in enumerate(types)}
         return {'run_chunk': jax.jit(run_chunk),
                 'run_chunk_raw': run_chunk,
+                'pack_hdyn': pack_hdyn,
                 'init_counters': init_counters,
                 'cell_cap': cell_cap,
                 'cand_cap': cand_cap,
                 'dep_cap': M_dep}
-
-    # -- python-visible state sync ------------------------------------------
-    def _absorb_counters(self, dev_counters):
-        self.counters.translate_accept += int(
-            dev_counters['translate_accept'])
-        self.counters.translate_reject += int(
-            dev_counters['translate_reject'])
 
 
 class sphere(mode_hpmc):
@@ -767,24 +792,20 @@ class _aniso_hpmc(mode_hpmc):
         import jax
         import jax.numpy as jnp
         from ..ops import quat as Q
-        types = system.particle_types
-        a_arr = np.array([self.get_a(t) for t in types])
-        a_by_type = jnp.asarray(a_arr, dtype=dtype)
-        move_ratio = self.move_ratio
-
-        def trial(key, q_old, ti, delta_ok):
+        def trial(key, q_old, ti, delta_ok, hdyn):
             """Either translate (handled by caller) or rotate: returns
-            (new_q, rotate_mask).  reference Moves.h move_rotate."""
+            (new_q, rotate_mask).  reference Moves.h move_rotate.
+            Rotation size a and the move ratio ride hdyn (traced)."""
             k1, k2, k3 = jax.random.split(key, 3)
             m = q_old.shape[0]
             u = jax.random.uniform(k1, (m,), dtype=dtype)
-            do_rot = u > move_ratio
+            do_rot = u > hdyn['mr']
             g = jax.random.normal(k2, (m, 3), dtype=dtype)
             axis = g / jnp.maximum(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
             ang = jax.random.uniform(k3, (m,), dtype=dtype,
                                      minval=-1.0, maxval=1.0) \
-                * a_by_type[ti]
+                * hdyn['a'][ti]
             half = 0.5 * ang
             dq = jnp.concatenate([jnp.cos(half)[:, None],
                                   jnp.sin(half)[:, None] * axis], axis=1)

@@ -1088,9 +1088,12 @@ class System:
                 continue
             if self._program['kind'] == 'hpmc':
                 state0 = self.state
+                # move sizes/seed ride a tiny traced dict repacked every
+                # chunk: set_params/tuners take effect without recompiles
+                hdyn = self._program['pack_hdyn']()
                 for _ in range(8):
                     state, counters = self._program['run_chunk'](
-                        state0, self._hpmc_counters, chunk)
+                        state0, self._hpmc_counters, hdyn, chunk)
                     cell_ovf = bool(counters['cell_overflow'])
                     cand_ovf = bool(counters.get('cand_overflow', False))
                     dep_ovf = bool(counters.get('depletant_overflow',

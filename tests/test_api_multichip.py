@@ -173,6 +173,28 @@ def test_pppm_sharded_madelung():
     assert len(system.state.pos.sharding.device_set) == 8
 
 
+def test_sfc_sort_sharded_parity():
+    """SFC re-sort on the sharded state (reference SFCPackUpdater under
+    MPI): the Hilbert permutation is computed host-side from the
+    gathered positions and the permuted state is re-laid over the mesh
+    at the next run boundary — trajectory parity must survive it."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import hoomd_tpu as hoomd
+    _, sys1 = _build_lj(nrank=1)
+    hoomd.update.sort(period=10)
+    pos1, q1 = _run_and_grab(sys1, 25)
+
+    _, sys8 = _build_lj(nrank=8)
+    hoomd.update.sort(period=10)
+    pos8, q8 = _run_and_grab(sys8, 25)
+    assert len(sys8.state.pos.sharding.device_set) == 8
+    assert q8['potential_energy'] < -100.0
+    assert q8['potential_energy'] == pytest.approx(
+        q1['potential_energy'], rel=1e-4)
+    np.testing.assert_allclose(pos8, pos1, atol=2e-3)
+
+
 def _build_hpmc(nrank, seed=11):
     import hoomd_tpu as hoomd
     from hoomd_tpu import hpmc

@@ -105,3 +105,36 @@ def test_frenkel_ladd_energy_protocol():
     d -= L * np.round(d / L)
     msd2 = (d ** 2).sum(axis=1).mean()
     assert msd2 > msd * 2.0
+
+
+def test_move_size_tuning_is_recompile_free():
+    """d/a/move_ratio/seed ride a traced hdyn packed at chunk
+    boundaries: set_params within the built stencil capacity must NOT
+    rebuild the program (tuners fire it every few sweeps), while growing
+    d past the built width MUST rebuild (stencil coverage)."""
+    import hoomd_tpu as hoomd
+    hoomd_mod, mc, L, N = hs(eta=0.42, d=0.4)
+    hoomd_mod.run(4, quiet=True)
+    system = hoomd_mod.context.current.system
+    prog0 = system._program['run_chunk']
+
+    def window_acceptance(sweeps):
+        c = system._hpmc_counters
+        a0, r0 = int(c['translate_accept']), int(c['translate_reject'])
+        hoomd_mod.run(sweeps, quiet=True)
+        c = system._hpmc_counters
+        a = int(c['translate_accept']) - a0
+        r = int(c['translate_reject']) - r0
+        return a / (a + r)
+
+    acc_big = window_acceptance(4)     # d=0.4 at eta=0.42: low
+
+    mc.set_params(d=0.02)              # shrink: no rebuild
+    acc_small = window_acceptance(4)
+    assert system._program['run_chunk'] is prog0
+    # the tiny moves must actually be in effect (traced hdyn delivered)
+    assert acc_small > acc_big + 0.2, (acc_big, acc_small)
+
+    mc.set_params(d=0.8)               # grow past built width: rebuild
+    hoomd_mod.run(2, quiet=True)
+    assert system._program['run_chunk'] is not prog0
