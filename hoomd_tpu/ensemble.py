@@ -43,6 +43,13 @@ class replicas:
     through the method's ``set_params`` (falling back to setattr) before
     packing that replica's dyn.  Method seeds are automatically offset
     per replica (seed + r) unless ``seeds`` (an n-sequence) is given.
+
+    HPMC systems are supported too (vary any of d/a/move_ratio/nR — they
+    ride the sweep program's traced hdyn).  Replicas advance purely
+    device-side: host-side analyzers/updaters (loggers, dumps, the
+    default SFC sorter) do NOT fire inside ``run`` — use
+    ``take_snapshot(i)``/``thermo(i)``/``counters(i)`` between runs, the
+    per-partition analysis idiom of the reference's partition scripts.
     """
 
     def __init__(self, n, vary=None, seeds=None, system=None):
@@ -58,16 +65,21 @@ class replicas:
         self._system = sys_
         sys_._ensure_ready()
         prog = sys_._program
-        if prog['kind'] != 'md':
-            raise RuntimeError("ensemble.replicas supports the MD engine")
+        self._kind = prog['kind']
+        if self._kind not in ('md', 'hpmc'):
+            raise RuntimeError("ensemble.replicas supports the MD and "
+                               "HPMC engines")
         self._prog = prog
-        methods = prog['methods']
         vary = dict(vary or {})
         for k, v in vary.items():
             if len(v) != self.n:
                 raise ValueError(f"vary[{k!r}] must have length {n}")
         if seeds is not None and len(seeds) != self.n:
             raise ValueError(f"seeds must have length {n}")
+        if self._kind == 'hpmc':
+            self._init_hpmc(vary, seeds)
+            return
+        methods = prog['methods']
 
         # pack each replica's dyn with the per-replica parameters applied
         # on the host (same packing code as a single run — variants,
@@ -114,14 +126,36 @@ class replicas:
         auxs = bcast(sys_._method_aux)
         mode_aux = bcast(sys_._mode_aux)
 
-        # two-level device hierarchy (the reference DomainDecomposition's
-        # node-local sub-grids, hoomd/DomainDecomposition.h:49-175, mapped
-        # to TPU topology): replicas over the OUTER 'replica' axis (no
-        # cross-replica communication — this axis can ride DCN across
-        # slices), each replica's particles over the INNER 'domain' axis
-        # (ghost/force collectives stay on ICI).  With fewer devices than
-        # replicas, device groups serve several replicas; with more, the
-        # spare factor becomes the domain axis.
+        put = self._make_sharding(int(sys_.state.N))
+        if put is not None:
+            state, nls, auxs, mode_aux, self._dyn = (
+                put(state), put(nls), put(auxs), put(mode_aux),
+                put(self._dyn))
+
+        self._vrun = jax.jit(
+            jax.vmap(prog['run_chunk_raw'], in_axes=(0, 0, 0, 0, 0, None)),
+            static_argnums=5)
+        vprep = jax.jit(jax.vmap(
+            lambda s, d, dy: prog['prep'](s, d, dy), in_axes=(0, 0, 0)))
+        state, nls = vprep(state, nls, self._dyn)
+        self._carry = (state, nls, auxs, mode_aux)
+
+    def _bcast(self, tree):
+        import jax
+        import jax.numpy as jnp
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                jnp.asarray(x)[None], (self.n,) + jnp.shape(x)), tree)
+
+    def _make_sharding(self, N):
+        """Two-level device hierarchy (the reference DomainDecomposition's
+        node-local sub-grids, hoomd/DomainDecomposition.h:49-175, mapped
+        to TPU topology): replicas over the OUTER 'replica' axis (no
+        cross-replica communication — this axis can ride DCN across
+        slices), each replica's particles over the INNER 'domain' axis
+        (collectives stay on ICI).  Returns a put(tree) or None."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         devs = jax.devices()
         R = 0
         for cand in range(min(self.n, len(devs)), 0, -1):
@@ -129,14 +163,12 @@ class replicas:
                 R = cand
                 break
         D = 1
-        N = int(sys_.state.N)
         if R >= 1 and len(devs) // R > 1:
             D = len(devs) // R
             while D > 1 and N % D != 0:
                 D -= 1
         self._sharding = None
         if R > 1 or D > 1:
-            from jax.sharding import Mesh
             self._mesh = Mesh(np.asarray(devs[:R * D]).reshape(R, D),
                               ('replica', 'domain'))
 
@@ -151,17 +183,95 @@ class replicas:
                     lambda x: jax.device_put(
                         x, NamedSharding(self._mesh, spec_for(x))), tree)
             self._sharding = put
-            state, nls, auxs, mode_aux, self._dyn = (
-                put(state), put(nls), put(auxs), put(mode_aux),
-                put(self._dyn))
+        return self._sharding
 
-        self._vrun = jax.jit(
-            jax.vmap(prog['run_chunk_raw'], in_axes=(0, 0, 0, 0, 0, None)),
-            static_argnums=5)
-        vprep = jax.jit(jax.vmap(
-            lambda s, d, dy: prog['prep'](s, d, dy), in_axes=(0, 0, 0)))
-        state, nls = vprep(state, nls, self._dyn)
-        self._carry = (state, nls, auxs, mode_aux)
+    # -- HPMC replicas ----------------------------------------------------------
+    def _init_hpmc(self, vary, seeds):
+        """HPMC replicas: the sweep program's move sizes/seed ride the
+        traced hdyn (hpmc/integrate.py pack_hdyn), so n independent
+        Markov chains run as one vmapped program — the reference's
+        partition-parallel HPMC (e.g. Frenkel-Ladd sweeps) without MPI."""
+        import jax
+        import jax.numpy as jnp
+        sys_ = self._system
+        mc = sys_.hpmc_integrator
+        allowed = ('d', 'a', 'move_ratio', 'nR')
+        for k in vary:
+            if k not in allowed:
+                raise ValueError(
+                    f"vary[{k!r}]: hpmc replicas support {allowed}")
+        base_seed = int(mc.seed)
+        self._hp_overrides = []
+        for r in range(self.n):
+            ov = {'seed': (int(seeds[r]) if seeds is not None
+                           else base_seed + r)}
+            for k, v in vary.items():
+                ov[k] = float(v[r])
+            self._hp_overrides.append(ov)
+        # stencil capacity: rebuild once at the max d over replicas so
+        # every replica fits the built cell width
+        if 'd' in vary:
+            dmax = max(ov['d'] for ov in self._hp_overrides)
+            built = getattr(mc, '_built_d', {})
+            if built and dmax > min(built.values()):
+                keep_d, keep_map = mc._default_d, dict(mc.d_by_type)
+                mc.d_by_type = {}
+                mc._set_move_params(d=dmax)
+                sys_._ensure_ready()
+                mc._default_d, mc.d_by_type = keep_d, keep_map
+        self._prog = sys_._program
+        self._dyn = self._hp_pack_all()
+        state = self._bcast(sys_.state)
+        counters = self._bcast(self._prog['init_counters']())
+        put = self._make_sharding(int(sys_.state.N))
+        if put is not None:
+            state, counters, self._dyn = (put(state), put(counters),
+                                          put(self._dyn))
+        self._make_hp_vrun()
+        self._carry = (state, counters)
+
+    def _hp_pack_all(self):
+        import jax
+        import jax.numpy as jnp
+        mc = self._system.hpmc_integrator
+        pack = self._prog['pack_hdyn']
+        keys = ('seed', '_default_d', 'd_by_type', '_default_a',
+                'a_by_type', 'move_ratio', 'nR')
+        saved = {k: getattr(mc, k) for k in keys}
+        dyns = []
+        try:
+            for ov in self._hp_overrides:
+                mc.seed = ov['seed']
+                if 'd' in ov:
+                    mc.d_by_type = {}
+                    mc._default_d = ov['d']
+                if 'a' in ov:
+                    mc.a_by_type = {}
+                    mc._default_a = ov['a']
+                if 'move_ratio' in ov:
+                    mc.move_ratio = ov['move_ratio']
+                if 'nR' in ov:
+                    mc.nR = ov['nR']
+                dyns.append(pack())
+        finally:
+            for k, v in saved.items():
+                setattr(mc, k, v)
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dyns)
+
+    def _make_hp_vrun(self):
+        import jax
+        self._vrun = jax.jit(jax.vmap(
+            self._prog['run_chunk_raw'], in_axes=(0, 0, 0, None)),
+            static_argnums=3)
+
+    def counters(self, i):
+        """Python counter dict of replica ``i`` (acceptance etc.)."""
+        import jax
+        if self._kind != 'hpmc':
+            raise RuntimeError("counters(i) is an HPMC accessor")
+        c = jax.tree_util.tree_map(lambda x: x[i], self._carry[1])
+        return {k: (bool(v) if v.dtype == bool else int(v))
+                for k, v in c.items()}
 
     # -- state access ---------------------------------------------------------
     @property
@@ -200,6 +310,8 @@ class replicas:
         the chunk/retry protocol mirrors System.run's capacity growth)."""
         import jax
         import jax.numpy as jnp
+        if self._kind == 'hpmc':
+            return self._run_hpmc(int(nsteps), chunk)
         sys_ = self._system
         nsteps = int(nsteps)
         done = 0
@@ -225,6 +337,50 @@ class replicas:
                 raise RuntimeError("ensemble: neighbor capacity still "
                                    "overflowing after repeated growth")
             self._carry = (state, nls, auxs, mode_aux)
+            done += c
+
+    def _run_hpmc(self, nsteps, chunk):
+        """HPMC sweep loop with the capacity grow/retry protocol of
+        System.run's hpmc branch (overflow flags are sticky bools in the
+        counters; retry re-runs the chunk from the saved pre-chunk
+        carry, so no sweeps are lost or double-counted)."""
+        import jax
+        import jax.numpy as jnp
+        sys_ = self._system
+        done = 0
+        while done < nsteps:
+            c = min(chunk, nsteps - done)
+            carry0 = self._carry
+            for _ in range(8):
+                state, counters = self._vrun(carry0[0], carry0[1],
+                                             self._dyn, c)
+                cell = bool(jnp.any(counters['cell_overflow']))
+                cand = bool(jnp.any(counters.get(
+                    'cand_overflow', jnp.zeros((), bool))))
+                dep = bool(jnp.any(counters.get(
+                    'depletant_overflow', jnp.zeros((), bool))))
+                if not (cell or cand or dep):
+                    break
+                prog = self._prog
+                if cell:
+                    sys_._grow['hpmc_cell_cap'] = \
+                        int(prog.get('cell_cap', 8) * 1.5) + 4
+                if cand:
+                    sys_._grow['hpmc_cand_cap'] = \
+                        int(prog.get('cand_cap', 32) * 1.5) + 8
+                if dep:
+                    sys_._grow['hpmc_dep_cap'] = \
+                        int(prog.get('dep_cap', 0) * 1.5) + 8
+                sys_._rebuild_program()
+                self._prog = sys_._program
+                self._dyn = self._hp_pack_all()
+                if self._sharding is not None:
+                    self._dyn = self._sharding(self._dyn)
+                self._make_hp_vrun()
+            else:
+                raise RuntimeError("ensemble: hpmc capacity still "
+                                   "overflowing after repeated growth")
+            self._carry = (state, counters)
             done += c
 
     def _fresh_nls(self):

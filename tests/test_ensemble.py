@@ -119,3 +119,56 @@ def test_vary_unknown_param_raises():
     _, system = _build_lj_langevin()
     with pytest.raises(ValueError, match='no integration method'):
         hoomd.ensemble.replicas(2, vary={'zzz': [1, 2]})
+
+
+def _build_hs(d=0.15, seed=9):
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.context.initialize('--notice-level=0')
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=1.25), n=5)
+    mc = hpmc.integrate.sphere(seed=seed, d=d, nselect=2)
+    mc.shape_param.set('A', diameter=1.0)
+    return hoomd, hoomd.context.current.system, mc
+
+
+def test_hpmc_replicas_vary_move_size():
+    """HPMC replicas (reference: partition-parallel HPMC sweeps): two
+    chains with different d run in one vmapped program; the smaller-d
+    chain must accept more."""
+    import hoomd_tpu as hoomd
+    _, system, mc = _build_hs()
+    ens = hoomd.ensemble.replicas(2, vary={'d': [0.3, 0.02]})
+    ens.run(15)
+    c0, c1 = ens.counters(0), ens.counters(1)
+
+    def acc(c):
+        return c['translate_accept'] / (c['translate_accept']
+                                        + c['translate_reject'])
+    assert acc(c1) > acc(c0) + 0.2, (acc(c0), acc(c1))
+    # both chains actually moved
+    p0 = ens.take_snapshot(0).particles.position
+    p1 = ens.take_snapshot(1).particles.position
+    assert np.abs(p0 - p1).max() > 1e-4
+
+
+def test_hpmc_replica_matches_solo_run():
+    """Replica r's Markov chain must equal a solo run with the same
+    seed (counter RNG keyed on (seed, timestep): the ensemble is a pure
+    batching transform)."""
+    import hoomd_tpu as hoomd
+    _, system, mc = _build_hs(d=0.15, seed=9)
+    ens = hoomd.ensemble.replicas(3)
+    ens.run(10)
+    pos_r2 = ens.take_snapshot(2).particles.position.copy()
+    acc_r2 = ens.counters(2)['translate_accept']
+
+    _, sys_solo, mc_solo = _build_hs(d=0.15, seed=11)   # 9 + r=2
+    # replicas advance purely device-side (no host-op fires), so switch
+    # off the default SFC sorter whose step-0 slot permutation would
+    # change the checkerboard's RNG pairing in the solo chain
+    hoomd.context.current.sorter.disable()
+    hoomd.run(10, quiet=True)
+    pos_solo = sys_solo.take_snapshot().particles.position.copy()
+    np.testing.assert_allclose(pos_r2, pos_solo, atol=1e-6)
+    c = sys_solo._hpmc_counters
+    assert acc_r2 == int(c['translate_accept'])
