@@ -96,12 +96,16 @@ class replicas:
                 for k, v in vary.items():
                     hit = False
                     for m in methods:
-                        if hasattr(m, k):
-                            try:
-                                m.set_params(**{k: v[r]})
-                            except TypeError:
-                                setattr(m, k, v[r])
-                            hit = True
+                        if not hasattr(m, k):
+                            continue
+                        try:
+                            m.set_params(**{k: v[r]})
+                        except TypeError:
+                            # set_params rejects the kwarg: the attr is
+                            # structured (e.g. langevin's gamma dict) —
+                            # blind setattr would corrupt it
+                            continue
+                        hit = True
                     if not hit:
                         raise ValueError(
                             f"vary[{k!r}]: no integration method has "
@@ -113,18 +117,12 @@ class replicas:
                 m.__dict__.update(s)
             sys_._pack_dyn()
 
-        stack = lambda *xs: jnp.stack(xs)
-        self._dyn = jax.tree_util.tree_map(stack, *dyns)
-
-        def bcast(tree):
-            return jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(
-                    jnp.asarray(x)[None], (self.n,) + jnp.shape(x)), tree)
-
-        state = bcast(sys_.state)
-        nls = bcast(sys_._nl_data)
-        auxs = bcast(sys_._method_aux)
-        mode_aux = bcast(sys_._mode_aux)
+        self._dyn = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                           *dyns)
+        state = self._bcast(sys_.state)
+        nls = self._bcast(sys_._nl_data)
+        auxs = self._bcast(sys_._method_aux)
+        mode_aux = self._bcast(sys_._mode_aux)
 
         put = self._make_sharding(int(sys_.state.N))
         if put is not None:

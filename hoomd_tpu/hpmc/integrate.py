@@ -130,11 +130,18 @@ class mode_hpmc:
                 raise RuntimeError(
                     "hpmc: nR requires an integrator constructed with "
                     "implicit=True")
+            # nR rides hdyn, but the depletant code is only IN the trace
+            # when the program was built with nR > 0 (implicit_on): the
+            # 0 -> >0 transition needs a rebuild
+            if (self.nR > 0) != (float(nR) > 0):
+                self._dirty()
             self.nR = float(nR)
         if depletant_type is not None:
             if not self.implicit:
                 raise RuntimeError(
                     "hpmc: depletant_type requires implicit=True")
+            if self.depletant_type != str(depletant_type):
+                self._dirty()      # dep_idx/R_samp are baked in the trace
             self.depletant_type = str(depletant_type)
         if ntrial is not None:
             self.ntrial = int(ntrial)

@@ -82,7 +82,9 @@ class _Periodic:
             if self._vp_created is None:
                 self._vp_created = ts
                 self._vp_next = ts
-            if ts == self._vp_next:
+            # >= not ==: a fire step skipped while disabled must not
+            # wedge the schedule forever
+            if ts >= self._vp_next:
                 nxt = int(self.period(self._vp_n)) + self._vp_created
                 if nxt <= ts:
                     nxt = ts + 1      # reference clamps forward
@@ -98,7 +100,9 @@ class _Periodic:
         if not self.enabled or self.period is None:
             return None
         if callable(self.period):
-            return self._vp_next if self._vp_next is not None else ts + 1
+            if self._vp_next is None:
+                return ts + 1
+            return max(self._vp_next, ts + 1)
         return ts + self.period - ((ts - self.phase) % self.period)
 
     def disable(self):

@@ -254,20 +254,19 @@ def build_spatial2d_lj_md(mesh, n_total, box_l, *, dt=0.005, rcut=2.5,
         pos_dev = np.full((nshard, C, 3), PAD_COORD, np.float32)
         vel_dev = np.zeros((nshard, C, 3), np.float32)
         tag_dev = np.full((nshard, C), -1, np.int32)
-        counts = np.zeros(nshard, np.int32)
         ox = np.clip(((pos_global[:, 0] + L / 2) // wx).astype(int),
                      0, Sx - 1)
         oy = np.clip(((pos_global[:, 1] + L / 2) // wy).astype(int),
                      0, Sy - 1)
         owner = oy * Sx + ox          # row-major over (Sy, Sx)
-        for i in range(N):
-            s = owner[i]
-            if counts[s] >= C:
-                raise RuntimeError("slot capacity too small at init")
-            pos_dev[s, counts[s]] = pos_global[i]
-            vel_dev[s, counts[s]] = vel_global[i]
-            tag_dev[s, counts[s]] = i
-            counts[s] += 1
+        if np.bincount(owner, minlength=nshard).max() > C:
+            raise RuntimeError("slot capacity too small at init")
+        order = np.argsort(owner, kind='stable')
+        so = owner[order]
+        slot = np.arange(N) - np.searchsorted(so, so, side='left')
+        pos_dev[so, slot] = pos_global[order]
+        vel_dev[so, slot] = vel_global[order]
+        tag_dev[so, slot] = order
         sh = NamedSharding(mesh, spec2)
         pos = jax.device_put(
             jnp.asarray(pos_dev.reshape(nshard * C, 3), dtype), sh)

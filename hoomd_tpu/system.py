@@ -643,6 +643,7 @@ class System:
             p = {k: fp['tables'][k][ti, tj] for k in fp['tables']}
             rc_e = fp['rcut'][ti, tj]
             p['rcut2'] = rc_e * rc_e
+            p['rcut'] = rc_e       # needs_rcut evaluators (fslj, dpdc)
             if f.mode == 'shift':
                 _, es = f._evaluator.energy_force(rc_e * rc_e, p)
             else:

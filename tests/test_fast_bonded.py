@@ -149,3 +149,51 @@ def test_fast_bonded_energy_conservation_nve():
         assert abs(e1 - e0) / N < 2e-3, (e0, e1)
     finally:
         os.environ.pop('HOOMD_TPU_FAST', None)
+
+
+def test_fslj_excl_correction_has_rcut():
+    """needs_rcut evaluators (force_shifted_lj) through the fast path's
+    exclusion-pair correction: the per-pair param gather must include
+    'rcut' (regression: KeyError on the first refresh)."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md
+
+    def build(fast):
+        os.environ['HOOMD_TPU_FAST'] = 'on' if fast else 'off'
+        hoomd.context.initialize('--notice-level=0')
+        N = 32
+        L = 16.0
+        snap = hoomd.data.make_snapshot(
+            N, hoomd.data.boxdim(L=L), particle_types=['A'],
+            bond_types=['b'])
+        rng = np.random.RandomState(4)
+        # dimers: bonded pairs at 1.1 sigma, well inside r_cut
+        bonds = []
+        for i in range(0, N, 2):
+            base = rng.uniform(-L / 2 + 2, L / 2 - 2, 3)
+            snap.particles.position[i] = base
+            snap.particles.position[i + 1] = base + [1.1, 0, 0]
+            bonds.append([i, i + 1])
+        snap.bonds.resize(len(bonds))
+        snap.bonds.group[:] = bonds
+        v = rng.normal(0, 0.3, (N, 3)); v -= v.mean(0)
+        snap.particles.velocity[:] = v
+        hoomd.init.read_snapshot(snap)
+        system = hoomd.context.current.system
+        nl = md.nlist.cell()
+        p = md.pair.force_shifted_lj(r_cut=2.5, nlist=nl)
+        p.pair_coeff.set('A', 'A', epsilon=1.0, sigma=1.0)
+        b = md.bond.harmonic()
+        b.bond_coeff.set('b', k=50.0, r0=1.1)
+        md.integrate.mode_standard(dt=0.002)
+        md.integrate.nve(group=hoomd.group.all())
+        hoomd.run(20, quiet=True)
+        q = system.thermo_quantities()
+        return q['potential_energy'], bool(system._program.get('fast'))
+    try:
+        pe_fast, used_fast = build(True)
+        pe_gen, _ = build(False)
+    finally:
+        os.environ.pop('HOOMD_TPU_FAST', None)
+    assert used_fast
+    assert pe_fast == pytest.approx(pe_gen, rel=1e-4, abs=1e-4)

@@ -188,3 +188,20 @@ def test_variable_period_offset_start():
     hoomd_mod.run(20, quiet=True)
     # created at 25: fires at 25, then 25+1, 25+4, 25+9, 25+16
     assert fired == [25, 26, 29, 34, 41]
+
+
+def test_variable_period_survives_disable_enable():
+    """An op disabled across its scheduled fire step must resume (not
+    wedge) when re-enabled — regression for the exact-match schedule."""
+    hoomd_mod = small_md()
+    fired = []
+    cb = hoomd_mod.analyze.callback(lambda ts: fired.append(ts),
+                                    period=lambda n: 10 * n)
+    hoomd_mod.run(5, quiet=True)       # fires at 0; next at 10
+    cb.disable()
+    hoomd_mod.run(10, quiet=True)      # skips the step-10 fire
+    cb.enable()
+    hoomd_mod.run(30, quiet=True)      # must fire again, catching up
+    assert fired[0] == 0
+    assert len(fired) >= 2             # resumed after re-enable
+    assert all(b > a for a, b in zip(fired, fired[1:]))
