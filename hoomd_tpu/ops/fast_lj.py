@@ -63,6 +63,11 @@ class FastCarry:
     rebin_ovf: jnp.ndarray  # () bool sticky: plane-local rebin buffer
                             # overflow — the carry is unusable; the host
                             # retries the segment on the sort rebuild
+    bslots: tuple = ()      # per-bonded-kind (Mb, arity) SLOT tables —
+                            # the tag group tables mapped through the
+                            # current tag->slot assignment; recomputed at
+                            # every rebuild so the hot loop reads cell
+                            # slots directly (no tag-space detour)
 
 
 def plan_fast_lj(N, box_L, rcut, r_buff):
@@ -124,12 +129,14 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
 
     bonded_cfg: tuple of {'energy_fn', 'groups' (Mb, arity) tag table} —
     fixed-topology forces (bonds/angles/dihedrals + nlist-exclusion pair
-    corrections) evaluated in TAG space around the cell-pair kernel: one
-    tag-keyed scatter of positions, segment autodiff over groups
-    (ops/bonded.py), one gather back to cell slots.  Tags are the stable
-    identity across rebuilds, so topology needs no slot updates — the
-    cell-major analog of the reference's BondedGroupData tag addressing
-    (hoomd/BondedGroupData.h).
+    corrections) evaluated in SLOT space: at every rebuild the tag group
+    tables are mapped through the new tag->slot assignment (one (M,)
+    scatter), and the hot loop then gathers/scatter-adds directly on the
+    cell-major flat layout via group autodiff (ops/bonded.py).  Tags
+    remain the stable identity across rebuilds — the cell-major analog
+    of the reference's BondedGroupData tag addressing
+    (hoomd/BondedGroupData.h), with the rtag indirection amortized to
+    rebuild boundaries instead of paid per step.
     """
     idt = int_dtype()
     nc = int(np.prod(cell_dim))
@@ -321,36 +328,51 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         bond_groups = tuple(jnp.asarray(cfg['groups'], idt)
                             for cfg in bonded_cfg)
 
-    def _bonded_terms(pos_cells, tag_cells, dyn, want_pv):
-        """Fixed-topology force terms in tag space (see build docstring).
+    def _slot_groups(tag_cells):
+        """Tag group tables -> SLOT group tables for the current layout.
 
-        Returns cell-layout (frc, pe, vir) additions; pe/vir are None
-        when want_pv is False (hot loop).  pos_cells may be unwrapped
+        Between rebuilds every particle keeps its slot, so the slot
+        tables are valid for the whole rebuild window; recomputing them
+        is one (M,) scatter + small gathers per rebuild.  Padding group
+        rows (tag index >= N) map to the sentinel slot M, which
+        bonded_force masks out (its 'index >= N' convention with N=M
+        here)."""
+        if not have_bonded:
+            return ()
+        tag_f = tag_cells.reshape(M)
+        s_of_t = jnp.full((N + 1,), M, idt).at[
+            jnp.where(tag_f >= 0, tag_f, N)].set(
+            jnp.where(tag_f >= 0, jnp.arange(M, dtype=idt), M),
+            mode='drop')
+        return tuple(s_of_t[jnp.minimum(g, N)] for g in bond_groups)
+
+    def _bonded_terms(pos_cells, bslots, dyn, want_pv):
+        """Fixed-topology force terms evaluated directly in SLOT space.
+
+        The carry's bslots tables (tag groups mapped through the current
+        tag->slot assignment at the last rebuild) let every gather and
+        scatter-add run on the cell-major flat layout — no per-step
+        (N+1,3) tag-space scatter + gather-back detour.  Returns
+        cell-layout (frc, pe, vir) additions; pe/vir are None when
+        want_pv is False (hot loop).  pos_cells may be unwrapped
         (between rebuilds); box.min_image inside bonded_force absorbs
         the skin-bounded excursion."""
-        tag_flat = tag_cells.reshape(M)
-        sel = jnp.where(tag_flat >= 0, tag_flat, N)
-        pos_tag = jnp.full((N + 1, 3), PAD_COORD, dtype).at[sel].set(
-            pos_cells.reshape(M, 3))
-        f_tag = jnp.zeros((N, 3), dtype)
-        pe_tag = jnp.zeros((N,), dtype)
-        vir_tag = jnp.zeros((N, 6), dtype)
+        pos_flat = pos_cells.reshape(M, 3)
+        f = jnp.zeros((M, 3), dtype)
+        pe = jnp.zeros((M,), dtype)
+        vir = jnp.zeros((M, 6), dtype)
         for i, cfg in enumerate(bonded_cfg):
             fb, peb, virb = bonded_force(
-                pos_tag[:N], box, bond_groups[i], dyn['bonded'][i],
+                pos_flat, box, bslots[i], dyn['bonded'][i],
                 cfg['energy_fn'])
-            f_tag = f_tag + fb
+            f = f + fb
             if want_pv:
-                pe_tag = pe_tag + peb
-                vir_tag = vir_tag + virb
-
-        def back(a):
-            pad = jnp.concatenate(
-                [a, jnp.zeros((1,) + a.shape[1:], dtype)])
-            return pad[sel].reshape((nc, C) + a.shape[1:])
+                pe = pe + peb
+                vir = vir + virb
         if want_pv:
-            return back(f_tag), back(pe_tag), back(vir_tag)
-        return back(f_tag), None, None
+            return (f.reshape(nc, C, 3), pe.reshape(nc, C),
+                    vir.reshape(nc, C, 6))
+        return f.reshape(nc, C, 3), None, None
 
     def one_step(c: FastCarry, dyn):
         dt = dyn['dt']
@@ -407,7 +429,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         # boundaries before any observer reads them
         frc = _forces(pos, typ, dyn, want_pv=False)
         if have_bonded:
-            fb, _, _ = _bonded_terms(pos, tag, dyn, want_pv=False)
+            fb, _, _ = _bonded_terms(pos, c.bslots, dyn, want_pv=False)
             frc = frc + fb
         frc = jnp.where(valid, frc, 0.0)
 
@@ -443,7 +465,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                          ref_pos=c.ref_pos, timestep=c.timestep + 1,
                          aux=aux, overflow=c.overflow, danger=danger,
                          n_rebuilds=c.n_rebuilds, since=c.since + 1,
-                         wmax=wmax, rebin_ovf=c.rebin_ovf)
+                         wmax=wmax, rebin_ovf=c.rebin_ovf,
+                         bslots=c.bslots)
 
     # ---- fully-fused step path (one pallas_call per MD step) -----------
     # Eligible: 'plane' impl, single type, nve/nvt (langevin keeps the
@@ -598,7 +621,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 pos=p, vel=v, img=im, tag=t, mass=m, ref_pos=p, frc=f,
                 rebin_ovf=c.rebin_ovf | o,
                 n_rebuilds=c.n_rebuilds + 1,
-                since=jnp.zeros((), idt))
+                since=jnp.zeros((), idt),
+                bslots=_slot_groups(t))
         p, v, im, t, ty, m, f, o = _rebin(
             c.pos.reshape(M, 3), c.vel.reshape(M, 3),
             c.img.reshape(M, 3), c.tag.reshape(M), c.typ.reshape(M),
@@ -609,7 +633,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             tag=t.reshape(nc, C), typ=ty.reshape(nc, C),
             mass=m.reshape(nc, C), ref_pos=p, frc=f.reshape(nc, C, 3),
             overflow=c.overflow | o, n_rebuilds=c.n_rebuilds + 1,
-            since=jnp.zeros((), idt))
+            since=jnp.zeros((), idt),
+            bslots=_slot_groups(t))
 
     @functools.partial(jax.jit, static_argnames=('k',))
     def run_cycles(carry, dyn, ncycles, nwin, *, k):
@@ -714,14 +739,15 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             overflow=ovf, n_rebuilds=jnp.zeros((), idt),
             danger=jnp.zeros((), bool), since=jnp.zeros((), idt),
             wmax=jnp.zeros((), dtype),
-            rebin_ovf=jnp.zeros((), bool))
+            rebin_ovf=jnp.zeros((), bool),
+            bslots=_slot_groups(t.reshape(nc, C)))
         return carry
 
     @jax.jit
     def refresh_forces(carry, dyn):
         frc, pe, vir = _forces(carry.pos, carry.typ, dyn)
         if have_bonded:
-            fb, peb, virb = _bonded_terms(carry.pos, carry.tag, dyn,
+            fb, peb, virb = _bonded_terms(carry.pos, carry.bslots, dyn,
                                           want_pv=True)
             frc, pe, vir = frc + fb, pe + peb, vir + virb
         valid = (carry.tag >= 0)[..., None]
