@@ -19,20 +19,30 @@ def get_num_ranks():
 
 
 def get_partition():
-    """Partition index (reference comm.get_partition): replica-axis
-    slice when a ('replica','domain') mesh is active, else 0."""
+    """Partition index (reference comm.get_partition,
+    hoomd/comm.py:85-257).
+
+    The reference's partitions are MPI sub-communicators: each rank
+    belongs to exactly one partition and sees its own index.  Here the
+    deployment is single-controller — ONE Python process drives every
+    device, and replica (partition) parallelism is a *batching
+    transform* (`ensemble.replicas` vmaps n simulations into one
+    program), not n processes.  There is therefore no per-process
+    partition identity to report: this returns the process's partition
+    offset (0 unless a multi-controller deployment splits processes
+    across replicas).  Per-replica values (seeds, coupling parameters,
+    Gibbs pairing) are expressed as vmapped arrays inside
+    `ensemble.replicas`, which is where the reference's
+    `get_partition()`-keyed logic lands in this architecture."""
+    import jax
     from . import context
     ctx = context.current
     mesh = getattr(ctx, 'mesh', None) if ctx is not None else None
-    if mesh is not None and 'replica' in mesh.axis_names:
-        import jax
-        # single-controller: this process owns every replica; report the
-        # replica slice of the default device, matching the reference's
-        # per-rank view
-        dev = jax.devices()[0]
-        idx = list(mesh.devices.flatten()).index(dev) \
-            if dev in mesh.devices.flatten() else 0
-        return idx // mesh.shape.get('domain', 1)
+    if (mesh is not None and 'replica' in mesh.axis_names
+            and jax.process_count() > 1):
+        # multi-controller: processes tile the replica axis in order
+        n_rep = mesh.shape['replica']
+        return (jax.process_index() * n_rep) // jax.process_count()
     return 0
 
 
