@@ -42,6 +42,7 @@ class SimulationContext:
         self.options = options()
         self.device = None
         self.mesh = None            # jax.sharding.Mesh when --nrank/--nx..
+        self.dd_shape = None        # (Sz, Sy, Sx) when --nx/--ny/--nz
 
     def __enter__(self):
         global current
@@ -133,6 +134,14 @@ def initialize(args=None, memory_traceback=False):
         import numpy as _np
         from jax.sharding import Mesh
         ctx.mesh = Mesh(_np.asarray(devs[:n_req]), ('domain',))
+        # an explicit --nx/--ny/--nz grid additionally requests SPATIAL
+        # domain decomposition (the reference's DomainDecomposition rank
+        # grid, hoomd/DomainDecomposition.h:49-175): eligible MD configs
+        # route to the cell-major spatial DD engine
+        # (parallel/fastdd.py); everything else keeps the 1-D
+        # atom-decomposition sharding above
+        if grid:
+            ctx.dd_shape = (opts.nz or 1, opts.ny or 1, opts.nx or 1)
     if opts.notice_level >= 2:
         print(f"hoomd_tpu: JAX {jax.__version__} on "
               f"{len(jax.devices())} device(s): "

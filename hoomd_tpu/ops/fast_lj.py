@@ -81,9 +81,22 @@ def plan_fast_lj(N, box_L, rcut, r_buff):
     (measured sub-Poissonian: sigma ~ 0.5 sqrt(mean) for dense LJ, but
     sized here with the Poissonian sigma for dilute safety); the sticky
     overflow flag + grow/retry protocol backstops the tail."""
+    import os
     w0 = rcut + r_buff
     L = np.asarray(box_L, float)
     dmax = tuple(max(1, int(np.floor(l / w0))) for l in L)
+    ov = os.environ.get('HOOMD_TPU_FAST_GRID')
+    if ov:
+        # measurement override: "nx,ny,nz[,C]" pins the grid (and
+        # optionally the capacity) for planner experiments
+        parts = [int(x) for x in ov.split(',')]
+        cdim = tuple(parts[:3])
+        nc = int(np.prod(cdim))
+        mean = N / nc
+        C = parts[3] if len(parts) > 3 else \
+            max(16, ((int(np.ceil(mean + 2.0 * np.sqrt(mean))) + 2 + 7)
+                     // 8) * 8)
+        return cdim, nc, C
 
     def cap_for(mean):
         # mean + 4 sigma with the measured dense-liquid count variance
@@ -487,6 +500,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     use_mega = (impl == 'plane' and ntypes == 1 and not have_bonded
                 and method_kind in ('nve', 'nvt')
                 and _os.environ.get('HOOMD_TPU_MEGA', 'on') != 'off')
+    # probe-only knob: drop the in-kernel drift monitor (UNSAFE — the
+    # danger/retry protocol goes blind; for cost measurement only)
+    _monitor = _os.environ.get('HOOMD_TPU_MEGA_MONITOR', 'on') != 'off'
 
     def mega_windows(c: FastCarry, dyn, nw, k):
         """nw chained megastep windows (k fused VV steps each), the
@@ -525,7 +541,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 dyn['dt'], kt, xi, eta, skin3, C=C, k=k,
                 method=method_kind, eval_name=eval_name, pnames=pnames,
                 recip=('approx' if method_kind == 'nvt' else 'div'),
-                ndof=ndof, tau_inv2=ti2, interpret=interpret)
+                ndof=ndof, tau_inv2=ti2, interpret=interpret,
+                monitor=_monitor)
             return (gp, gv, gf, xi, eta, danger | d,
                     jnp.maximum(wmax, mdmax), ts + k)
 
@@ -707,6 +724,11 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         if trem > 0:
             carry = run_steps(carry, dyn, jnp.asarray(trem, idt))
         return carry
+
+    # expose the phases for profiling probes (scratch/ tooling)
+    run.rebuild = run_rebuild
+    run.wins = run_wins
+    run.cycles = run_cycles
 
     # ---- conversions -------------------------------------------------------
     @jax.jit

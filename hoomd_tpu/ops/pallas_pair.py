@@ -1759,7 +1759,7 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
                      f_ref, r_ref, po_ref, vo_ref, fo_ref, st_ref,
                      *scr_refs, k, nz, ny, nx, C, YB, method, eval_name,
                      pnames, recip, ndof, interpret, half=False,
-                     unroll_z=True):
+                     unroll_z=True, monitor=True):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1945,18 +1945,19 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         # with max; danger iff > 1.  Exact f32 ties count as two
         # particles at the max (the masked second max would miss
         # them).
-        d = pn - r_ref[...]
-        md2 = mdmax
-        for a, it in ((0, it0), (1, it1), (2, it2)):
-            q = d[a] * d[a]
-            m1 = jnp.max(q)
-            eq = q == m1
-            tie = jnp.sum(jnp.where(eq, 1.0, 0.0)) > 1.5
-            m2 = jnp.maximum(jnp.max(jnp.where(eq, -1.0, q)), 0.0)
-            m2 = jnp.where(tie, m1, m2)
-            sd = 0.5 * (jnp.sqrt(m1 * it) + jnp.sqrt(m2 * it))
-            md2 = jnp.maximum(md2, sd * sd)
-        mdmax = md2
+        if monitor:
+            d = pn - r_ref[...]
+            md2 = mdmax
+            for a, it in ((0, it0), (1, it1), (2, it2)):
+                q = d[a] * d[a]
+                m1 = jnp.max(q)
+                eq = q == m1
+                tie = jnp.sum(jnp.where(eq, 1.0, 0.0)) > 1.5
+                m2 = jnp.maximum(jnp.max(jnp.where(eq, -1.0, q)), 0.0)
+                m2 = jnp.where(tie, m1, m2)
+                sd = 0.5 * (jnp.sqrt(m1 * it) + jnp.sqrt(m2 * it))
+                md2 = jnp.maximum(md2, sd * sd)
+            mdmax = md2
         # forces from the drifted state.  The z loop CAN be unrolled: a
         # rolled fori_loop body addresses the plane refs through
         # dynamic slices, and the per-iteration slice machinery costs
@@ -2089,13 +2090,13 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
                    static_argnames=('cell_dim', 'C', 'k', 'method',
                                     'eval_name', 'pnames', 'recip',
                                     'ndof', 'interpret', 'half',
-                                    'unroll_z'))
+                                    'unroll_z', 'monitor'))
 def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                          params_vec, dt, kt_table, xi, eta, skin, *, C,
                          k, method, eval_name='lj',
                          pnames=('lj1', 'lj2'), recip='approx', ndof=1.0,
                          tau_inv2=0.0, interpret=False, half=False,
-                         unroll_z=None):
+                         unroll_z=None, monitor=True):
     """Plane-layout megastep: k fused VV steps on (3, nz, ny, nx, C)
     arrays, drift monitored against the explicit rebuild-reference
     positions ``gr``.  Chaining windows between rebuilds stays entirely
@@ -2146,7 +2147,7 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                           C=C, YB=YB, method=method, eval_name=eval_name,
                           pnames=pnames, recip=recip, ndof=float(ndof),
                           interpret=interpret, half=half,
-                          unroll_z=unroll_z),
+                          unroll_z=unroll_z, monitor=monitor),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # par (1, NPAR)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kt (1, k)

@@ -372,10 +372,16 @@ class System:
         mode_env = os.environ.get('HOOMD_TPU_FAST', 'auto')
         if mode_env == 'off':
             return None
-        if self._mesh() is not None:
-            return None     # multi-device runs use the sharded general engine
-        if jax.default_backend() != 'tpu' and mode_env not in (
-                'on', 'interpret'):
+        from . import context as _ctx
+        dd_shape = getattr(_ctx.current, 'dd_shape', None) \
+            if _ctx.current is not None else None
+        want_dd = (self._mesh() is not None and dd_shape is not None
+                   and os.environ.get('HOOMD_TPU_FASTDD', 'auto')
+                   != 'off')
+        if self._mesh() is not None and not want_dd:
+            return None     # 1-D atom decomposition: sharded general engine
+        if (not want_dd and jax.default_backend() != 'tpu'
+                and mode_env not in ('on', 'interpret')):
             return None
         interpret = (mode_env == 'interpret'
                      and jax.default_backend() != 'tpu')
@@ -449,6 +455,12 @@ class System:
         rcut = float(np.max(f._rcut_matrix(self.particle_types)))
         r_buff = nl.r_buff
         L = _np.asarray(box.L)
+        if want_dd:
+            return self._build_fast_dd(
+                dd_shape=dd_shape, pair=f, bonded_objs=bonded_objs,
+                excl_pairs=excl_pairs, method=m, kind=kind,
+                eval_name=eval_name, N=N, box=box, rcut=rcut,
+                r_buff=r_buff)
         cell_dim, ncells, C = plan_fast_lj(N, L, rcut, r_buff)
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
             return None      # box too small for the stencil invariant
@@ -544,6 +556,27 @@ class System:
         # tag-space fixed-topology terms: user bonded forces, then the
         # exclusion-pair correction (subtracts the pair evaluator on
         # excluded pairs, matching the kernel's shift mode exactly)
+        bonded_cfg = self._bonded_cfg_for(f, bonded_objs, excl_pairs)
+        to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
+            N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
+            rcut=rcut, method_kind=kind,
+            method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
+            interpret=interpret, impl=impl, eval_name=eval_name,
+            pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
+            rebin_impl=rebin_impl, rebin_E=rebin_E,
+            bonded_cfg=tuple(bonded_cfg))
+        return {'to_fast': to_fast, 'refresh': refresh,
+                'run_chunk': run_chunk, 'to_state': to_state,
+                'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
+                'eval_name': eval_name, 'pnames': pnames,
+                'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin,
+                'rebin_impl': rebin_impl, 'rebin_E': rebin_E,
+                'pair_force': f, 'bonded_forces': list(bonded_objs),
+                'excl_pairs': excl_pairs}
+
+    def _bonded_cfg_for(self, f, bonded_objs, excl_pairs):
+        """Fixed-topology term configs for the fast engines: user bonded
+        forces first, then the nlist-exclusion pair correction."""
         bonded_cfg = []
         for g in bonded_objs:
             data = g._topology_data(self)
@@ -563,22 +596,78 @@ class System:
                 return -_jnpx.where(r2 < p['rcut2'], V, 0.0)
             bonded_cfg.append({'energy_fn': _excl_energy,
                                'groups': excl_pairs})
-        to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
-            N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
-            rcut=rcut, method_kind=kind,
-            method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
-            interpret=interpret, impl=impl, eval_name=eval_name,
-            pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
-            rebin_impl=rebin_impl, rebin_E=rebin_E,
+        return bonded_cfg
+
+    def _build_fast_dd(self, *, dd_shape, pair, bonded_objs, excl_pairs,
+                       method, kind, eval_name, N, box, rcut, r_buff):
+        """Spatial-DD cell-major engine over a ('dz','dy','dx') mesh
+        (parallel/fastdd.py) — the engine-integrated analog of the
+        reference's DomainDecomposition + per-step
+        Communicator::communicate (hoomd/Communicator.cc:1300,
+        hoomd/md/IntegratorTwoStep.cc:96-161).  Returns the fast-program
+        dict or None (caller falls back to 1-D atom decomposition)."""
+        import jax
+        import numpy as _np
+        import jax.numpy as _jnp
+        from .parallel.fastdd import (build_fast_dd_chunk, make_dd_mesh,
+                                      plan_fast_dd)
+        n_dev = int(_np.prod(dd_shape))
+        if n_dev > len(jax.devices()):
+            return None
+        L = _np.asarray(box.L)
+        grid, C = plan_fast_dd(N, L, rcut, r_buff, dd_shape)
+        if grid is None:
+            return None          # box too small: atom decomposition
+        C = max(C, self._grow.get('fast_C', 0))
+        mesh = make_dd_mesh(dd_shape)
+        ntypes = len(self.particle_types)
+        pnames = tuple(sorted(
+            pair._pack_params(self)['tables'].keys())) + ('rcut',)
+        skin = float(min(L[::-1] / _np.asarray(grid)) - rcut)
+        vmax = float(_jnp.max(_jnp.linalg.norm(self._state_raw.vel,
+                                               axis=-1)))
+        dt = float(getattr(self.integrator_mode, 'dt', 0.005) or 0.005)
+        k_dt = getattr(self, '_fast_k_dt', dt)
+        if abs(dt - k_dt) > 0.25 * max(k_dt, 1e-12):
+            self._grow.pop('fast_m', None)
+            self._grow.pop('fast_m_ceil', None)
+            self._grow.pop('fast_clean_segs', None)
+        k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
+        k_rebuild = next((q for q in (8, 6, 4, 3, 2, 1)
+                          if q <= max(k_est, 1)), 1)
+        if self._grow.get('fast_k_grown'):
+            k_rebuild = 8
+        cap = self._grow.get('fast_k_cap')
+        if cap:
+            k_rebuild = min(k_rebuild, cap)
+        self._fast_k_dt = dt
+        bonded_cfg = self._bonded_cfg_for(pair, bonded_objs, excl_pairs)
+        gz, gy, gx = grid
+        mig_G = self._grow.get('fast_dd_G') or (
+            max(N // max(gz, gy, gx)
+                // max((n_dev // max(dd_shape[0], 1)), 1), 8) * 2 + 32)
+        to_fast, refresh, run_chunk, to_state = build_fast_dd_chunk(
+            N=N, box=box, mesh=mesh, grid=grid, C=C, rcut=rcut,
+            r_buff=r_buff, method_kind=kind,
+            method_seed=getattr(method, 'seed', 0),
+            dtype=self.real_dtype, eval_name=eval_name, pnames=pnames,
+            ntypes=ntypes, k_rebuild=k_rebuild, mig_G=mig_G,
             bonded_cfg=tuple(bonded_cfg))
+        if getattr(self, '_dd_cuts', None) is not None:
+            # live load-balancing cuts survive program rebuilds only if
+            # the grid they were made for still matches
+            if tuple(len(c) - 1 for c in self._dd_cuts) != tuple(grid):
+                self._dd_cuts = None
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
-                'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
-                'eval_name': eval_name, 'pnames': pnames,
-                'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin,
-                'rebin_impl': rebin_impl, 'rebin_E': rebin_E,
-                'pair_force': f, 'bonded_forces': list(bonded_objs),
-                'excl_pairs': excl_pairs}
+                'flavor': 'dd', 'dd_shape': dd_shape, 'grid': grid,
+                'C': C, 'method': method, 'kind': kind, 'rcut': rcut,
+                'r_buff': r_buff, 'eval_name': eval_name,
+                'pnames': pnames, 'ntypes': ntypes,
+                'k_rebuild': k_rebuild, 'skin': skin, 'mig_G': mig_G,
+                'rebin_impl': 'dd', 'pair_force': pair,
+                'bonded_forces': list(bonded_objs),
+                'excl_pairs': excl_pairs, 'mesh': mesh}
 
     def _fast_dyn(self):
         import jax.numpy as jnp
@@ -652,6 +741,18 @@ class System:
             bd.append(p)
         if bd:
             out['bonded'] = tuple(bd)
+        if fast.get('flavor') == 'dd':
+            # live load-balancing plane cuts (z, y, x fractions): a
+            # traced operand, so update.balance moves them at zero
+            # recompile cost (reference LoadBalancer.h:46-144)
+            cuts = getattr(self, '_dd_cuts', None)
+            if cuts is None:
+                gz, gy, gx = fast['grid']
+                cuts = (np.linspace(0.0, 1.0, gz + 1, dtype=np.float32),
+                        np.linspace(0.0, 1.0, gy + 1, dtype=np.float32),
+                        np.linspace(0.0, 1.0, gx + 1, dtype=np.float32))
+            out['cuts'] = tuple(jnp.asarray(c, jnp.float32)
+                                for c in cuts)
         return out
 
     def _run_fast_chunk(self, chunk):
@@ -703,7 +804,11 @@ class System:
                         or m._init_aux(self._state_raw)
                     if not isinstance(aux, dict):
                         aux = {}
-                    carry0 = fast['to_fast'](self._state_raw, aux)
+                    if fast.get('flavor') == 'dd':
+                        carry0 = fast['to_fast'](self._state_raw, aux,
+                                                 cuts=fdyn.get('cuts'))
+                    else:
+                        carry0 = fast['to_fast'](self._state_raw, aux)
                     carry0 = fast['refresh'](carry0, fdyn)
                 carry = fast['run_chunk'](carry0, fdyn, seg, m_now)
                 # ONE packed device->host fetch for all control flags:
@@ -811,12 +916,18 @@ class System:
                     self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
                     need_rebuild = True
                 if rbo:
+                    if fast.get('flavor') == 'dd':
+                        # migration buffers overflowed (or a particle
+                        # out-ran the single-hop protocol): double the
+                        # per-axis packed-buffer capacity
+                        self._grow['fast_dd_G'] = \
+                            int(fast.get('mig_G', 64)) * 2
                     # plane-local rebin buffers overflowed (heavy local
                     # density churn): widen the emigrant buffers once
                     # (E 8 -> 16 costs ~2x rebin time, measured), then
                     # fall back to the sort rebuild for the rest of
                     # this simulation
-                    if self._program['fast'].get('rebin_E', 8) < 16:
+                    elif self._program['fast'].get('rebin_E', 8) < 16:
                         self._grow['fast_rebin_E'] = 16
                     else:
                         self._grow['fast_rebin_sort'] = True

@@ -97,15 +97,54 @@ class box_resize(Updater):
 
 
 class balance(Updater):
-    """Dynamic domain load balancing (reference hoomd/LoadBalancer.h:46).
-    The TPU build shards particles uniformly by slot, not by space, so
-    per-device load is balanced by construction; accepted for script
-    compatibility."""
+    """Dynamic domain load balancing (reference hoomd/LoadBalancer.h:46-144).
+
+    Two regimes:
+      * 1-D atom decomposition (--nrank without an explicit grid): load
+        is balanced by construction (uniform slot sharding) — no-op;
+      * spatial DD (--nx/--ny/--nz, parallel/fastdd.py): iterates the
+        cell-plane cut positions toward equal particle counts per
+        shard, the reference's adjustable DomainDecomposition slab
+        fractions (hoomd/DomainDecomposition.h:164-175).  The cuts are
+        a traced operand of the step program, so rebalancing costs one
+        carry re-bin and zero recompiles."""
 
     def __init__(self, x=True, y=True, z=True, tolerance=1.02,
                  maxiter=1, period=1000, phase=0):
         Updater.__init__(self, None, phase)
+        self.enable_axes = (z, y, x)        # (z, y, x) cut order
+        self.tolerance = float(tolerance)
+        self.maxiter = max(int(maxiter), 1)
         _sys().register_updater(self)
 
     def update(self, system, timestep):
-        pass
+        fast = (system._program or {}).get('fast') \
+            if system._program else None
+        if not fast or fast.get('flavor') != 'dd':
+            return
+        from .parallel.fastdd import balance_cuts, shard_imbalance
+        dd_shape = fast['dd_shape']
+        grid = fast['grid']
+        box = system.state.box
+        frac = np.asarray(box.make_fraction(system.state.pos))
+        frac = frac - np.floor(frac)
+        cuts = getattr(system, '_dd_cuts', None)
+        if cuts is None:
+            cuts = tuple(
+                np.linspace(0.0, 1.0, g + 1, dtype=np.float32)
+                for g in grid)
+        for _ in range(self.maxiter):
+            if shard_imbalance(frac, dd_shape, cuts) + 1.0 \
+                    <= self.tolerance:
+                break
+            new = balance_cuts(frac, dd_shape, grid,
+                               np.asarray(box.L), fast['rcut'],
+                               cuts=cuts,
+                               skin_floor=fast.get('r_buff', 0.4) / 2)
+            cuts = tuple(n if en else c for n, c, en
+                         in zip(new, cuts, self.enable_axes))
+        system._dd_cuts = cuts
+        # invalidate the carry (state was just materialized above) and
+        # repack dyn so the new cuts reach the step program
+        system.state = system.state
+        system._params_dirty = True
