@@ -223,6 +223,13 @@ class GSDFile:
                                       typ, 0))
             self._entries.append((frame_, N, loc, M, nid, typ))
         self._pending = []
+        # write-through at frame boundaries: gsd.c uses unbuffered
+        # write() syscalls, so a reference reader (or a crash-recovery
+        # restart) sees every completed frame immediately; Python's
+        # userspace buffer would otherwise hold the small index-entry
+        # writes while the bulk data (large writes bypass the buffer)
+        # is already on disk — a torn file to any concurrent reader
+        self.flush()
 
     def flush(self):
         if self.mode != 'r':
