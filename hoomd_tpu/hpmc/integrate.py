@@ -25,6 +25,8 @@ average, matching the reference's nselect semantics.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .. import context
@@ -650,9 +652,206 @@ class mode_hpmc:
                 0, n_sub, body, (state, counters))
             return state.replace(timestep=state.timestep + 1), counters
 
+        # -- dense cell-major sweep --------------------------------------
+        # The gather-path sub_sweep re-bins all N particles and pays
+        # (csize, 27*cell_cap) index+position GATHERS every sub-sweep —
+        # serial element loads on TPU, the same pathology the MD fast
+        # engine removes.  The dense sweep is the reference GPU's
+        # one-trial-per-active-cell checkerboard
+        # (hpmc/IntegratorHPMCMonoGPU.cuh:124-160) in cell-major form:
+        #   * one sweep = nselect ROUNDS; each round re-bins once and
+        #     visits the 8 parity classes in random order (the GPU
+        #     path's shuffled cell-set order per pass).  Within a round
+        #     each particle moves at most once, so candidate drift is
+        #     <= d and the build-time stencil width diam + 2*d_max
+        #     covers every overlap partner without mid-round re-bins;
+        #   * per sub-sweep the state is ROLLED by the class parity so
+        #     the active cells sit at [::2,::2,::2] — candidate windows
+        #     become 27 static rolls + strided slices (zero gathers),
+        #     occupants line up in the lane dimension;
+        #   * accepted movers write back through a one-hot select into
+        #     the strided block (no scatter).
+        # Overlap tests run on all 27*cell_cap lanes masked by liveness
+        # (compaction would itself need a gather; the VPU is
+        # compute-rich — the MD fast-path lesson).
+        dims_even = all(c % 2 == 0 for c in cell_dim[:dims3])
+        use_dense = (dims3 == 3 and dims_even and not implicit_on
+                     and patch is None and self._external is None
+                     and os.environ.get('HOOMD_TPU_HPMC_DENSE', 'on')
+                     != 'off')
+
+        def one_sweep_dense(state, counters, hdyn):
+            box = state.box
+            nx_, ny_, nz_ = cell_dim
+            hz, hy, hx = nz_ // 2, ny_ // 2, nx_ // 2
+            ncls = hz * hy * hx
+            K27 = 27 * cell_cap
+            pos_pad = jnp.concatenate(
+                [state.pos, jnp.zeros((1, 3), dtype)], axis=0)
+            t_pad = jnp.concatenate(
+                [state.typeid, jnp.zeros((1,), jnp.int32)])
+            quat_pad = jnp.concatenate(
+                [state.orientation,
+                 jnp.asarray([[1.0, 0, 0, 0]], dtype)], axis=0)
+            key0 = step_key(hdyn['seed'], state.timestep, salt=29)
+
+            offs = [(dz, dy, dx) for dz in (-1, 0, 1)
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+            c_center = offs.index((0, 0, 0))
+
+            def one_round(r, carry):
+                state, counters = carry
+                kr = jax.random.fold_in(key0, r)
+                perm = jax.random.permutation(kr, 8)
+                cid, cell_list, cell_ovf = cells_ops.bin_particles(
+                    state.pos, box, cell_dim, cell_cap)
+                g4 = (nz_, ny_, nx_, cell_cap)
+                cidx = cell_list.reshape(g4)
+                cpos = pos_pad[cell_list].reshape(g4 + (3,))
+                ctyp = t_pad[cell_list].reshape(g4)
+                cq = quat_pad[cell_list].reshape(g4 + (4,))
+
+                def sub(s, sc):
+                    cpos, cq, counters = sc
+                    c = perm[s]
+                    pz, py, px = c // 4, (c // 2) % 2, c % 2
+                    sh = (-pz, -py, -px)
+
+                    def rot(a):
+                        return jnp.roll(a, sh, axis=(0, 1, 2))
+
+                    def unrot(a):
+                        return jnp.roll(a, (pz, py, px), axis=(0, 1, 2))
+                    pr = rot(cpos)
+                    qr = rot(cq)
+                    tr = rot(ctyp)
+                    ir = rot(cidx)
+
+                    def act(a):
+                        return a[::2, ::2, ::2]
+                    live_act = act(ir) < N            # (hz,hy,hx,cap)
+                    cnt = jnp.sum(live_act, axis=-1)
+                    ks = jax.random.fold_in(kr, 100 + s)
+                    k_sel, k_move, k_aux = jax.random.split(ks, 3)
+                    u_sel = jax.random.uniform(k_sel, (hz, hy, hx),
+                                               dtype=dtype)
+                    # occupied slots are a contiguous prefix (bin rank)
+                    pick = jnp.minimum((u_sel * cnt).astype(jnp.int32),
+                                       jnp.maximum(cnt - 1, 0))
+                    ohf = (jax.nn.one_hot(pick, cell_cap, dtype=dtype)
+                           * live_act.astype(dtype))  # (hz,hy,hx,cap)
+                    has = cnt > 0
+                    x_old = jnp.sum(act(pr) * ohf[..., None], axis=-2)
+                    q_old = jnp.sum(act(qr) * ohf[..., None], axis=-2)
+                    ti = jnp.sum(act(tr) * ohf.astype(jnp.int32),
+                                 axis=-1)
+                    M = ncls
+                    g = jax.random.normal(k_move, (hz, hy, hx, 3),
+                                          dtype=dtype)
+                    rad = jax.random.uniform(k_aux, (hz, hy, hx),
+                                             dtype=dtype) ** (1.0 / 3.0)
+                    g = g / jnp.maximum(
+                        jnp.linalg.norm(g, axis=-1, keepdims=True),
+                        1e-12)
+                    delta = g * (rad * hdyn['d'][ti])[..., None]
+                    if has_rotation:
+                        k_rot = jax.random.fold_in(k_move, 3)
+                        q_rot, do_rot = trial_rotation(
+                            k_rot, q_old.reshape(M, 4),
+                            ti.reshape(M), None, hdyn)
+                        q_rot = q_rot.reshape(hz, hy, hx, 4)
+                        do_rot = do_rot.reshape(hz, hy, hx)
+                        delta = jnp.where(do_rot[..., None], 0.0, delta)
+                        q_new = jnp.where(do_rot[..., None], q_rot,
+                                          q_old)
+                    else:
+                        do_rot = jnp.zeros((hz, hy, hx), bool)
+                        q_new = q_old
+                    x_new = x_old + delta
+                    x_new, _ = box.wrap(
+                        x_new.reshape(M, 3), jnp.zeros((M, 3), jnp.int32))
+                    x_new = x_new.reshape(hz, hy, hx, 3)
+
+                    # 27-block candidate window: static rolls + strided
+                    # slices (no gathers)
+                    wp, wq, wt, wl = [], [], [], []
+                    for (dz, dy, dx) in offs:
+                        s3 = (-dz, -dy, -dx)
+                        wp.append(act(jnp.roll(pr, s3, axis=(0, 1, 2))))
+                        wq.append(act(jnp.roll(qr, s3, axis=(0, 1, 2))))
+                        wt.append(act(jnp.roll(tr, s3, axis=(0, 1, 2))))
+                        wl.append(act(jnp.roll(ir, s3, axis=(0, 1, 2)))
+                                  < N)
+                    cposw = jnp.concatenate(wp, axis=-2)   # (...,27cap,3)
+                    cqw = jnp.concatenate(wq, axis=-2)
+                    ctw = jnp.concatenate(wt, axis=-1)
+                    clw = jnp.concatenate(wl, axis=-1)
+                    # self lane: slot `pick` of the center (0,0,0) block
+                    lane_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (hz, hy, hx, K27), 3)
+                    self_lane = lane_i == (c_center * cell_cap
+                                           + pick)[..., None]
+                    dr = box.min_image(
+                        (x_new[..., None, :] - cposw).reshape(M, K27, 3))
+                    olap = overlap_fn(
+                        dr, ti.reshape(M, 1), ctw.reshape(M, K27),
+                        state, None, None,
+                        q_i=q_new.reshape(M, 4),
+                        q_j=cqw.reshape(M, K27, 4))
+                    olap &= (clw & ~self_lane).reshape(M, K27)
+                    reject = (jnp.any(olap, axis=1).reshape(hz, hy, hx)
+                              | ~has)
+                    accept = ~reject & has
+
+                    wsel = (ohf > 0.0) & accept[..., None]
+                    blk_p = jnp.where(wsel[..., None],
+                                      x_new[..., None, :], act(pr))
+                    pr = pr.at[::2, ::2, ::2].set(blk_p)
+                    if has_rotation:
+                        blk_q = jnp.where(wsel[..., None],
+                                          q_new[..., None, :], act(qr))
+                        qr = qr.at[::2, ::2, ::2].set(blk_q)
+                    n_acc_t = jnp.sum(accept & ~do_rot)
+                    n_try_t = jnp.sum(has & ~do_rot)
+                    n_acc_r = jnp.sum(accept & do_rot)
+                    n_try_r = jnp.sum(has & do_rot)
+                    counters = dict(counters)
+                    counters['translate_accept'] = \
+                        counters['translate_accept'] + n_acc_t
+                    counters['translate_reject'] = \
+                        counters['translate_reject'] + (n_try_t - n_acc_t)
+                    counters['rotate_accept'] = \
+                        counters['rotate_accept'] + n_acc_r
+                    counters['rotate_reject'] = \
+                        counters['rotate_reject'] + (n_try_r - n_acc_r)
+                    return unrot(pr), unrot(qr), counters
+
+                cpos, cq, counters = jax.lax.fori_loop(
+                    0, 8, sub, (cpos, cq, counters))
+                # write the round's moves back to particle order
+                idx_f = cidx.reshape(nc_cap_total)
+                dst = jnp.where(idx_f < N, idx_f, N)
+                new_pos = state.pos.at[dst].set(
+                    cpos.reshape(nc_cap_total, 3), mode='drop')
+                new_q = state.orientation.at[dst].set(
+                    cq.reshape(nc_cap_total, 4), mode='drop') \
+                    if has_rotation else state.orientation
+                counters = dict(counters)
+                counters['cell_overflow'] = (counters['cell_overflow']
+                                             | cell_ovf)
+                return (state.replace(pos=new_pos, orientation=new_q),
+                        counters)
+
+            nc_cap_total = ncells * cell_cap
+            state, counters = jax.lax.fori_loop(
+                0, self.nselect, one_round, (state, counters))
+            return state.replace(timestep=state.timestep + 1), counters
+
         def run_chunk(state, counters, hdyn, nsteps):
+            sweep = one_sweep_dense if use_dense else one_sweep
+
             def body(_, carry):
-                return one_sweep(*carry, hdyn)
+                return sweep(*carry, hdyn)
             return jax.lax.fori_loop(0, nsteps, body, (state, counters))
 
         def init_counters():

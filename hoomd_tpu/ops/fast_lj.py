@@ -626,6 +626,22 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         only.  Its buffer-overflow flag is sticky on the carry; the
         host retries the segment on the sort path (same protocol as
         capacity overflow)."""
+        if rebin_impl == 'xsel':
+            from .pallas_rebin import cell_rebin_xsel
+            p, v, f, im, t, m, cap_o, lost = cell_rebin_xsel(
+                c.pos, c.vel, c.frc, c.img, c.tag, c.mass,
+                tuple(cell_dim), jnp.asarray(L_np, dtype), C=C)
+            # typ stays: ntypes == 1 (gated by the caller).  Any xsel
+            # failure (transient stage overflow or conservation miss)
+            # makes THIS rebuild unusable: sort-rebuild retry.  It does
+            # NOT imply C is too small — the sort rebuild's own flag
+            # judges that.
+            return c.replace(
+                pos=p, vel=v, img=im, tag=t, mass=m, ref_pos=p, frc=f,
+                rebin_ovf=c.rebin_ovf | cap_o | lost,
+                n_rebuilds=c.n_rebuilds + 1,
+                since=jnp.zeros((), idt),
+                bslots=_slot_groups(t))
         if rebin_impl == 'pallas':
             from .pallas_rebin import cell_rebin_plane
             p, v, f, im, t, m, o = cell_rebin_plane(

@@ -487,6 +487,112 @@ def _kernel_rebin_place(par_ref, c_ref, emp_ref, emm_ref, o_ref, st_ref,
                            jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=('cell_dim', 'C'))
+def cell_rebin_xsel(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
+                    C):
+    """Pure-XLA staged-select rebin: three axis sweeps, each a batched
+    one-hot MATMUL on the MXU.
+
+    Per axis, every cell pulls its new occupants out of the 3C-lane
+    candidate window (own slots + both neighbors', built by jnp.roll);
+    the claim test is the GLOBAL bin index floor((x + L/2)/w) == own
+    index — one value per candidate, identical from every viewing cell,
+    so boundary rounding can never double- or zero-claim.  Compaction
+    rank comes from an exclusive cumsum and placement is
+    P (nc, C, 3C) @ window (nc, 3C, ch): a one-hot matmul, exact in any
+    MXU precision (each output sums exactly one v*1.0 term — bf16x3
+    splitting reconstructs f32 v exactly).  Positions are wrapped once
+    up front (images adjusted), so no seam shifts ride the sweeps.
+
+    Cost at 64k/C=40: ~3 x (window ~20MB + P ~50MB) of HBM traffic and
+    ~200M MACs — well under 1 ms vs the Mosaic plane-local kernel's
+    2.3 ms (latency-bound small-op chains) and the 12-operand sort's
+    ~1.8 ms.
+
+    Intermediate stages carry C + 16 slots: the staged re-bin resolves
+    one axis at a time, so a cell's occupancy after the x or y stage
+    transiently holds particles whose remaining axes still point
+    elsewhere and can exceed the final-equilibrium C (seen at melt
+    transients).  The final stage compacts back to C.
+
+    Returns (pos', vel', frc', img', tag', mass', cap_ovf, lost):
+    cap_ovf = a stage claimed more slots than its capacity (transient
+    or final); lost = slot conservation failed (a particle out-ran the
+    one-cell drift bound).  Both mean THIS rebuild is unusable — the
+    caller retries the segment on the sort rebuild; neither implies the
+    steady-state capacity C is wrong."""
+    nx, ny, nz = cell_dim
+    nc = nx * ny * nz
+    dtp = pos.dtype
+    itp = tag.dtype
+    L = jnp.asarray(box_L, dtp)
+
+    # wrap once; compute per-slot global bin targets
+    half = 0.5 * L
+    shift = jnp.floor((pos + half) / L)
+    pos_w = pos - shift * L
+    img_w = img + shift.astype(itp)
+    live = (tag >= 0)
+    tgt = jnp.clip(jnp.floor((pos_w + half) / L
+                             * jnp.asarray([nx, ny, nz], dtp)),
+                   0, jnp.asarray([nx - 1, ny - 1, nz - 1], dtp))
+
+    # channel matrix (nz, ny, nx, C, ch):
+    # pos3 vel3 frc3 img3 tag mass tx ty tz
+    def g(a):
+        return a.reshape(nz, ny, nx, C)
+    cols = jnp.stack(
+        [g(pos_w[:, :, 0]), g(pos_w[:, :, 1]), g(pos_w[:, :, 2]),
+         g(vel[:, :, 0]), g(vel[:, :, 1]), g(vel[:, :, 2]),
+         g(frc[:, :, 0]), g(frc[:, :, 1]), g(frc[:, :, 2]),
+         g(img_w[:, :, 0].astype(dtp)), g(img_w[:, :, 1].astype(dtp)),
+         g(img_w[:, :, 2].astype(dtp)),
+         g(tag.astype(dtp)), g(mass),
+         g(tgt[:, :, 0]), g(tgt[:, :, 1]), g(tgt[:, :, 2])], axis=-1)
+    CH = cols.shape[-1]
+    CT, CTX = 12, 14                       # tag channel, target-x channel
+    fill = jnp.zeros((CH,), dtp)
+    fill = fill.at[0].set(PAD_COORD).at[1].set(PAD_COORD) \
+        .at[2].set(PAD_COORD).at[CT].set(-1.0).at[13].set(1.0)
+
+    cap_ovf = jnp.zeros((), bool)
+    n_live0 = jnp.sum(live)
+    Cmid = C + 16
+
+    for arr_axis, n_ax, t_ch, out_cap in (
+            (2, nx, CTX, Cmid), (1, ny, CTX + 1, Cmid),
+            (0, nz, CTX + 2, C)):
+        lanes = 3 * cols.shape[3]
+        win = jnp.concatenate(
+            [jnp.roll(cols, 1, axis=arr_axis), cols,
+             jnp.roll(cols, -1, axis=arr_axis)], axis=3)
+        io = jax.lax.broadcasted_iota(
+            jnp.int32, win.shape[:3], arr_axis).astype(dtp)[..., None]
+        claim = (win[..., CT] >= 0.0) & (win[..., t_ch] == io)
+        cf = claim.astype(dtp)
+        rank = jnp.cumsum(cf, axis=-1) - cf           # exclusive
+        cap_ovf = cap_ovf | jnp.any(cf * rank >= out_cap)
+        sio = jax.lax.broadcasted_iota(
+            jnp.int32, win.shape[:3] + (out_cap, lanes), 3).astype(dtp)
+        P = cf[..., None, :] * (rank[..., None, :] == sio).astype(dtp)
+        out = jnp.einsum('zyxcl,zyxlk->zyxck', P, win,
+                         preferred_element_type=dtp)
+        got = jnp.einsum('zyxcl->zyxc', P) > 0.5
+        cols = jnp.where(got[..., None], out, fill)
+
+    lost = jnp.sum(cols[..., CT] >= 0.0) != n_live0
+
+    def u3(i0):
+        return cols[..., i0:i0 + 3].reshape(nc, C, 3)
+    pos2 = u3(0)
+    vel2 = u3(3)
+    frc2 = u3(6)
+    img2 = u3(9).astype(itp)
+    tag2 = cols[..., CT].reshape(nc, C).astype(itp)
+    mass2 = cols[..., 13].reshape(nc, C)
+    return pos2, vel2, frc2, img2, tag2, mass2, cap_ovf, lost
+
+
 @functools.partial(jax.jit,
                    static_argnames=('cell_dim', 'C', 'E', 'interpret',
                                     'variant'))

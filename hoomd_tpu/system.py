@@ -518,6 +518,7 @@ class System:
         if abs(dt - k_dt) > 0.25 * max(k_dt, 1e-12):
             self._grow.pop('fast_m', None)
             self._grow.pop('fast_m_ceil', None)
+            self._grow.pop('fast_m_pinned', None)
             self._grow.pop('fast_k_cap', None)
             self._grow.pop('fast_k_grown', None)
             self._grow.pop('fast_k_grow_block', None)
@@ -541,13 +542,17 @@ class System:
         # integer payload hold; the rebin_ovf sticky flag + segment
         # retry (below) falls back to the sort on buffer overflow
         rebin_impl = 'sort'
+        env_rebin = os.environ.get('HOOMD_TPU_REBIN', 'on')
         if (ntypes == 1 and N < (1 << 23)
                 and min(cell_dim) >= 3
                 and self.real_dtype == _jnp.float32
                 and impl in ('plane', 'planar', 'planar_n3l')
                 and not self._grow.get('fast_rebin_sort')
-                and os.environ.get('HOOMD_TPU_REBIN', 'on') != 'off'):
-            rebin_impl = 'pallas'
+                and env_rebin != 'off'):
+            # default: the staged one-hot-matmul XLA rebin (MXU,
+            # ~0.4 ms at 64k vs the Mosaic plane kernel's 2.3 ms);
+            # HOOMD_TPU_REBIN=pallas keeps the old kernel for A/B
+            rebin_impl = 'pallas' if env_rebin == 'pallas' else 'xsel'
         # emigrant-buffer width: 8 covers the drift bound with a wide
         # margin at liquid densities (measured E=8 rebin ~2x faster
         # than E=16); the rebin_ovf retry widens it to 16 once before
@@ -631,6 +636,7 @@ class System:
         if abs(dt - k_dt) > 0.25 * max(k_dt, 1e-12):
             self._grow.pop('fast_m', None)
             self._grow.pop('fast_m_ceil', None)
+            self._grow.pop('fast_m_pinned', None)
             self._grow.pop('fast_clean_segs', None)
         k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
         k_rebuild = next((q for q in (8, 6, 4, 3, 2, 1)
@@ -774,6 +780,7 @@ class System:
             self._grow.pop('fast_k_cap', None)
             self._grow.pop('fast_m', None)
             self._grow.pop('fast_m_ceil', None)
+            self._grow.pop('fast_m_pinned', None)
             self._grow.pop('fast_k_grown', None)
             self._grow.pop('fast_k_grow_block', None)
             self._grow.pop('fast_clean_segs', None)
@@ -851,8 +858,27 @@ class System:
                     # little work.
                     clean = self._grow.get('fast_clean_segs', 0) + 1
                     self._grow['fast_clean_segs'] = clean
+                    # temporary sort-rebuild fallback after an xsel
+                    # failure (melt transients): re-enable xsel once
+                    # the system has run clean for a while
+                    xr = self._grow.get('fast_xsel_retry')
+                    if xr:
+                        if xr <= 1:
+                            self._grow.pop('fast_xsel_retry', None)
+                            self._grow.pop('fast_rebin_sort', None)
+                            self._rebuild_program()
+                            self._pack_dyn()
+                        else:
+                            self._grow['fast_xsel_retry'] = xr - 1
                     if ceil_m < 64 and m_now >= ceil_m and clean >= 4:
-                        ceil_m = min(ceil_m * 2, 64)
+                        # danger pinned the ceiling at a MEASURED edge:
+                        # re-probe one window at a time (a doubling
+                        # probe from a pinned edge nearly always re-hits
+                        # danger and redoes the segment — measured as
+                        # the 0.99 vs 1.19 ms/step steady-state split)
+                        ceil_m = min(ceil_m + 1, 64) \
+                            if self._grow.get('fast_m_pinned') \
+                            else min(ceil_m * 2, 64)
                         self._grow['fast_m_ceil'] = ceil_m
                         self._grow['fast_clean_segs'] = 0
                         seg_cap = 512
@@ -922,6 +948,19 @@ class System:
                         # per-axis packed-buffer capacity
                         self._grow['fast_dd_G'] = \
                             int(fast.get('mig_G', 64)) * 2
+                    elif self._program['fast'].get('rebin_impl') \
+                            == 'xsel':
+                        # xsel transient-stage overflow or conservation
+                        # miss: retry the segment on the sort rebuild.
+                        # Melt transients cause this legitimately, so
+                        # re-enable xsel after 8 clean segments (up to
+                        # 3 times; then sort for good)
+                        fails = self._grow.get('fast_xsel_fails', 0) + 1
+                        self._grow['fast_xsel_fails'] = fails
+                        self._grow['fast_rebin_sort'] = True
+                        self._grow.pop('fast_xsel_retry', None)
+                        if fails <= 3:
+                            self._grow['fast_xsel_retry'] = 8
                     # plane-local rebin buffers overflowed (heavy local
                     # density churn): widen the emigrant buffers once
                     # (E 8 -> 16 costs ~2x rebin time, measured), then
@@ -934,11 +973,15 @@ class System:
                     need_rebuild = True
                 if dng:
                     if m_now > 1:
-                        # halve the cadence (traced operand, free) and
-                        # pin the ceiling so optimistic growth never
-                        # re-probes past the measured danger point
-                        self._grow['fast_m'] = max(m_now // 2, 1)
-                        self._grow['fast_m_ceil'] = max(m_now // 2, 1)
+                        # back off ONE window (the danger edge is
+                        # usually just past the last clean cadence —
+                        # halving overshoots and the doubling re-probe
+                        # re-hits danger, an oscillation that cost ~20%
+                        # steady-state throughput) and pin the ceiling
+                        # so optimistic growth re-probes gently
+                        self._grow['fast_m'] = max(m_now - 1, 1)
+                        self._grow['fast_m_ceil'] = max(m_now - 1, 1)
+                        self._grow['fast_m_pinned'] = True
                         self._grow['fast_clean_segs'] = 0
                     elif self._grow.get('fast_k_grown'):
                         # revert the opportunistic k growth first: the

@@ -78,7 +78,7 @@ def _oracle(pos, vel, frc, img, tag, mass, cell_dim, L):
     return out
 
 
-@pytest.mark.parametrize('variant', ['select', 'grid'])
+@pytest.mark.parametrize('variant', ['select', 'grid', 'xsel'])
 @pytest.mark.parametrize('cell_dim,C,fill', [((4, 4, 4), 24, (6, 10)),
                                              ((5, 3, 4), 32, (10, 14)),
                                              ((3, 3, 3), 24, (4, 8))])
@@ -90,11 +90,19 @@ def test_rebin_matches_oracle(cell_dim, C, fill, variant):
         rng, cell_dim, C, L, *fill)
     exp = _oracle(pos, vel, frc, img, tag, mass, cell_dim, L)
 
-    p2, v2, f2, i2, t2, m2, ovf = cell_rebin_plane(
-        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(frc),
-        jnp.asarray(img), jnp.asarray(tag), jnp.asarray(mass),
-        cell_dim, jnp.asarray(L, jnp.float32), C=C, E=8,
-        interpret=True, variant=variant)
+    if variant == 'xsel':
+        from hoomd_tpu.ops.pallas_rebin import cell_rebin_xsel
+        p2, v2, f2, i2, t2, m2, cap_ovf, lost = cell_rebin_xsel(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(frc),
+            jnp.asarray(img), jnp.asarray(tag), jnp.asarray(mass),
+            cell_dim, jnp.asarray(L, jnp.float32), C=C)
+        ovf = cap_ovf | lost
+    else:
+        p2, v2, f2, i2, t2, m2, ovf = cell_rebin_plane(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(frc),
+            jnp.asarray(img), jnp.asarray(tag), jnp.asarray(mass),
+            cell_dim, jnp.asarray(L, jnp.float32), C=C, E=8,
+            interpret=True, variant=variant)
     p2, v2, f2, i2, t2, m2 = map(np.asarray, (p2, v2, f2, i2, t2, m2))
     assert not bool(ovf)
 
