@@ -162,6 +162,20 @@ class pppm(Force):
         from .._config import int_dtype
         Nx, Ny, Nz = self.mesh
         order = self.order
+        # distributed k-space solve: XLA's sharded jnp.fft.fftn inserts
+        # a full-mesh ALL-GATHER and transforms redundantly on every
+        # device (HLO-verified); when the mesh divides the grid, use the
+        # slab-decomposed transform (local 2-D FFTs + one all_to_all
+        # transpose each way — the reference's dfftlib pencil scheme,
+        # PPPMForceCompute.h:185-186) via ops/dfft
+        from ..ops.dfft import make_slab_fft, slab_ok
+        mesh = system._mesh()
+        if slab_ok(mesh, 'domain', Nx, Ny):
+            _fftn, _ifftn = make_slab_fft(mesh, 'domain')
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            _x_shard = NamedSharding(mesh, _P('domain'))
+        else:
+            _fftn, _ifftn, _x_shard = jnp.fft.fftn, jnp.fft.ifftn, None
         # exclusion corrections: the k-space sum includes every pair, so
         # excluded pairs must have the full erf(kappa r)/r part removed
         # (reference PPPMForceCompute exclusion fixups)
@@ -205,7 +219,10 @@ class pppm(Force):
             rho = rho.reshape(Nx, Ny, Nz)
 
             # -- k-space solve --------------------------------------------
-            rho_k = jnp.fft.fftn(rho)
+            if _x_shard is not None:
+                import jax as _jax
+                rho = _jax.lax.with_sharding_constraint(rho, _x_shard)
+            rho_k = _fftn(rho)
             kx = (2.0 * jnp.pi / L[0]) * mx
             ky = (2.0 * jnp.pi / L[1]) * my
             kz = (2.0 * jnp.pi / L[2]) * mz
@@ -221,7 +238,7 @@ class pppm(Force):
             phi_k = green * rho_k
 
             # potential at particles (for per-particle energy)
-            phi = jnp.real(jnp.fft.ifftn(phi_k)) * (Nx * Ny * Nz)
+            phi = jnp.real(_ifftn(phi_k)) * (Nx * Ny * Nz)
             phi_flat = phi.reshape(-1)
             phi_i = jnp.sum(phi_flat[flat_idx] * flat_w, axis=1)
             pe = 0.5 * q * phi_i
@@ -231,9 +248,9 @@ class pppm(Force):
             Eyk = -1j * ky[None, :, None] * phi_k
             Ezk = -1j * kz[None, None, :] * phi_k
             scale = Nx * Ny * Nz
-            Ex = jnp.real(jnp.fft.ifftn(Exk)) * scale
-            Ey = jnp.real(jnp.fft.ifftn(Eyk)) * scale
-            Ez = jnp.real(jnp.fft.ifftn(Ezk)) * scale
+            Ex = jnp.real(_ifftn(Exk)) * scale
+            Ey = jnp.real(_ifftn(Eyk)) * scale
+            Ez = jnp.real(_ifftn(Ezk)) * scale
             Exi = jnp.sum(Ex.reshape(-1)[flat_idx] * flat_w, axis=1)
             Eyi = jnp.sum(Ey.reshape(-1)[flat_idx] * flat_w, axis=1)
             Ezi = jnp.sum(Ez.reshape(-1)[flat_idx] * flat_w, axis=1)
