@@ -575,8 +575,16 @@ def cell_rebin_xsel(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
         sio = jax.lax.broadcasted_iota(
             jnp.int32, win.shape[:3] + (out_cap, lanes), 3).astype(dtp)
         P = cf[..., None, :] * (rank[..., None, :] == sio).astype(dtp)
+        # precision HIGH (bf16x3) is REQUIRED for exactness on the MXU:
+        # the default single-pass bf16 truncates the f32 payload (tags
+        # above 2^8 round; positions quantize to 8 mantissa bits —
+        # observed as catastrophic carry corruption on TPU, invisible
+        # on CPU which ignores precision).  bf16x3 splits each f32
+        # exactly into three bf16 terms, so one-hot x value sums
+        # reproduce the f32 payload bit-exactly.
         out = jnp.einsum('zyxcl,zyxlk->zyxck', P, win,
-                         preferred_element_type=dtp)
+                         preferred_element_type=dtp,
+                         precision=jax.lax.Precision.HIGH)
         got = jnp.einsum('zyxcl->zyxc', P) > 0.5
         cols = jnp.where(got[..., None], out, fill)
 

@@ -488,6 +488,12 @@ class System:
         ntypes = len(self.particle_types)
         if ntypes > 1 and impl in ('pallas', 'pallas3d', 'row'):
             return None
+        if 3 * C > 128 and impl in ('plane', 'planar', 'planar_n3l'):
+            # a capacity grow pushed the j-window past one (8,128) lane
+            # tile: the Mosaic kernels register-spill past VMEM at 2-3
+            # tiles (measured fatal compile OOM).  The XLA formulation
+            # is shape-agnostic — slower, but it keeps the run alive.
+            impl = 'xla'
         pnames = tuple(sorted(
             f._pack_params(self)['tables'].keys())) + ('rcut',)
         # rebuild window: steps for the fastest particle to cross half
@@ -831,6 +837,11 @@ class System:
                 ovf = bool(fl[0] > 0.5)
                 dng = bool(fl[1] > 0.5)
                 rbo = bool(fl[2] > 0.5)
+                if dbg and (ovf or dng or rbo):
+                    print(f"[fast] flags ovf={ovf} dng={dng} rbo={rbo} "
+                          f"wmax={float(fl[3]):.4g} "
+                          f"rebin={fast.get('rebin_impl')} "
+                          f"C={fast.get('C')}", flush=True)
                 if not (ovf or dng or rbo):
                     self._fast_carry = carry
                     self._fast_state_stale = True
