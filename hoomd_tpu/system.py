@@ -525,6 +525,7 @@ class System:
             self._grow.pop('fast_m', None)
             self._grow.pop('fast_m_ceil', None)
             self._grow.pop('fast_m_pinned', None)
+            self._grow.pop('fast_m_probe_fails', None)
             self._grow.pop('fast_k_cap', None)
             self._grow.pop('fast_k_grown', None)
             self._grow.pop('fast_k_grow_block', None)
@@ -643,6 +644,7 @@ class System:
             self._grow.pop('fast_m', None)
             self._grow.pop('fast_m_ceil', None)
             self._grow.pop('fast_m_pinned', None)
+            self._grow.pop('fast_m_probe_fails', None)
             self._grow.pop('fast_clean_segs', None)
         k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
         k_rebuild = next((q for q in (8, 6, 4, 3, 2, 1)
@@ -787,6 +789,7 @@ class System:
             self._grow.pop('fast_m', None)
             self._grow.pop('fast_m_ceil', None)
             self._grow.pop('fast_m_pinned', None)
+            self._grow.pop('fast_m_probe_fails', None)
             self._grow.pop('fast_k_grown', None)
             self._grow.pop('fast_k_grow_block', None)
             self._grow.pop('fast_clean_segs', None)
@@ -881,12 +884,19 @@ class System:
                             self._pack_dyn()
                         else:
                             self._grow['fast_xsel_retry'] = xr - 1
-                    if ceil_m < 64 and m_now >= ceil_m and clean >= 4:
+                    if (ceil_m < 64 and m_now >= ceil_m and clean >= 4
+                            and self._grow.get('fast_m_probe_fails', 0)
+                            < 2):
                         # danger pinned the ceiling at a MEASURED edge:
                         # re-probe one window at a time (a doubling
                         # probe from a pinned edge nearly always re-hits
                         # danger and redoes the segment — measured as
-                        # the 0.99 vs 1.19 ms/step steady-state split)
+                        # the 0.99 vs 1.19 ms/step steady-state split).
+                        # After TWO failed probes of the same edge, stop
+                        # probing for good: the edge is physics (skin /
+                        # drift), and each failed probe redoes a whole
+                        # segment (measured ~15% steady-state loss from
+                        # endless 2<->3 thrash)
                         ceil_m = min(ceil_m + 1, 64) \
                             if self._grow.get('fast_m_pinned') \
                             else min(ceil_m * 2, 64)
@@ -990,6 +1000,13 @@ class System:
                         # re-hits danger, an oscillation that cost ~20%
                         # steady-state throughput) and pin the ceiling
                         # so optimistic growth re-probes gently
+                        if self._grow.get('fast_m_pinned'):
+                            # a re-probe of an already-measured edge
+                            # failed again: count toward the 2-strike
+                            # probe stop
+                            self._grow['fast_m_probe_fails'] = \
+                                self._grow.get('fast_m_probe_fails',
+                                               0) + 1
                         self._grow['fast_m'] = max(m_now - 1, 1)
                         self._grow['fast_m_ceil'] = max(m_now - 1, 1)
                         self._grow['fast_m_pinned'] = True
@@ -1065,10 +1082,23 @@ class System:
 
         N = self.state.N
         nshard = mesh.devices.size
+        # MPCD solvent arrays (mpcd aux pos/vel, (N_solvent, 3)) shard
+        # over the same particle axis: the solvent's bin/scatter-add
+        # collision math is data-parallel over solvent particles, the
+        # reference's mpcd::Communicator role collapsing into GSPMD
+        # collectives (reference mpcd/Communicator.h)
+        lead_ok = {N} if N % nshard == 0 else set()
+        mm = getattr(self, '_mpcd_method', None)
+        if mm is not None:
+            aux = self._method_aux_by_obj.get(mm)
+            if aux and 'pos' in aux and hasattr(aux['pos'], 'shape'):
+                ns = aux['pos'].shape[0]
+                if ns % nshard == 0:
+                    lead_ok.add(ns)
 
         def spec_for(leaf):
             if (hasattr(leaf, 'ndim') and leaf.ndim >= 1
-                    and leaf.shape[0] == N and N % nshard == 0):
+                    and leaf.shape[0] in lead_ok):
                 return NamedSharding(
                     mesh, P('domain', *([None] * (leaf.ndim - 1))))
             return NamedSharding(mesh, P())   # replicate small leaves

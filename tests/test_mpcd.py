@@ -116,3 +116,38 @@ def test_mpcd_thermo_log_quantities():
     T = lg.query('mpcd_temperature')
     assert 0.7 < T < 1.3
     assert lg.query('mpcd_ke') > 0
+
+
+def test_srd_multidevice_parity():
+    """MPCD beyond a single chip: solvent arrays shard over the
+    'domain' mesh axis (the reference's mpcd::Communicator role
+    collapsed into GSPMD collectives, mpcd/Communicator.h); an
+    8-device run must reproduce the single-device trajectory."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import md, mpcd
+
+    def run_once(args):
+        hoomd.context.initialize(args)
+        snap = hoomd.data.make_snapshot(
+            8, hoomd.data.boxdim(L=8.0), particle_types=['A'])
+        rng = np.random.RandomState(0)
+        snap.particles.position[:] = (rng.rand(8, 3) - 0.5) * 6.0
+        snap.particles.velocity[:] = rng.normal(0, 1.0, (8, 3))
+        hoomd.init.read_snapshot(snap)
+        mpcd.init.make_random(N=4096, kT=1.0, seed=3)
+        system = hoomd.context.current.system
+        mpcd.integrator(dt=0.01)
+        mpcd.stream.bulk(period=1)
+        srd = mpcd.collide.srd(seed=7, period=1, angle=130.0)
+        srd.embed(hoomd.group.all())
+        md.integrate.nve(group=hoomd.group.all())
+        hoomd.run(10, quiet=True)
+        aux = system._method_aux_by_obj[system._mpcd_method]
+        return (np.asarray(aux['pos']), np.asarray(aux['vel']),
+                np.asarray(system.state.pos))
+
+    p8, v8, md8 = run_once('--nrank=8 --notice-level=0')
+    p1, v1, md1 = run_once('--notice-level=0')
+    np.testing.assert_allclose(p8, p1, atol=1e-4)
+    np.testing.assert_allclose(v8, v1, atol=1e-4)
+    np.testing.assert_allclose(md8, md1, atol=1e-4)
