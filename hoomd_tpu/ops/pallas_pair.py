@@ -1363,7 +1363,7 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 1)
     isub = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 0)
-    not_self = (lane != C + isub).astype(jnp.float32)  # (C, 3C)
+    not_self = lane != C + isub                        # (C, 3C) bool
 
     xi_x = drift[0][0][y0:y0 + yb][:, :, :, None]   # (yb, nx, C, 1)
     xi_y = drift[0][1][y0:y0 + yb][:, :, :, None]
@@ -1415,11 +1415,14 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
             dry = xi_y - jyw[:, :, None, :]
             drz = xi_z - jzw[:, :, None, :]
             r2 = drx * drx + dry * dry + drz * drz
-            r2s = jnp.maximum(r2, 1e-3)
             cut = r2 < rc2
-            fdivr = jnp.where(cut, energy_force(r2s), 0.0)
             if dz == 0 and dy == 0:
-                fdivr = fdivr * not_self[None, None]
+                # mask the self pair in the CUT (a select, not a
+                # multiply): energy_force(0) may be inf, but a select
+                # never propagates it — this drops the r2 clamp that
+                # previously cost one extra max per candidate lane
+                cut = cut & not_self[None, None]
+            fdivr = jnp.where(cut, energy_force(r2), 0.0)
             Px = Px + fdivr * drx
             Py = Py + fdivr * dry
             Pz = Pz + fdivr * drz
@@ -1994,8 +1997,26 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
             jax.lax.fori_loop(
                 0, nz, lambda iz, _: (force_plane(iz), 0.0)[1],
                 0.0, unroll=False)
-        else:
+        elif unroll_z is True:
             for iz in range(nz):
+                force_plane(iz)
+        else:
+            # partial unroll: u force bodies per loop iteration —
+            # recovers most of the per-iteration loop machinery of the
+            # rolled loop at a bounded Mosaic compile size (full unroll
+            # at production grids is a compile bomb, and Mosaic's
+            # fori_loop lowering only supports unroll=1 or full, so the
+            # unroll is spelled manually: a rolled outer loop whose
+            # body visits u planes at static offsets)
+            u = max(1, min(int(unroll_z), nz))
+
+            def _ubody(i, _):
+                base = i * u
+                for j in range(u):
+                    force_plane(base + j)
+                return 0.0
+            jax.lax.fori_loop(0, nz // u, _ubody, 0.0, unroll=False)
+            for iz in range(nz - nz % u, nz):   # static remainder
                 force_plane(iz)
         # kick (+ thermostat post-scale and KE for the next step)
         vn = vo_ref[...] + hdt * fo_ref[...] * w[None]
@@ -2054,20 +2075,12 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
     nx, ny, nz = cell_dim
     nc = nx * ny * nz
     dtp = pos.dtype
-    if unroll_z is None:
-        # the unrolled z loop is ~15% faster per step but its Mosaic
-        # compile time grows superlinearly in nz * ceil(ny/YB) force
-        # bodies — beyond ~16 bodies the compile takes tens of minutes
-        # (a compile bomb) for a 15% step gain that a persistent cache
-        # only amortizes for repeat runs.  HOOMD_TPU_MEGA_UNROLL
-        # overrides the heuristic ('on'/'off').
-        import os as _os
-        env = _os.environ.get('HOOMD_TPU_MEGA_UNROLL', 'auto')
-        if env in ('on', 'off'):
-            unroll_z = env == 'on'
-        else:
-            unroll_z = nz * -(-ny // min(ny, 7)) <= 16
-
+    # unroll_z=None defers to cell_megastep_planes' heuristic: full
+    # unroll is ~15% faster per step but its Mosaic compile grows
+    # superlinearly in nz * ceil(ny/YB) force bodies (a compile bomb
+    # beyond ~16); a partial-unroll factor (int) recovers most of the
+    # gain at bounded compile size.  HOOMD_TPU_MEGA_UNROLL overrides
+    # ('on'/'off'/<int factor>).
     def planes(a):
         return jnp.transpose(a.reshape(nz, ny, nx, C, 3), (4, 0, 1, 2, 3))
     gp, gv, gf = planes(pos), planes(vel), planes(frc)
@@ -2115,8 +2128,15 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
         env = _os.environ.get('HOOMD_TPU_MEGA_UNROLL', 'auto')
         if env in ('on', 'off'):
             unroll_z = env == 'on'
+        elif env.lstrip('-').isdigit():
+            unroll_z = int(env)           # partial unroll factor
+        elif nz * -(-ny // min(ny, 7)) <= 16:
+            unroll_z = True
         else:
-            unroll_z = nz * -(-ny // min(ny, 7)) <= 16
+            # partial unroll sized to ~8 force bodies per iteration:
+            # most of the full unroll's ~15% step gain at a compile
+            # size Mosaic handles in minutes, not tens of minutes
+            unroll_z = max(2, 8 // -(-ny // min(ny, 7)))
 
     Lx = cell_shift[nc - 1, 26, 0]
     Ly = cell_shift[nc - 1, 26, 1]

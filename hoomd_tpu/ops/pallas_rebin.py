@@ -488,6 +488,96 @@ def _kernel_rebin_place(par_ref, c_ref, emp_ref, emm_ref, o_ref, st_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('cell_dim', 'C'))
+def _xsel_stages(cols, cell_dim, L, half, C, n_live0):
+    """The three staged axis selects shared by the (nc, C)-layout and
+    plane-layout xsel entry points.  cols (nz, ny, nx, C, 14) channel
+    matrix: pos3 vel3 frc3 img3 tag mass.  Returns (cols', cap_ovf,
+    lost)."""
+    nx, ny, nz = cell_dim
+    dtp = cols.dtype
+    CT = 12                                # tag channel
+    fill = jnp.zeros((14,), dtp)
+    fill = fill.at[0].set(PAD_COORD).at[1].set(PAD_COORD) \
+        .at[2].set(PAD_COORD).at[CT].set(-1.0).at[13].set(1.0)
+    cap_ovf = jnp.zeros((), bool)
+    Cmid = C + 16
+
+    for arr_axis, n_ax, p_ch, out_cap in (
+            (2, nx, 0, Cmid), (1, ny, 1, Cmid), (0, nz, 2, C)):
+        lanes = 3 * cols.shape[3]
+        win = jnp.concatenate(
+            [jnp.roll(cols, 1, axis=arr_axis), cols,
+             jnp.roll(cols, -1, axis=arr_axis)], axis=3)
+        io = jax.lax.broadcasted_iota(
+            jnp.int32, win.shape[:3], arr_axis).astype(dtp)[..., None]
+        # candidate's target bin along this axis, from its position:
+        # the same global floor from every viewing cell — no seam
+        # arithmetic, no double-claim boundary risk
+        tband = jnp.clip(jnp.floor((win[..., p_ch] + half[p_ch])
+                                   / L[p_ch] * n_ax), 0, n_ax - 1)
+        claim = (win[..., CT] >= 0.0) & (tband == io)
+        cf = claim.astype(dtp)
+        rank = jnp.cumsum(cf, axis=-1) - cf           # exclusive
+        nclaim = jnp.sum(cf, axis=-1)                 # per-cell count
+        cap_ovf = cap_ovf | (jnp.max(nclaim) > out_cap)
+        sio = jax.lax.broadcasted_iota(
+            jnp.int32, win.shape[:3] + (out_cap, lanes), 3).astype(dtp)
+        P = cf[..., None, :] * (rank[..., None, :] == sio).astype(dtp)
+        # precision HIGH (bf16x3) is REQUIRED for exactness on the MXU:
+        # the default single-pass bf16 truncates the f32 payload (tags
+        # above 2^8 round; positions quantize to 8 mantissa bits —
+        # observed as catastrophic carry corruption on TPU, invisible
+        # on CPU which ignores precision).  bf16x3 splits each f32
+        # exactly into three bf16 terms, so one-hot x value sums
+        # reproduce the f32 payload bit-exactly.
+        out = jnp.einsum('zyxcl,zyxlk->zyxck', P, win,
+                         preferred_element_type=dtp,
+                         precision=jax.lax.Precision.HIGH)
+        # slot ck received a candidate iff ck < n_claims (ranks are the
+        # dense 0..n-1) — no second reduction over P needed
+        cio = jax.lax.broadcasted_iota(
+            jnp.int32, win.shape[:3] + (out_cap,), 3).astype(dtp)
+        got = cio < nclaim[..., None]
+        cols = jnp.where(got[..., None], out, fill)
+
+    lost = jnp.sum(cols[..., CT] >= 0.0) != n_live0
+    return cols, cap_ovf, lost
+
+
+def cell_rebin_xsel_planes(gp, gv, gf, gim, gtag, gmass, cell_dim,
+                           box_L, *, C):
+    """Plane-layout xsel rebin for the plane-resident rebuild cycle:
+    gp/gv/gf (3, nz, ny, nx, C) f32 component planes, gim same shape
+    int, gtag/gmass (nz, ny, nx, C).  Identical staged selects as
+    cell_rebin_xsel but with NO layout transposes on either side — the
+    megastep kernel's plane state feeds straight in and out.
+
+    Returns (gp', gv', gf', gim', gtag', gmass', cap_ovf, lost)."""
+    dtp = gp.dtype
+    itp = gtag.dtype
+    L = jnp.asarray(box_L, dtp)
+    half = 0.5 * L
+    Lb = L.reshape(3, 1, 1, 1, 1)
+    hb = half.reshape(3, 1, 1, 1, 1)
+    shift = jnp.floor((gp + hb) / Lb)
+    gp_w = gp - shift * Lb
+    gim_w = gim + shift.astype(itp)
+    cols = jnp.stack(
+        [gp_w[0], gp_w[1], gp_w[2], gv[0], gv[1], gv[2],
+         gf[0], gf[1], gf[2],
+         gim_w[0].astype(dtp), gim_w[1].astype(dtp),
+         gim_w[2].astype(dtp),
+         gtag.astype(dtp), gmass], axis=-1)
+    cols, cap_ovf, lost = _xsel_stages(cols, cell_dim, L, half, C,
+                                       jnp.sum(gtag >= 0))
+
+    def s3(i0):
+        return jnp.stack([cols[..., i0], cols[..., i0 + 1],
+                          cols[..., i0 + 2]])
+    return (s3(0), s3(3), s3(6), s3(9).astype(itp),
+            cols[..., 12].astype(itp), cols[..., 13], cap_ovf, lost)
+
+
 def cell_rebin_xsel(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
                     C):
     """Pure-XLA staged-select rebin: three axis sweeps, each a batched
@@ -533,12 +623,12 @@ def cell_rebin_xsel(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
     pos_w = pos - shift * L
     img_w = img + shift.astype(itp)
     live = (tag >= 0)
-    tgt = jnp.clip(jnp.floor((pos_w + half) / L
-                             * jnp.asarray([nx, ny, nz], dtp)),
-                   0, jnp.asarray([nx - 1, ny - 1, nz - 1], dtp))
 
-    # channel matrix (nz, ny, nx, C, ch):
-    # pos3 vel3 frc3 img3 tag mass tx ty tz
+    # channel matrix (nz, ny, nx, C, ch): pos3 vel3 frc3 img3 tag mass.
+    # Bin targets are NOT carried as channels — each axis stage
+    # recomputes its own target from the window's position channel (one
+    # fused VPU op on the window), saving 3 payload channels of matmul
+    # and HBM traffic.
     def g(a):
         return a.reshape(nz, ny, nx, C)
     cols = jnp.stack(
@@ -547,48 +637,9 @@ def cell_rebin_xsel(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
          g(frc[:, :, 0]), g(frc[:, :, 1]), g(frc[:, :, 2]),
          g(img_w[:, :, 0].astype(dtp)), g(img_w[:, :, 1].astype(dtp)),
          g(img_w[:, :, 2].astype(dtp)),
-         g(tag.astype(dtp)), g(mass),
-         g(tgt[:, :, 0]), g(tgt[:, :, 1]), g(tgt[:, :, 2])], axis=-1)
-    CH = cols.shape[-1]
-    CT, CTX = 12, 14                       # tag channel, target-x channel
-    fill = jnp.zeros((CH,), dtp)
-    fill = fill.at[0].set(PAD_COORD).at[1].set(PAD_COORD) \
-        .at[2].set(PAD_COORD).at[CT].set(-1.0).at[13].set(1.0)
-
-    cap_ovf = jnp.zeros((), bool)
-    n_live0 = jnp.sum(live)
-    Cmid = C + 16
-
-    for arr_axis, n_ax, t_ch, out_cap in (
-            (2, nx, CTX, Cmid), (1, ny, CTX + 1, Cmid),
-            (0, nz, CTX + 2, C)):
-        lanes = 3 * cols.shape[3]
-        win = jnp.concatenate(
-            [jnp.roll(cols, 1, axis=arr_axis), cols,
-             jnp.roll(cols, -1, axis=arr_axis)], axis=3)
-        io = jax.lax.broadcasted_iota(
-            jnp.int32, win.shape[:3], arr_axis).astype(dtp)[..., None]
-        claim = (win[..., CT] >= 0.0) & (win[..., t_ch] == io)
-        cf = claim.astype(dtp)
-        rank = jnp.cumsum(cf, axis=-1) - cf           # exclusive
-        cap_ovf = cap_ovf | jnp.any(cf * rank >= out_cap)
-        sio = jax.lax.broadcasted_iota(
-            jnp.int32, win.shape[:3] + (out_cap, lanes), 3).astype(dtp)
-        P = cf[..., None, :] * (rank[..., None, :] == sio).astype(dtp)
-        # precision HIGH (bf16x3) is REQUIRED for exactness on the MXU:
-        # the default single-pass bf16 truncates the f32 payload (tags
-        # above 2^8 round; positions quantize to 8 mantissa bits —
-        # observed as catastrophic carry corruption on TPU, invisible
-        # on CPU which ignores precision).  bf16x3 splits each f32
-        # exactly into three bf16 terms, so one-hot x value sums
-        # reproduce the f32 payload bit-exactly.
-        out = jnp.einsum('zyxcl,zyxlk->zyxck', P, win,
-                         preferred_element_type=dtp,
-                         precision=jax.lax.Precision.HIGH)
-        got = jnp.einsum('zyxcl->zyxc', P) > 0.5
-        cols = jnp.where(got[..., None], out, fill)
-
-    lost = jnp.sum(cols[..., CT] >= 0.0) != n_live0
+         g(tag.astype(dtp)), g(mass)], axis=-1)
+    cols, cap_ovf, lost = _xsel_stages(cols, cell_dim, L, half, C,
+                                       jnp.sum(live))
 
     def u3(i0):
         return cols[..., i0:i0 + 3].reshape(nc, C, 3)
@@ -596,7 +647,7 @@ def cell_rebin_xsel(pos, vel, frc, img, tag, mass, cell_dim, box_L, *,
     vel2 = u3(3)
     frc2 = u3(6)
     img2 = u3(9).astype(itp)
-    tag2 = cols[..., CT].reshape(nc, C).astype(itp)
+    tag2 = cols[..., 12].reshape(nc, C).astype(itp)
     mass2 = cols[..., 13].reshape(nc, C)
     return pos2, vel2, frc2, img2, tag2, mass2, cap_ovf, lost
 

@@ -8,8 +8,15 @@ sharding tests while keeping the suite runnable anywhere.
 """
 
 import os
+import tempfile
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# isolate the persistent compile cache: the suite must never share the
+# on-disk cache with a concurrently-running TPU job (concurrent
+# writes can tear an entry, and jax segfaults reading a torn file)
+os.environ.setdefault(
+    'HOOMD_TPU_COMPILE_CACHE',
+    tempfile.mkdtemp(prefix='hoomd_tpu_testcache_'))
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
 

@@ -306,3 +306,36 @@ def test_pallas_rebin_in_engine():
         assert np.array_equal(tags, np.arange(N))
     finally:
         os.environ.pop('HOOMD_TPU_FAST_IMPL', None)
+
+def test_xsel_plane_cycles_in_engine():
+    """The plane-resident rebuild cycle (megastep windows + xsel rebin
+    with no per-cycle layout transposes) conserves energy and keeps
+    tag integrity across many rebuilds — CPU interpret-mode gate for
+    the TPU production path."""
+    os.environ['HOOMD_TPU_FAST_IMPL'] = 'plane'
+    try:
+        hoomd, system = _build(True, a=1.1, n=8, dt=0.002)
+        import jax
+        if jax.default_backend() != 'tpu':
+            os.environ['HOOMD_TPU_FAST'] = 'interpret'
+            system._dirty_flag = True
+        hoomd.run(2, quiet=True)
+        fast = system._program.get('fast')
+        if fast is None or fast.get('rebin_impl') != 'xsel':
+            pytest.skip('xsel rebin not eligible on this backend cfg')
+
+        def e():
+            q = system.thermo_quantities()
+            return q['kinetic_energy'] + q['potential_energy']
+        e0 = e()
+        hoomd.run(200, quiet=True)
+        carry = system._fast_carry
+        assert carry is not None and int(carry.n_rebuilds) > 3
+        assert not bool(carry.rebin_ovf)
+        e1 = e()
+        N = system.state.N
+        assert abs(e1 - e0) / N < 1e-3
+        tags = np.sort(np.asarray(system.state.tag))
+        assert np.array_equal(tags, np.arange(N))
+    finally:
+        os.environ.pop('HOOMD_TPU_FAST_IMPL', None)

@@ -78,7 +78,8 @@ def _oracle(pos, vel, frc, img, tag, mass, cell_dim, L):
     return out
 
 
-@pytest.mark.parametrize('variant', ['select', 'grid', 'xsel'])
+@pytest.mark.parametrize('variant', ['select', 'grid', 'xsel',
+                                     'xsel_planes'])
 @pytest.mark.parametrize('cell_dim,C,fill', [((4, 4, 4), 24, (6, 10)),
                                              ((5, 3, 4), 32, (10, 14)),
                                              ((3, 3, 3), 24, (4, 8))])
@@ -96,6 +97,31 @@ def test_rebin_matches_oracle(cell_dim, C, fill, variant):
             jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(frc),
             jnp.asarray(img), jnp.asarray(tag), jnp.asarray(mass),
             cell_dim, jnp.asarray(L, jnp.float32), C=C)
+        ovf = cap_ovf | lost
+    elif variant == 'xsel_planes':
+        # plane-layout entry: must be bit-identical to the (nc, C)
+        # layout result after the layout round-trip
+        from hoomd_tpu.ops.pallas_rebin import cell_rebin_xsel_planes
+        nx, ny, nz = cell_dim
+        nc = nx * ny * nz
+
+        def to_p(a):
+            return jnp.transpose(
+                jnp.asarray(a).reshape(nz, ny, nx, C, 3),
+                (4, 0, 1, 2, 3))
+
+        def from_p(a):
+            return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
+        gp, gv, gf, gim, gtag, gmass, cap_ovf, lost = \
+            cell_rebin_xsel_planes(
+                to_p(pos), to_p(vel), to_p(frc), to_p(img),
+                jnp.asarray(tag).reshape(nz, ny, nx, C),
+                jnp.asarray(mass).reshape(nz, ny, nx, C),
+                cell_dim, jnp.asarray(L, jnp.float32), C=C)
+        p2, v2, f2 = from_p(gp), from_p(gv), from_p(gf)
+        i2 = from_p(gim)
+        t2 = gtag.reshape(nc, C)
+        m2 = gmass.reshape(nc, C)
         ovf = cap_ovf | lost
     else:
         p2, v2, f2, i2, t2, m2, ovf = cell_rebin_plane(
