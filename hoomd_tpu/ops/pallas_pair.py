@@ -2130,13 +2130,14 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
             unroll_z = env == 'on'
         elif env.lstrip('-').isdigit():
             unroll_z = int(env)           # partial unroll factor
-        elif nz * -(-ny // min(ny, 7)) <= 16:
-            unroll_z = True
         else:
-            # partial unroll sized to ~8 force bodies per iteration:
-            # most of the full unroll's ~15% step gain at a compile
-            # size Mosaic handles in minutes, not tens of minutes
-            unroll_z = max(2, 8 // -(-ny // min(ny, 7)))
+            # measured on the 64k production grid (nz=14, 2 y-blocks):
+            # manual partial unroll u=2 gains nothing (0.712 vs 0.710
+            # ms/step — the rolled loop's cost is dynamic addressing,
+            # not loop machinery), and u>=4 register-spills past the
+            # 128M VMEM budget at Mosaic's register allocator.  Full
+            # unroll stays for small grids only.
+            unroll_z = nz * -(-ny // min(ny, 7)) <= 16
 
     Lx = cell_shift[nc - 1, 26, 0]
     Ly = cell_shift[nc - 1, 26, 1]
