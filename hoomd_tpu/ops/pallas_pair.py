@@ -1415,14 +1415,21 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
             dry = xi_y - jyw[:, :, None, :]
             drz = xi_z - jzw[:, :, None, :]
             r2 = drx * drx + dry * dry + drz * drz
+            # the clamp is LOAD-BEARING for PAD slots: every padding
+            # slot carries the same sentinel coordinate, so pad-pad
+            # pairs across neighbor cells have r2 == 0 with cut TRUE —
+            # unclamped that is energy_force(0) = inf selected into
+            # fdivr, and inf * dr(=0) = NaN poisoning the KE/monitor
+            # reductions.  Clamped, fdivr is huge but finite and
+            # fdivr * 0 stays exactly 0 (same for exactly-coincident
+            # real particles, matching the reference's r2 floor).
+            r2s = jnp.maximum(r2, 1e-3)
             cut = r2 < rc2
             if dz == 0 and dy == 0:
-                # mask the self pair in the CUT (a select, not a
-                # multiply): energy_force(0) may be inf, but a select
-                # never propagates it — this drops the r2 clamp that
-                # previously cost one extra max per candidate lane
+                # self-pair mask folded into the cut (select, not a
+                # multiply)
                 cut = cut & not_self[None, None]
-            fdivr = jnp.where(cut, energy_force(r2), 0.0)
+            fdivr = jnp.where(cut, energy_force(r2s), 0.0)
             Px = Px + fdivr * drx
             Py = Py + fdivr * dry
             Pz = Pz + fdivr * drz
