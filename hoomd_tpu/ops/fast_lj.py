@@ -113,9 +113,14 @@ def plan_fast_lj(N, box_L, rcut, r_buff):
         C = cap_for(N / nc)
         if 3 * C > 128:
             continue
-        slots = nc * C
-        if best is None or slots < best[0]:
-            best = (slots, cdim, nc, C)
+        # tie-break equal-slot grids toward the smallest z dimension:
+        # z is the megastep kernel's rolled plane loop, and each rolled
+        # iteration pays dynamic-slice machinery — fewer planes is
+        # measurably cheaper at identical total slots (cubic boxes
+        # admit any axis permutation of the same grid)
+        key = (nc * C, cdim[2], cdim[1])
+        if best is None or key < best[0]:
+            best = (key, cdim, nc, C)
     if best is None:
         # no grid fits the one-lane-tile window: fall back to the
         # coarsest grid and let C exceed the tile (correct, slower)
