@@ -60,12 +60,17 @@ def main():
     # before the timed window — the same warmup discipline as the
     # reference's benchmark.series(warmup=...) (hoomd/benchmark.py:13)
     last_m = -1
-    for _ in range(8):
+    stable = 0
+    for _ in range(16):
         system.run(1024, quiet=True)
         m_now = int(system._grow.get('fast_m', 1))
         if m_now == last_m:
-            break
-        last_m = m_now
+            stable += 1
+            if stable >= 3:      # pinned-edge re-probes settled too
+                break
+        else:
+            stable = 0
+            last_m = m_now
 
     steps = 3000
     t0 = time.perf_counter()

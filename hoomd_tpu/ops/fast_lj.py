@@ -70,17 +70,25 @@ class FastCarry:
                             # slots directly (no tag-space detour)
 
 
-def plan_fast_lj(N, box_L, rcut, r_buff):
+def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False):
     """Static planning: cell grid and capacity.
 
     Kernel time is proportional to nc * C (the lane window always pads
     to one 128-lane tile and C to the 8-sublane granularity), so the
     planner scans the feasible cell grids (width >= rcut + r_buff,
-    3C <= 128) and picks the one minimizing padded slots.  C covers the
-    mean occupancy plus ~4.6 sigma of liquid density fluctuations
-    (measured sub-Poissonian: sigma ~ 0.5 sqrt(mean) for dense LJ, but
-    sized here with the Poissonian sigma for dilute safety); the sticky
-    overflow flag + grow/retry protocol backstops the tail."""
+    3C <= 128) and picks the one minimizing padded slots.
+
+    Capacity model: by default C covers the mean occupancy plus ~5
+    sigma of DENSE-LIQUID count fluctuations (measured sub-Poissonian,
+    sigma ~ 0.5 sqrt(mean) — dense fluids strongly suppress density
+    fluctuations, S(0) << 1).  That admits grids a Poissonian margin
+    would reject — at the 64k bench point it unlocks (13,13,13)/C=40:
+    6.6%% fewer padded slots AND 0.76 per-axis skins (vs 0.53), which
+    stretches the rebuild cadence by nearly half.  A clustering or
+    dilute system that overflows the dense margin triggers ONE replan
+    with ``conservative=True`` (Poissonian margin, the round-2 model)
+    via the sticky-overflow protocol before any in-place capacity
+    growth — correctness never depends on the sizing guess."""
     import os
     w0 = rcut + r_buff
     L = np.asarray(box_L, float)
@@ -99,10 +107,16 @@ def plan_fast_lj(N, box_L, rcut, r_buff):
         return cdim, nc, C
 
     def cap_for(mean):
-        # mean + 4 sigma with the measured dense-liquid count variance
-        # (sigma ~ 0.5 sqrt(mean); Poissonian dilute systems have low
-        # mean anyway); the sticky-overflow grow/retry is the backstop
-        C = int(np.ceil(mean + 2.0 * np.sqrt(mean))) + 2
+        # mean + 2 sqrt(mean) = ~4 sigma of the measured dense-liquid
+        # count variance (sigma ~ 0.5 sqrt(mean)); the conservative
+        # mode adds the +2 absolute pad of the round-2 model — in the
+        # default mode that pad's job is done by the overflow-replan
+        # protocol instead, and dropping it is exactly what admits the
+        # larger-skin grids (at 64k: (13,13,13)/C=40 with 0.76 skins
+        # vs (14,14,12) with 0.53)
+        C = int(np.ceil(mean + 2.0 * np.sqrt(mean)))
+        if conservative:
+            C += 2
         return max(16, ((C + 7) // 8) * 8)
 
     best = None
@@ -113,12 +127,15 @@ def plan_fast_lj(N, box_L, rcut, r_buff):
         C = cap_for(N / nc)
         if 3 * C > 128:
             continue
-        # tie-break equal-slot grids toward the smallest z dimension:
-        # z is the megastep kernel's rolled plane loop, and each rolled
-        # iteration pays dynamic-slice machinery — fewer planes is
-        # measurably cheaper at identical total slots (cubic boxes
-        # admit any axis permutation of the same grid)
-        key = (nc * C, cdim[2], cdim[1])
+        # sort key: (1) grids with any dimension < 3 rank last — a
+        # 2-cell axis aliases the rebin roll windows (the same source
+        # cell appears twice), which forces the slower sort rebuild
+        # and disables the plane-resident cycle; (2) padded slots;
+        # (3) smallest z dimension — z is the megastep kernel's rolled
+        # plane loop, and each rolled iteration pays dynamic-slice
+        # machinery, so fewer planes is measurably cheaper at equal
+        # slots (cubic boxes admit any axis permutation)
+        key = (min(cdim) < 3, nc * C, cdim[2], cdim[1])
         if best is None or key < best[0]:
             best = (key, cdim, nc, C)
     if best is None:

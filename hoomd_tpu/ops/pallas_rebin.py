@@ -500,7 +500,13 @@ def _xsel_stages(cols, cell_dim, L, half, C, n_live0):
     fill = fill.at[0].set(PAD_COORD).at[1].set(PAD_COORD) \
         .at[2].set(PAD_COORD).at[CT].set(-1.0).at[13].set(1.0)
     cap_ovf = jnp.zeros((), bool)
-    Cmid = C + 16
+    # transient mid-stage capacity: C + 8 covers equilibrated liquids
+    # with the same tail margin as C itself; the rare melt-transient
+    # overflow maps to the sort-retry protocol (cap_ovf), not to a
+    # capacity change, so sizing this tight only costs a retried
+    # segment, while the placement tensor P — the dominant HBM traffic
+    # of the rebin — shrinks by (C+16)/(C+8)
+    Cmid = C + 8
 
     for arr_axis, n_ax, p_ch, out_cap in (
             (2, nx, 0, Cmid), (1, ny, 1, Cmid), (0, nz, 2, C)):
@@ -529,7 +535,12 @@ def _xsel_stages(cols, cell_dim, L, half, C, n_live0):
         # observed as catastrophic carry corruption on TPU, invisible
         # on CPU which ignores precision).  bf16x3 splits each f32
         # exactly into three bf16 terms, so one-hot x value sums
-        # reproduce the f32 payload bit-exactly.
+        # reproduce the f32 payload bit-exactly.  The one-hot P itself
+        # is {0,1} — exact in a single bf16 — so it is cast down
+        # explicitly: P is the dominant HBM traffic of the whole rebin
+        # and the cast halves it without touching exactness.
+        if dtp == jnp.float32:
+            P = P.astype(jnp.bfloat16)
         out = jnp.einsum('zyxcl,zyxlk->zyxck', P, win,
                          preferred_element_type=dtp,
                          precision=jax.lax.Precision.HIGH)

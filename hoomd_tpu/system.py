@@ -461,7 +461,9 @@ class System:
                 excl_pairs=excl_pairs, method=m, kind=kind,
                 eval_name=eval_name, N=N, box=box, rcut=rcut,
                 r_buff=r_buff)
-        cell_dim, ncells, C = plan_fast_lj(N, L, rcut, r_buff)
+        cell_dim, ncells, C = plan_fast_lj(
+            N, L, rcut, r_buff,
+            conservative=bool(self._grow.get('fast_plan_conservative')))
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
             return None      # box too small for the stencil invariant
         C = max(C, self._grow.get('fast_C', 0))
@@ -531,14 +533,20 @@ class System:
             self._grow.pop('fast_k_grow_block', None)
             self._grow.pop('fast_clean_segs', None)
         k_est = int(0.55 * (0.5 * skin) / max(vmax * dt, 1e-12))
-        for q in (8, 6, 4, 3, 2, 1):
+        # k is capped at 4: per-step kernel time is flat in k (the
+        # window loop is in-kernel), so a smaller k only buys FINER
+        # cadence granularity for the m-controller — with k=8 the
+        # controller quantizes to 8/16/24-step cadences and a true
+        # danger edge at ~12 pins it to 8, measured ~5% slower than
+        # k=4 sitting at m=3
+        for q in (4, 3, 2, 1):
             if q <= max(k_est, 1):
                 k_rebuild = q
                 break
         if self._grow.get('fast_k_grown'):
             # measured drift cleared 4x the planned cadence (see
             # _run_fast_chunk): the ballistic estimate was conservative
-            k_rebuild = 8
+            k_rebuild = 4
         cap = self._grow.get('fast_k_cap')
         if cap:
             k_rebuild = min(k_rebuild, cap)
@@ -934,15 +942,15 @@ class System:
                     # recompile, amortized by the persistent cache).
                     # Never after a danger shrink (fast_k_cap is
                     # measured truth).
-                    if (k_now < 8 and m_now >= 4
+                    if (k_now < 4 and m_now >= 4
                             and 'fast_k_cap' not in self._grow
                             and not self._grow.get('fast_k_grow_block')
                             and not self._grow.get('fast_k_grown')):
                         self._grow['fast_k_grown'] = True
                         self._grow['fast_m'] = max(
-                            (k_now * max(m_next, m_now)) // 8, 1)
+                            (k_now * max(m_next, m_now)) // 4, 1)
                         if dbg:
-                            print(f"[fast] grow k {k_now}->8",
+                            print(f"[fast] grow k {k_now}->4",
                                   flush=True)
                         self._rebuild_program()
                         self._pack_dyn()
@@ -960,7 +968,17 @@ class System:
                 self._fast_state_stale = False
                 need_rebuild = False
                 if ovf:
-                    self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
+                    if not self._grow.get('fast_plan_conservative') \
+                            and fast.get('flavor') != 'dd':
+                        # first cell-capacity overflow: the dense-liquid
+                        # capacity model was too brave for this system
+                        # (clustering / dilute) — replan the whole grid
+                        # with the Poissonian margin before growing C in
+                        # place (an in-place grow can push 3C past one
+                        # lane tile and degrade the kernel to XLA)
+                        self._grow['fast_plan_conservative'] = True
+                    else:
+                        self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
                     need_rebuild = True
                 if rbo:
                     if fast.get('flavor') == 'dd':

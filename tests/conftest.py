@@ -8,15 +8,15 @@ sharding tests while keeping the suite runnable anywhere.
 """
 
 import os
-import tempfile
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
-# isolate the persistent compile cache: the suite must never share the
-# on-disk cache with a concurrently-running TPU job (concurrent
-# writes can tear an entry, and jax segfaults reading a torn file)
-os.environ.setdefault(
-    'HOOMD_TPU_COMPILE_CACHE',
-    tempfile.mkdtemp(prefix='hoomd_tpu_testcache_'))
+# no persistent compile cache under the suite: jax's CPU AOT cache can
+# segfault on read-back when the stored executable's machine-feature
+# profile (+prefer-no-scatter etc.) mismatches the host ("could lead
+# to execution errors such as SIGILL" per the loader warning — and it
+# does, reproducibly, on the gjk fori_loop).  A per-run cache dir has
+# zero reuse value anyway.
+os.environ.setdefault('HOOMD_TPU_NO_COMPILE_CACHE', '1')
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
 
