@@ -461,9 +461,28 @@ class System:
                 excl_pairs=excl_pairs, method=m, kind=kind,
                 eval_name=eval_name, N=N, box=box, rcut=rcut,
                 r_buff=r_buff)
+        conservative = bool(self._grow.get('fast_plan_conservative'))
         cell_dim, ncells, C = plan_fast_lj(
-            N, L, rcut, r_buff,
-            conservative=bool(self._grow.get('fast_plan_conservative')))
+            N, L, rcut, r_buff, conservative=conservative)
+        if not conservative:
+            # STATE-AWARE plan check: the dense-liquid capacity margin
+            # assumes liquid count statistics, but the CURRENT
+            # configuration may be anything (a commensurate lattice
+            # start packs up to (ceil(n_side/nx))^3 per cell — measured
+            # 64 at the 64k sc start on a 13-cell grid, an instant
+            # overflow).  Bin the actual positions once at build time
+            # and fall back to the conservative plan unless the dense
+            # grid holds the real occupancy with headroom
+            pos_h = _np.asarray(self._state_raw.pos)
+            frac = (pos_h / L + 0.5) % 1.0
+            cid3 = _np.clip((frac * _np.asarray(cell_dim)).astype(int),
+                            0, _np.asarray(cell_dim) - 1)
+            flat = (cid3[:, 0] + cell_dim[0]
+                    * (cid3[:, 1] + cell_dim[1] * cid3[:, 2]))
+            maxocc = int(_np.bincount(flat, minlength=ncells).max())
+            if maxocc + 4 > C:
+                cell_dim, ncells, C = plan_fast_lj(
+                    N, L, rcut, r_buff, conservative=True)
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
             return None      # box too small for the stencil invariant
         C = max(C, self._grow.get('fast_C', 0))
@@ -880,6 +899,26 @@ class System:
                     # little work.
                     clean = self._grow.get('fast_clean_segs', 0) + 1
                     self._grow['fast_clean_segs'] = clean
+                    # probe AMNESTY: strikes earned during transients
+                    # (melt, dt switch) must not bind at steady state —
+                    # a 2-strike stop recorded then once pinned the
+                    # bench at cadence 4 (measured 53M vs 65M pss).  A
+                    # long clean streak clears the pin and the strike
+                    # count: the cost of a wrong re-probe is one small
+                    # segment, the cost of a wrong permanent pin is
+                    # unbounded
+                    # (the pin itself stays, so the re-probe is the
+                    # gentle +1 kind; and a failed probe restarts at
+                    # the 512-step segment size while clean segments
+                    # have grown to 8192, so the worst-case redo tax
+                    # of periodic amnesty is <1%)
+                    if clean == 16 \
+                            and self._grow.get('fast_m_probe_fails'):
+                        self._grow.pop('fast_m_probe_fails', None)
+                        self._grow['fast_clean_segs'] = 0
+                        if dbg:
+                            print("[fast] probe amnesty (16 clean)",
+                                  flush=True)
                     # temporary sort-rebuild fallback after an xsel
                     # failure (melt transients): re-enable xsel once
                     # the system has run clean for a while
@@ -980,7 +1019,14 @@ class System:
                     else:
                         self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
                     need_rebuild = True
-                if rbo:
+                if rbo and ovf and fast.get('flavor') != 'dd':
+                    # a cell-capacity overflow already forces a replan/
+                    # regrow; the simultaneous rebin overflow is a
+                    # symptom of the same event (e.g. a commensurate
+                    # lattice overflowing both C and the xsel transient
+                    # stage) — don't also burn an xsel strike
+                    pass
+                elif rbo:
                     if fast.get('flavor') == 'dd':
                         # migration buffers overflowed (or a particle
                         # out-ran the single-hop protocol): double the
