@@ -675,10 +675,17 @@ class mode_hpmc:
         # (compaction would itself need a gather; the VPU is
         # compute-rich — the MD fast-path lesson).
         dims_even = all(c % 2 == 0 for c in cell_dim[:dims3])
+        # measured on TPU (cubes phi=0.4 N=4096): the dense sweep runs
+        # 3.2x SLOWER than the gather path (42k vs 133k trial-moves/s)
+        # — its 27 rolls x 4 channel arrays per sub-sweep are hundreds
+        # of TINY ops (the whole grid is only ~16k elements), so it is
+        # op-dispatch bound where the gather path's few larger gathers
+        # win.  Kept opt-in for large-N grids where the rolls carry
+        # real volume.
         use_dense = (dims3 == 3 and dims_even and not implicit_on
                      and patch is None and self._external is None
-                     and os.environ.get('HOOMD_TPU_HPMC_DENSE', 'on')
-                     != 'off')
+                     and os.environ.get('HOOMD_TPU_HPMC_DENSE', 'off')
+                     == 'on')
 
         def one_sweep_dense(state, counters, hdyn):
             box = state.box
