@@ -880,6 +880,7 @@ class mode_hpmc:
                 'init_counters': init_counters,
                 'cell_cap': cell_cap,
                 'cand_cap': cand_cap,
+                'dense': use_dense,
                 'dep_cap': M_dep}
 
 

@@ -184,6 +184,16 @@ class pppm(Force):
         if cfg is not None and cfg.excl_tags is not None:
             nl_cfg_excl = cfg.excl_tags
 
+        # spread/interpolate formulation: TPU scatters/gathers lower to
+        # serial element ops (the measured ~0.3M-pss gather family), so
+        # when the (N, Nx*Ny) outer-product plane fits comfortably the
+        # separable B-spline assignment runs as DENSE MXU matmuls:
+        #   rho[x,y,z] = sum_n q_n Wx[n,x] Wy[n,y] Wz[n,z]
+        # with per-axis (N, K) weight matrices (each row has `order`
+        # nonzeros).  Zero scatters; interpolation is the transpose.
+        # The reference's GPU pendant is the per-thread atomic scatter
+        # (md/PPPMForceComputeGPU.cu:115-1293) — atomics are the GPU's
+        # answer, matmuls are the MXU's.
         def compute(state, nl, params):
             idt = int_dtype()
             rdt = state.pos.dtype
@@ -195,6 +205,7 @@ class pppm(Force):
             kappa = params['kappa']
             mx, my, mz = params['mvec']
             bx, by, bz = params['bmod']
+            dense = N * Nx * Ny <= (1 << 25)
 
             # -- charge assignment ---------------------------------------
             f = box.make_fraction(state.pos)        # [0,1)
@@ -205,18 +216,31 @@ class pppm(Force):
             pmx = jnp.mod(pmx, Nx)
             pmy = jnp.mod(pmy, Ny)
             pmz = jnp.mod(pmz, Nz)
-            # (N, p, p, p) weights and flat mesh indices
-            w3 = (wx[:, :, None, None] * wy[:, None, :, None]
-                  * wz[:, None, None, :])
-            idx = (pmx[:, :, None, None] * Ny
-                   + pmy[:, None, :, None]) * Nz \
-                + pmz[:, None, None, :]
-            flat_idx = idx.reshape(N, -1)
-            flat_w = w3.reshape(N, -1)
-            rho = jnp.zeros((Nx * Ny * Nz,), rdt)
-            rho = rho.at[flat_idx.reshape(-1)].add(
-                (q[:, None] * flat_w).reshape(-1))
-            rho = rho.reshape(Nx, Ny, Nz)
+            if dense:
+                import jax as _jx
+
+                def dense_w(pm, w, n):
+                    oh = _jx.nn.one_hot(pm, n, dtype=rdt)  # (N, p, n)
+                    return jnp.einsum('npk,np->nk', oh, w)
+                Wx = dense_w(pmx, wx, Nx)
+                Wy = dense_w(pmy, wy, Ny)
+                Wz = dense_w(pmz, wz, Nz)
+                TW = (Wx[:, :, None] * Wy[:, None, :]).reshape(
+                    N, Nx * Ny)                         # (N, Nx*Ny)
+                rho = ((TW * q[:, None]).T @ Wz).reshape(Nx, Ny, Nz)
+            else:
+                # (N, p, p, p) weights and flat mesh indices
+                w3 = (wx[:, :, None, None] * wy[:, None, :, None]
+                      * wz[:, None, None, :])
+                idx = (pmx[:, :, None, None] * Ny
+                       + pmy[:, None, :, None]) * Nz \
+                    + pmz[:, None, None, :]
+                flat_idx = idx.reshape(N, -1)
+                flat_w = w3.reshape(N, -1)
+                rho = jnp.zeros((Nx * Ny * Nz,), rdt)
+                rho = rho.at[flat_idx.reshape(-1)].add(
+                    (q[:, None] * flat_w).reshape(-1))
+                rho = rho.reshape(Nx, Ny, Nz)
 
             # -- k-space solve --------------------------------------------
             if _x_shard is not None:
@@ -239,8 +263,16 @@ class pppm(Force):
 
             # potential at particles (for per-particle energy)
             phi = jnp.real(_ifftn(phi_k)) * (Nx * Ny * Nz)
-            phi_flat = phi.reshape(-1)
-            phi_i = jnp.sum(phi_flat[flat_idx] * flat_w, axis=1)
+
+            def interp(field):
+                """Mesh field -> per-particle values (transpose of the
+                assignment: dense matmuls or gathers)."""
+                if dense:
+                    P1 = field.reshape(Nx * Ny, Nz) @ Wz.T  # (XY, N)
+                    return jnp.sum(TW * P1.T, axis=1)
+                return jnp.sum(field.reshape(-1)[flat_idx] * flat_w,
+                               axis=1)
+            phi_i = interp(phi)
             pe = 0.5 * q * phi_i
 
             # E-field via ik differentiation: 3 inverse FFTs
@@ -248,12 +280,9 @@ class pppm(Force):
             Eyk = -1j * ky[None, :, None] * phi_k
             Ezk = -1j * kz[None, None, :] * phi_k
             scale = Nx * Ny * Nz
-            Ex = jnp.real(_ifftn(Exk)) * scale
-            Ey = jnp.real(_ifftn(Eyk)) * scale
-            Ez = jnp.real(_ifftn(Ezk)) * scale
-            Exi = jnp.sum(Ex.reshape(-1)[flat_idx] * flat_w, axis=1)
-            Eyi = jnp.sum(Ey.reshape(-1)[flat_idx] * flat_w, axis=1)
-            Ezi = jnp.sum(Ez.reshape(-1)[flat_idx] * flat_w, axis=1)
+            Exi = interp(jnp.real(_ifftn(Exk)) * scale)
+            Eyi = interp(jnp.real(_ifftn(Eyk)) * scale)
+            Ezi = interp(jnp.real(_ifftn(Ezk)) * scale)
             # F = q E with E = -grad(phi), i.e. E_hat = -i k phi_hat
             force = q[:, None] * jnp.stack([Exi, Eyi, Ezi], axis=-1)
 

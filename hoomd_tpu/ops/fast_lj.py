@@ -68,6 +68,12 @@ class FastCarry:
                             # current tag->slot assignment; recomputed at
                             # every rebuild so the hot loop reads cell
                             # slots directly (no tag-space detour)
+    chain_miss: object = None   # () bool sticky (in-kernel chain-bonded
+                            # engines only): a bonded partner fell
+                            # outside the 27-cell stencil at a rebuild —
+                            # the kernel's tag matching would silently
+                            # drop the bond, so the host retries the
+                            # segment on the one_step (XLA bonded) path
 
 
 def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False):
@@ -121,7 +127,15 @@ def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False):
 
     best = None
     from itertools import product
-    ranges = [range(max(1, d - 4), d + 1) for d in dmax]
+    # scan ALL feasible grids, not just the finest: kernel time is
+    # structural (slots x 9 stencil rows x one 128-lane tile), so for
+    # short-cutoff systems (e.g. WCA, rcut ~ 1.12) the slot-minimizing
+    # grid is much COARSER than dmax — at the 32k Kremer-Grest point
+    # the near-dmax scan picked (18,18,16)/C=16 = 83k slots where
+    # (10,10,11)/C=40 = 45k slots (1.8x less kernel work) and a ~2.0
+    # Verlet skin (vs 0.8) is feasible.  Wider cells only add MASKED
+    # candidates inside the already-padded lane tile.
+    ranges = [range(1, d + 1) for d in dmax]
     for cdim in product(*ranges):
         nc = int(np.prod(cdim))
         C = cap_for(N / nc)
@@ -152,7 +166,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         impl='xla', eval_name='lj',
                         pnames=('lj1', 'lj2', 'rcut'), ntypes=1,
                         k_rebuild=8, rebin_impl='sort', rebin_E=16,
-                        bonded_cfg=()):
+                        bonded_cfg=(), chain_cfg=None):
     """Returns (to_fast, run_chunk, to_state_fields).
 
     dyn layout: {'pv': [rc2, e_shift, *pnames] evaluator params, 'lj':
@@ -172,6 +186,18 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     of the reference's BondedGroupData tag addressing
     (hoomd/BondedGroupData.h), with the rtag indirection amortized to
     rebuild boundaries instead of paid per step.
+
+    chain_cfg (optional): static descriptor that moves LINEAR-CHAIN
+    topologies (<=2 bond partners/particle; angles only on consecutive
+    bonded triples — the Kremer-Grest/bead-spring family) INTO the
+    megastep Pallas kernel: per-candidate tag matching against
+    precomputed partner tables evaluates bond terms inside the stencil
+    scan and extracts the partner vectors angle terms need (the TPU
+    analog of md/PotentialBondGPU.cuh + HarmonicAngleForceComputeGPU).
+    Keys: ptab (N+1, P int32 partner tags; P=2 or 4), aflag (N+1 int32
+    angle role bits) or None, bond_kind ('fene'|'harmonic'), excl_bond,
+    excl_13 (bools), has_ang.  bonded_cfg stays alongside for the
+    pe/virial refresh and the one_step remainder path.
     """
     idt = int_dtype()
     nc = int(np.prod(cell_dim))
@@ -362,6 +388,57 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         from .bonded import bonded_force
         bond_groups = tuple(jnp.asarray(cfg['groups'], idt)
                             for cfg in bonded_cfg)
+    have_chain = chain_cfg is not None
+    if have_chain:
+        chain_ptab = jnp.asarray(chain_cfg['ptab'], idt)    # (N+1, P)
+        chain_P = int(chain_ptab.shape[1])
+        chain_af = (jnp.asarray(chain_cfg['aflag'], idt)
+                    if chain_cfg.get('aflag') is not None else None)
+        chain_static = (chain_cfg['bond_kind'], chain_P,
+                        bool(chain_cfg['has_ang']),
+                        bool(chain_cfg['excl_bond']),
+                        bool(chain_cfg['excl_13']))
+        grid_i = jnp.asarray(cell_dim, idt)
+
+        def _chain_planes(tag_cells):
+            """Partner-tag (and angle-flag) planes for the current
+            layout: one (M, P) gather per rebuild window dispatch."""
+            tag_f = tag_cells.reshape(M)
+            sel = jnp.minimum(jnp.where(tag_f >= 0, tag_f, N), N)
+            bp = chain_ptab[sel]                       # (M, P)
+            # sentinel N (never a real or pad tag) for invalid slots
+            bp = jnp.where((tag_f >= 0)[:, None], bp, N)
+            plane4 = (cell_dim[2], cell_dim[1], cell_dim[0], C)
+            gbp = jnp.transpose(bp.reshape(plane4 + (chain_P,)),
+                                (4, 0, 1, 2, 3))
+            if chain_af is None:
+                return gbp, None
+            af = jnp.where(tag_f >= 0, chain_af[sel], 0)
+            return gbp, af.reshape(plane4)
+
+        def _chain_miss_of(tag_cells):
+            """True iff any bonded partner pair spans >1 cell along
+            any axis in THIS layout — the 27-cell stencil would miss
+            it.  Evaluated once per rebuild (cells are fixed within a
+            window, so matching cannot decay mid-window)."""
+            tag_f = tag_cells.reshape(M)
+            slot_cell = jnp.arange(M, dtype=idt) // C
+            c3 = jnp.stack([slot_cell % cell_dim[0],
+                            (slot_cell // cell_dim[0]) % cell_dim[1],
+                            slot_cell // (cell_dim[0] * cell_dim[1])],
+                           axis=-1)                     # (M, 3)
+            sel = jnp.where(tag_f >= 0, tag_f, N)
+            s2c = jnp.zeros((N + 1, 3), idt).at[sel].set(
+                c3, mode='drop')
+            bp = chain_ptab[jnp.minimum(sel, N)]       # (M, P)
+            pc = s2c[jnp.clip(bp, 0, N)]               # (M, P, 3)
+            d = jnp.abs(pc - c3[:, None, :])
+            ok = (d <= 1) | (d >= grid_i[None, None] - 1)
+            valid = (bp < N) & (tag_f >= 0)[:, None]
+            return jnp.any(valid & ~jnp.all(ok, axis=-1))
+    else:
+        def _chain_miss_of(tag_cells):
+            return jnp.zeros((), bool)
 
     def _slot_groups(tag_cells):
         """Tag group tables -> SLOT group tables for the current layout.
@@ -472,12 +549,16 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         if method_kind == 'langevin':
             kT = variant_mod.eval_packed(dyn['kT'], c.timestep)
             gamma = dyn['gamma']
-            key = rng_mod.step_key(method_seed, c.timestep, salt=4096)
-            u = jax.random.uniform(key, (N, 3), dtype=dtype,
-                                   minval=-1.0, maxval=1.0)
-            u_pad = jnp.concatenate([u, jnp.zeros((1, 3), dtype)])
-            noise = jnp.sqrt(6.0 * gamma * kT / dt) \
-                * u_pad[jnp.minimum(tag, N)].reshape(nc, C, 3)
+            # per-slot counter hash keyed (seed, timestep, tag, axis):
+            # zero gathers, and the SAME stream the megastep kernel
+            # draws, so window and remainder steps share one bath
+            # (reference keying discipline: Saru.h:51-58)
+            from . import hashrng
+            u = jnp.stack(
+                [hashrng.uniform_pm1(method_seed, c.timestep, tag,
+                                     salt=ax) for ax in (1, 2, 3)],
+                axis=-1).astype(dtype)
+            noise = jnp.sqrt(6.0 * gamma * kT / dt) * u
             f_tot = frc + noise - gamma * vel
             f_tot = jnp.where(valid, f_tot, 0.0)
             vel = jnp.where(valid, vel + 0.5 * dt * f_tot * minv, vel)
@@ -501,7 +582,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                          aux=aux, overflow=c.overflow, danger=danger,
                          n_rebuilds=c.n_rebuilds, since=c.since + 1,
                          wmax=wmax, rebin_ovf=c.rebin_ovf,
-                         bslots=c.bslots)
+                         bslots=c.bslots, chain_miss=c.chain_miss)
 
     # ---- fully-fused step path (one pallas_call per MD step) -----------
     # Eligible: 'plane' impl, single type, nve/nvt (langevin keeps the
@@ -519,8 +600,11 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # state VMEM-resident throughout (default hot path on TPU); bonded
     # terms need the tag scatter between force and kick, so they ride
     # the per-step one_step path instead
-    use_mega = (impl == 'plane' and ntypes == 1 and not have_bonded
-                and method_kind in ('nve', 'nvt')
+    # langevin rides the megastep via the in-kernel counter-RNG bath;
+    # chain topologies (see chain_cfg) ride it via in-scan tag matching
+    use_mega = (impl == 'plane' and ntypes == 1
+                and (not have_bonded or have_chain)
+                and method_kind in ('nve', 'nvt', 'langevin')
                 and _os.environ.get('HOOMD_TPU_MEGA', 'on') != 'off')
     # probe-only knob: drop the in-kernel drift monitor (UNSAFE — the
     # danger/retry protocol goes blind; for cost measurement only)
@@ -546,6 +630,16 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         gw = (1.0 / c.mass).reshape(plane4)
         gm = c.mass.reshape(plane4)
         gr = _to_planes(c.ref_pos)
+        need_tags = method_kind == 'langevin' or have_chain
+        gtag = c.tag.reshape(plane4) if need_tags else None
+        gbp = gaf = None
+        if have_chain:
+            gbp, gaf = _chain_planes(c.tag)
+        ck = dict(gt=gtag,
+                  gamma=dyn['gamma'], seed=method_seed,
+                  bonded=chain_static if have_chain else None,
+                  bpar=dyn.get('bpar') if have_chain else None,
+                  gbp=gbp, gaf=gaf)
         st0 = (_to_planes(c.pos), _to_planes(c.vel), _to_planes(c.frc),
                aux.get('xi', jnp.zeros((), dtype)),
                aux.get('eta', jnp.zeros((), dtype)),
@@ -553,7 +647,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
 
         def w(_, st):
             gp, gv, gf, xi, eta, danger, wmax, ts = st
-            if method_kind == 'nvt':
+            if method_kind in ('nvt', 'langevin'):
                 kt = variant_mod.eval_packed(
                     dyn['kT'], ts + jnp.arange(k, dtype=idt))
             else:
@@ -562,9 +656,10 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 gp, gv, gf, gw, gm, gr, cell_dim, shifts, dyn['pv'],
                 dyn['dt'], kt, xi, eta, skin3, C=C, k=k,
                 method=method_kind, eval_name=eval_name, pnames=pnames,
-                recip=('approx' if method_kind == 'nvt' else 'div'),
+                recip=('approx' if method_kind in ('nvt', 'langevin')
+                       else 'div'),
                 ndof=ndof, tau_inv2=ti2, interpret=interpret,
-                monitor=_monitor)
+                monitor=_monitor, ts0=ts, **ck)
             return (gp, gv, gf, xi, eta, danger | d,
                     jnp.maximum(wmax, mdmax), ts + k)
 
@@ -663,7 +758,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 rebin_ovf=c.rebin_ovf | cap_o | lost,
                 n_rebuilds=c.n_rebuilds + 1,
                 since=jnp.zeros((), idt),
-                bslots=_slot_groups(t))
+                bslots=_slot_groups(t),
+                chain_miss=(c.chain_miss | _chain_miss_of(t)
+                            if have_chain else c.chain_miss))
         if rebin_impl == 'pallas':
             from .pallas_rebin import cell_rebin_plane
             p, v, f, im, t, m, o = cell_rebin_plane(
@@ -677,7 +774,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 rebin_ovf=c.rebin_ovf | o,
                 n_rebuilds=c.n_rebuilds + 1,
                 since=jnp.zeros((), idt),
-                bslots=_slot_groups(t))
+                bslots=_slot_groups(t),
+                chain_miss=(c.chain_miss | _chain_miss_of(t)
+                            if have_chain else c.chain_miss))
         p, v, im, t, ty, m, f, o = _rebin(
             c.pos.reshape(M, 3), c.vel.reshape(M, 3),
             c.img.reshape(M, 3), c.tag.reshape(M), c.typ.reshape(M),
@@ -689,7 +788,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             mass=m.reshape(nc, C), ref_pos=p, frc=f.reshape(nc, C, 3),
             overflow=c.overflow | o, n_rebuilds=c.n_rebuilds + 1,
             since=jnp.zeros((), idt),
-            bslots=_slot_groups(t))
+            bslots=_slot_groups(t),
+            chain_miss=(c.chain_miss | _chain_miss_of(t)
+                        if have_chain else c.chain_miss))
 
     # plane-resident rebuild cycles: when the megastep kernel (plane
     # layout) pairs with the xsel rebin, the whole cycles loop can stay
@@ -699,7 +800,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # each at 64k) disappear entirely; transposes happen once per
     # run_cycles dispatch instead of once per rebuild cycle.
     use_plane_cycles = use_mega and rebin_impl == 'xsel' \
-        and not have_bonded
+        and (not have_bonded or have_chain)
 
     def _plane_cycles(c: FastCarry, dyn, ncycles, nwin, k):
         from .pallas_pair import cell_megastep_planes
@@ -716,22 +817,36 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             return jnp.transpose(a.reshape(plane4 + (3,)),
                                  (4, 0, 1, 2, 3))
 
+        cmiss0 = c.chain_miss if have_chain else jnp.zeros((), bool)
         st0 = (_to_planes(c.pos), _to_planes(c.vel), _to_planes(c.frc),
                _planes_i(c.img), c.tag.reshape(plane4),
                c.mass.reshape(plane4),
                aux.get('xi', jnp.zeros((), dtype)),
                aux.get('eta', jnp.zeros((), dtype)),
-               c.danger, c.wmax, c.timestep, c.rebin_ovf, c.n_rebuilds)
+               c.danger, c.wmax, c.timestep, c.rebin_ovf, c.n_rebuilds,
+               # drift reference: c.ref_pos for the FIRST cycle (the
+               # orchestrator enters with a fresh rebuild so ref == pos,
+               # but exported run.cycles callers may not), replaced by
+               # the rebin output after each in-loop rebuild
+               _to_planes(c.ref_pos), cmiss0)
 
         def cyc(_, st):
             (gp, gv, gf, gim, gtag, gmass, xi, eta, danger, wmax, ts,
-             rbo, nreb) = st
+             rbo, nreb, gr, cmiss) = st
             gw = 1.0 / gmass
-            gr = gp                 # ref = positions at last rebuild
+            gbp = gaf = None
+            if have_chain:
+                gbp, gaf = _chain_planes(gtag)
+            ck = dict(gt=(gtag if method_kind == 'langevin'
+                          or have_chain else None),
+                      gamma=dyn['gamma'], seed=method_seed,
+                      bonded=chain_static if have_chain else None,
+                      bpar=dyn.get('bpar') if have_chain else None,
+                      gbp=gbp, gaf=gaf)
 
             def w(_, wst):
                 gp, gv, gf, xi, eta, danger, wmax, ts = wst
-                if method_kind == 'nvt':
+                if method_kind in ('nvt', 'langevin'):
                     kt = variant_mod.eval_packed(
                         dyn['kT'], ts + jnp.arange(k, dtype=idt))
                 else:
@@ -741,9 +856,10 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                     dyn['pv'], dyn['dt'], kt, xi, eta, skin3, C=C, k=k,
                     method=method_kind, eval_name=eval_name,
                     pnames=pnames,
-                    recip=('approx' if method_kind == 'nvt' else 'div'),
+                    recip=('approx' if method_kind in ('nvt', 'langevin')
+                           else 'div'),
                     ndof=ndof, tau_inv2=ti2, interpret=interpret,
-                    monitor=_monitor)
+                    monitor=_monitor, ts0=ts, **ck)
                 return (gp, gv, gf, xi, eta, danger | d,
                         jnp.maximum(wmax, mdmax), ts + k)
 
@@ -752,12 +868,14 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             gp, gv, gf, gim, gtag, gmass, cap_o, lost = \
                 cell_rebin_xsel_planes(gp, gv, gf, gim, gtag, gmass,
                                        tuple(cell_dim), gL, C=C)
+            if have_chain:
+                cmiss = cmiss | _chain_miss_of(gtag)
             return (gp, gv, gf, gim, gtag, gmass, xi, eta, danger,
-                    wmax, ts, rbo | cap_o | lost, nreb + 1)
+                    wmax, ts, rbo | cap_o | lost, nreb + 1, gp, cmiss)
 
         st = jax.lax.fori_loop(0, ncycles, cyc, st0)
         (gp, gv, gf, gim, gtag, gmass, xi, eta, danger, wmax, ts,
-         rbo, nreb) = st
+         rbo, nreb, _gr, cmiss) = st
         if method_kind == 'nvt':
             aux['xi'] = xi
             aux['eta'] = eta
@@ -767,13 +885,18 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             return jnp.transpose(a, (1, 2, 3, 4, 0)).reshape(nc, C, 3)
 
         # typ stays: ntypes == 1 (gated by use_mega's builder checks)
+        tag2 = gtag.reshape(nc, C)
         return c.replace(
             pos=pos2, vel=_from_planes(gv), frc=_from_planes(gf),
-            img=_unplanes_i(gim), tag=gtag.reshape(nc, C),
+            img=_unplanes_i(gim), tag=tag2,
             mass=gmass.reshape(nc, C), ref_pos=pos2, aux=aux,
             danger=danger, wmax=wmax, timestep=ts,
             rebin_ovf=rbo, n_rebuilds=nreb,
-            since=jnp.zeros((), idt))
+            since=jnp.zeros((), idt),
+            # remainder one_step calls read slot tables for the CURRENT
+            # layout; the flag gates the host's fallback protocol
+            bslots=_slot_groups(tag2),
+            chain_miss=(cmiss if have_chain else c.chain_miss))
 
     @functools.partial(jax.jit, static_argnames=('k',))
     def run_cycles(carry, dyn, ncycles, nwin, *, k):
@@ -887,7 +1010,9 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             danger=jnp.zeros((), bool), since=jnp.zeros((), idt),
             wmax=jnp.zeros((), dtype),
             rebin_ovf=jnp.zeros((), bool),
-            bslots=_slot_groups(t.reshape(nc, C)))
+            bslots=_slot_groups(t.reshape(nc, C)),
+            chain_miss=(_chain_miss_of(t.reshape(nc, C))
+                        if have_chain else None))
         return carry
 
     @jax.jit

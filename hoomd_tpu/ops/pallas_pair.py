@@ -1341,7 +1341,7 @@ def cell_pair_plane(cell_pos, cell_dim, cell_shift, params_vec, *, C,
 # previous step — pure function, bitwise identical for every reader.
 
 def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
-                         szm, szp, energy_force):
+                         szm, szp, energy_force, bonded=None):
     """Shared pair-force loop: drift = dict dz -> (x,y,z) component
     planes (ny, nx, C), already drifted.  The i-side operands are the
     SAME values as the j-side (in-kernel expand_dims) — this keeps
@@ -1349,7 +1349,30 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
     does; an explicit self-pair mask in the (0,0,0) block backs that
     up (a 1-ulp i/j drift divergence once turned the clamped
     fdivr ~ 5e22 into real forces through fdivr * dr).
-    Returns (Fx, Fy, Fz) for rows [y0, y0+yb)."""
+    Returns (Fx, Fy, Fz) for rows [y0, y0+yb).
+
+    ``bonded`` switches on the in-scan fixed-topology machinery for
+    CHAIN topologies (the TPU re-expression of the reference's
+    PotentialBond/HarmonicAngle GPU kernels, md/PotentialBondGPU.cuh):
+    the stencil scan doubles as a content-addressable gather — each
+    candidate's TAG is compared against the i-slot's precomputed chain
+    partner tags, so bond forces ride the same zero-gather data flow as
+    the pair force and the partner DISPLACEMENT VECTORS needed by angle
+    terms are extracted as masked lane reductions.  bonded keys:
+      tdrift: dict dz -> (ny, nx, C) int32 tag planes
+      bp:     (P, yb, nx, C, 1) partner tags for rows [y0, y0+yb)
+              (P=2 bonds-only: [prev, next]; P=4 with angles:
+               [prev, next, prev2, next2]); -1 = no partner
+      bond_fmag: callable r2 -> radial bond force/r (F = fmag * dr_ij)
+      excl_bond / excl_13: static bools — bonded (and second-neighbor)
+              pairs are EXCLUDED from the pair sum (reference
+              md/NeighborList.h exclusion semantics)
+      want_vec: static bool — also return V (P, 3, yb, nx, C) partner
+              displacement vectors (xj - xi, min-image) for angle math
+    Partner matching is exact within the window because the rebuild
+    protocol guarantees every chain partner shares the 27-cell stencil
+    (checked in XLA at every rebuild; a miss raises the sticky retry
+    flag BEFORE the window runs)."""
     import jax
     import jax.numpy as jnp
 
@@ -1371,6 +1394,15 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
     Px = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
     Py = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
     Pz = jnp.zeros((yb, nx, C, 3 * C), jnp.float32)
+    if bonded is not None:
+        P = bonded['bp'].shape[0]
+        want_vec = bonded.get('want_vec', False)
+        Vx = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)] \
+            if want_vec else None
+        Vy = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)] \
+            if want_vec else None
+        Vz = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)] \
+            if want_vec else None
     for dz in (-1, 0, 1):
         cx, cy, cz = drift[dz]
         sz = szm if dz == -1 else (0.0 if dz == 0 else szp)
@@ -1405,6 +1437,9 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
         jyw_e = jnp.concatenate([ym, yc, yp], axis=-1)
         zm, zc, zp = rollx(jz_b, None)
         jzw_e = jnp.concatenate([zm, zc, zp], axis=-1)
+        if bonded is not None:
+            tm, tc, tp = rollx(seg(bonded['tdrift'][dz]), None)
+            jtw_e = jnp.concatenate([tm, tc, tp], axis=-1)
         for dy in (-1, 0, 1):
             o = dy + 1
             jxw = jxw_e[o:o + yb]
@@ -1430,11 +1465,40 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
                 # multiply)
                 cut = cut & not_self[None, None]
             fdivr = jnp.where(cut, energy_force(r2s), 0.0)
+            if bonded is not None:
+                jt4 = jtw_e[o:o + yb][:, :, None, :]  # (yb, nx, 1, 3C)
+                bp = bonded['bp']
+                mm = [jt4 == bp[p] for p in range(P)]
+                mb = mm[0] | mm[1]          # bond partners (prev, next)
+                bfm = bonded['bond_fmag'](r2s)
+                if bonded.get('excl_bond', True):
+                    # bonded pairs: bond term REPLACES the pair term
+                    fdivr = jnp.where(mb, bfm, fdivr)
+                else:
+                    fdivr = fdivr + jnp.where(mb, bfm, 0.0)
+                if P > 2 and bonded.get('excl_13', False):
+                    fdivr = jnp.where(mm[2] | mm[3], 0.0, fdivr)
+                if want_vec:
+                    # partner displacement xj - xi = -dr, one masked
+                    # lane reduction per (channel, component); each
+                    # partner appears in EXACTLY one stencil row
+                    for p in range(P):
+                        Vx[p] = Vx[p] - jnp.sum(
+                            jnp.where(mm[p], drx, 0.0), axis=-1)
+                        Vy[p] = Vy[p] - jnp.sum(
+                            jnp.where(mm[p], dry, 0.0), axis=-1)
+                        Vz[p] = Vz[p] - jnp.sum(
+                            jnp.where(mm[p], drz, 0.0), axis=-1)
             Px = Px + fdivr * drx
             Py = Py + fdivr * dry
             Pz = Pz + fdivr * drz
-    return (jnp.sum(Px, axis=-1), jnp.sum(Py, axis=-1),
-            jnp.sum(Pz, axis=-1))
+    out = (jnp.sum(Px, axis=-1), jnp.sum(Py, axis=-1),
+           jnp.sum(Pz, axis=-1))
+    if bonded is not None and bonded.get('want_vec', False):
+        V = jnp.stack([jnp.stack([Vx[p], Vy[p], Vz[p]])
+                       for p in range(P)])       # (P, 3, yb, nx, C)
+        return out + (V,)
+    return out
 
 
 def _plane_window_forces_n3l(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
@@ -1765,15 +1829,39 @@ def cell_step_plane(pos, vel, frc, minv, ref_pos, cell_dim, cell_shift,
 _N3L_DEBUG = None
 
 
-def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
-                     f_ref, r_ref, po_ref, vo_ref, fo_ref, st_ref,
-                     *scr_refs, k, nz, ny, nx, C, YB, method, eval_name,
+def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
                      pnames, recip, ndof, interpret, half=False,
-                     unroll_z=True, monitor=True):
+                     unroll_z=True, monitor=True, bonded=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from . import pair_eval
+    from . import hashrng
+
+    # positional refs vary with the static feature set: langevin needs
+    # the (seed, ts0) SMEM pair + tag planes for the in-kernel counter
+    # RNG; chain-bonded adds partner-tag planes (+ angle role flags)
+    langevin = method == 'langevin'
+    has_ang = bonded is not None and bonded[2]
+    it_refs = iter(refs)
+    par_ref = next(it_refs)
+    kt_ref = next(it_refs)
+    sx_ref = next(it_refs)
+    w_ref = next(it_refs)
+    m_ref = next(it_refs)
+    p_ref = next(it_refs)
+    v_ref = next(it_refs)
+    f_ref = next(it_refs)
+    r_ref = next(it_refs)
+    iv_ref = next(it_refs) if langevin else None
+    tg_ref = next(it_refs) if (langevin or bonded is not None) else None
+    bp_ref = next(it_refs) if bonded is not None else None
+    af_ref = next(it_refs) if has_ang else None
+    po_ref = next(it_refs)
+    vo_ref = next(it_refs)
+    fo_ref = next(it_refs)
+    st_ref = next(it_refs)
+    scr_refs = tuple(it_refs)
 
     NP = len(pnames)
     rc2 = par_ref[0, 0]
@@ -1782,6 +1870,32 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
     Lz = par_ref[0, 2 + NP]
     dt = par_ref[0, 3 + NP]
     tinv2 = par_ref[0, 4 + NP]
+    gamma = par_ref[0, 10 + NP]
+    if bonded is not None:
+        bk = par_ref[0, 11 + NP]
+        br = par_ref[0, 12 + NP]       # r0^2 (fene) or r0 (harmonic)
+        blj1 = par_ref[0, 13 + NP]
+        blj2 = par_ref[0, 14 + NP]
+        bwrc2 = par_ref[0, 15 + NP]
+        ak = par_ref[0, 16 + NP]
+        at0 = par_ref[0, 17 + NP]
+
+        if bonded[0] == 'fene':
+            def bond_fmag(r2s):
+                # FENE/WCA (reference EvaluatorBondFENE.h): attractive
+                # -k/(1-r^2/r0^2) plus the bond's own WCA core
+                denom = jnp.maximum(1.0 - r2s * (1.0 / br), 1e-4)
+                r2i = 1.0 / r2s
+                r6i = r2i * r2i * r2i
+                wca = jnp.where(r2s < bwrc2,
+                                r2i * r6i * (12.0 * blj1 * r6i
+                                             - 6.0 * blj2), 0.0)
+                return -bk / denom + wca
+        else:
+            def bond_fmag(r2s):
+                # harmonic (EvaluatorBondHarmonic.h): F = -k (r - r0) rhat
+                rinv = jax.lax.rsqrt(r2s)
+                return bk * (br * rinv - 1.0)
     # per-axis inverse danger thresholds 1/(skin_a/2)^2: stencil
     # coverage is per-axis (a pair is missed only when the COMBINED
     # drift along ONE axis exceeds that axis' skin = width_a - rcut),
@@ -1821,19 +1935,111 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         y0s.append((y0, min(YB, ny - y0)))
         y0 += YB
 
+    def _acos(c):
+        # Mosaic has no acos lowering; Abramowitz-Stegun 4.4.45
+        # minimax polynomial (|err| ~ 2e-8, below f32 roundoff):
+        # acos(x) = sqrt(1-x) P(x) on [0,1], reflected for x < 0
+        ax = jnp.abs(c)
+        p = jnp.float32(-0.0012624911)
+        for coef in (0.0066700901, -0.0170881256, 0.0308918810,
+                     -0.0501743046, 0.0889789874, -0.2145988016,
+                     1.5707963050):
+            p = p * ax + jnp.float32(coef)
+        r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+        return jnp.where(c < 0, jnp.float32(np.pi) - r, r)
+
+    def _angle_pair(r1x, r1y, r1z, r2x, r2y, r2z):
+        """Harmonic-angle forces for the triple (A, B, C) with r1 = A-B,
+        r2 = C-B (B the center): returns (F_A, F_C) component tuples;
+        F_B = -(F_A + F_C).  Reference HarmonicAngleForceCompute.cc
+        math, guarded for theta -> 0/pi (a -> -k smoothly at t0 = pi)."""
+        r1sq = jnp.maximum(r1x * r1x + r1y * r1y + r1z * r1z, 1e-6)
+        r2sq = jnp.maximum(r2x * r2x + r2y * r2y + r2z * r2z, 1e-6)
+        n1 = jax.lax.rsqrt(r1sq)
+        n2 = jax.lax.rsqrt(r2sq)
+        c = (r1x * r2x + r1y * r2y + r1z * r2z) * n1 * n2
+        c = jnp.clip(c, -1.0, 1.0)
+        sinv = jax.lax.rsqrt(jnp.maximum(1.0 - c * c, 1e-10))
+        a = ak * (_acos(c) - at0) * sinv
+        b12 = a * n1 * n2
+        b11 = a * c * n1 * n1
+        b22 = a * c * n2 * n2
+        FA = (b12 * r2x - b11 * r1x, b12 * r2y - b11 * r1y,
+              b12 * r2z - b11 * r1z)
+        FC = (b12 * r1x - b22 * r2x, b12 * r1y - b22 * r2y,
+              b12 * r1z - b22 * r2z)
+        return FA, FC
+
+    def _angle_block(V, af):
+        """Per-slot angle-force sum from extracted partner vectors
+        V (4, 3, yb, nx, C) = [prev, next, prev2, next2] displacements
+        and the 3-bit role flags af (yb, nx, C): bit0 = center of
+        (prev, self, next), bit1 = end of the angle centered at prev,
+        bit2 = end of the angle centered at next."""
+        v0x, v0y, v0z = V[0, 0], V[0, 1], V[0, 2]
+        v1x, v1y, v1z = V[1, 0], V[1, 1], V[1, 2]
+        w0x, w0y, w0z = V[2, 0], V[2, 1], V[2, 2]
+        w1x, w1y, w1z = V[3, 0], V[3, 1], V[3, 2]
+        FA, FC = _angle_pair(v0x, v0y, v0z, v1x, v1y, v1z)
+        Fcx = -(FA[0] + FC[0])
+        Fcy = -(FA[1] + FC[1])
+        Fcz = -(FA[2] + FC[2])
+        # end of the angle centered at prev: r1 = self - prev = -v0,
+        # r2 = prev2 - prev = w0 - v0
+        FE0, _ = _angle_pair(-v0x, -v0y, -v0z,
+                             w0x - v0x, w0y - v0y, w0z - v0z)
+        FE1, _ = _angle_pair(-v1x, -v1y, -v1z,
+                             w1x - v1x, w1y - v1y, w1z - v1z)
+        m0 = (af & 1) > 0
+        m1 = (af & 2) > 0
+        m2 = (af & 4) > 0
+        z = jnp.float32(0.0)
+        gx = jnp.where(m0, Fcx, z) + jnp.where(m1, FE0[0], z) \
+            + jnp.where(m2, FE1[0], z)
+        gy = jnp.where(m0, Fcy, z) + jnp.where(m1, FE0[1], z) \
+            + jnp.where(m2, FE1[1], z)
+        gz = jnp.where(m0, Fcz, z) + jnp.where(m1, FE0[2], z) \
+            + jnp.where(m2, FE1[2], z)
+        return gx, gy, gz
+
     def force_plane(iz):
         izm = jnp.where(iz == 0, nz - 1, iz - 1)
         izp = jnp.where(iz == nz - 1, 0, iz + 1)
         szm = jnp.where(iz == 0, -Lz, 0.0)
         szp = jnp.where(iz == nz - 1, Lz, 0.0)
         drift = {}
+        tdrift = {}
         for dz, src in ((-1, izm), (0, iz), (1, izp)):
             pla = po_ref[:, pl.ds(src, 1)]          # (3, 1, ny, nx, C)
             drift[dz] = (pla[0, 0], pla[1, 0], pla[2, 0])
+            if bonded is not None:
+                tdrift[dz] = tg_ref[pl.ds(src, 1)][0]   # (ny, nx, C)
         for (y0, yb) in y0s:
-            Fx, Fy, Fz = _plane_window_forces(
-                drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
-                energy_force)
+            if bonded is not None:
+                nPch = 4 if has_ang else 2
+                bp_blk = bp_ref[:, pl.ds(iz, 1), y0:y0 + yb]
+                bdict = {
+                    'tdrift': tdrift,
+                    'bp': bp_blk[:, 0][..., None],  # (P, yb, nx, C, 1)
+                    'bond_fmag': bond_fmag,
+                    'excl_bond': bonded[3],
+                    'excl_13': bonded[4],
+                    'want_vec': has_ang,
+                }
+                out = _plane_window_forces(
+                    drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
+                    energy_force, bonded=bdict)
+                if has_ang:
+                    Fx, Fy, Fz, V = out
+                    af = af_ref[pl.ds(iz, 1), y0:y0 + yb][0]
+                    gx, gy, gz = _angle_block(V, af)
+                    Fx, Fy, Fz = Fx + gx, Fy + gy, Fz + gz
+                else:
+                    Fx, Fy, Fz = out
+            else:
+                Fx, Fy, Fz = _plane_window_forces(
+                    drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
+                    energy_force)
             blk = jnp.stack([Fx, Fy, Fz])[:, None]   # (3, 1, yb, nx, C)
             fo_ref[:, pl.ds(iz, 1), y0:y0 + yb] = blk
 
@@ -1979,7 +2185,11 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
         # CPU-interpret tests pay per-op Python cost nz times)
         if half == 'lean':
             pend0 = jnp.zeros((3, ny, nx, C), jnp.float32)
-            if interpret or not unroll_z:
+            # an integer (partial-unroll) factor keeps the rolled loop
+            # on the n3l paths: mirroring the three-way dispatch would
+            # full-unroll on `elif`, the exact compile bomb the factor
+            # exists to avoid
+            if interpret or unroll_z is not True:
                 pending = jax.lax.fori_loop(
                     0, nz, force_plane_n3l_lean, pend0, unroll=False)
             else:
@@ -1990,7 +2200,7 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
             fo_ref[:, 0:1] = fo_ref[:, 0:1] - pending[:, None]
         elif half:
             jb_scr = scr_refs[0]
-            if interpret or not unroll_z:
+            if interpret or unroll_z is not True:
                 jax.lax.fori_loop(
                     0, nz,
                     lambda iz, _: (force_plane_n3l(iz, jb_scr), 0.0)[1],
@@ -2026,6 +2236,29 @@ def _kernel_megastep(par_ref, kt_ref, sx_ref, w_ref, m_ref, p_ref, v_ref,
             for iz in range(nz - nz % u, nz):   # static remainder
                 force_plane(iz)
         # kick (+ thermostat post-scale and KE for the next step)
+        if method == 'langevin':
+            # Langevin bath (reference md/TwoStepLangevin.cc:40-43,
+            # TwoStepLangevinGPU.cu): f_tot = F + noise - gamma v_mid,
+            # noise = sqrt(6 gamma kT / dt) U(-1,1) per component from
+            # the per-(seed, tag, step) counter hash — evaluated
+            # IN-KERNEL on the tag planes, zero gathers, the same
+            # stream one_step draws so window/remainder steps agree
+            kT_l = kt_ref[0, si]
+            amp = jnp.sqrt(6.0 * gamma * kT_l / dt)
+            tg = tg_ref[...]                 # (nz, ny, nx, C) i32
+            vmask = (tg >= 0).astype(jnp.float32)
+            ts_i = iv_ref[0, 1] + si
+            sd = iv_ref[0, 0]
+            noise = jnp.stack(
+                [hashrng.uniform_pm1(sd, ts_i, tg, salt=ax)
+                 for ax in (1, 2, 3)])
+            vh = vo_ref[...]
+            ft = (fo_ref[...] + amp * noise - gamma * vh) * vmask[None]
+            fo_ref[...] = ft
+            vo_ref[...] = vh + hdt * ft * w[None]
+            ke2n = ke2
+            xi = xi1
+            return (xi, eta, ke2n, mdmax)
         vn = vo_ref[...] + hdt * fo_ref[...] * w[None]
         if method == 'nvt':
             vn = vn * s
@@ -2110,20 +2343,31 @@ def cell_megastep_plane(pos, vel, frc, mass, minv, cell_dim, cell_shift,
                    static_argnames=('cell_dim', 'C', 'k', 'method',
                                     'eval_name', 'pnames', 'recip',
                                     'ndof', 'interpret', 'half',
-                                    'unroll_z', 'monitor'))
+                                    'unroll_z', 'monitor', 'bonded'))
 def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                          params_vec, dt, kt_table, xi, eta, skin, *, C,
                          k, method, eval_name='lj',
                          pnames=('lj1', 'lj2'), recip='approx', ndof=1.0,
                          tau_inv2=0.0, interpret=False, half=False,
-                         unroll_z=None, monitor=True):
+                         unroll_z=None, monitor=True,
+                         gamma=0.0, seed=0, ts0=0, gt=None,
+                         bonded=None, bpar=None, gbp=None, gaf=None):
     """Plane-layout megastep: k fused VV steps on (3, nz, ny, nx, C)
     arrays, drift monitored against the explicit rebuild-reference
     positions ``gr``.  Chaining windows between rebuilds stays entirely
     in plane layout (no transposes) and the danger check remains exact
     for the CUMULATIVE drift since the last rebuild — the decoupling
     that lets the host stretch the rebuild cadence at runtime (a traced
-    window count) instead of recompiling a longer kernel."""
+    window count) instead of recompiling a longer kernel.
+
+    method='langevin' adds the in-kernel counter-RNG bath: gamma (f32
+    scalar), seed (int), ts0 (traced int32 timestep of the window's
+    first step) and gt (tag planes, (nz, ny, nx, C) int32) are required.
+    ``bonded`` = (bond_kind, nP, has_angle, excl_bond, excl_13) enables
+    the in-scan chain-topology forces: bpar is the 7-vector [bond k,
+    r0^2|r0, bond lj1, bond lj2, bond wca_rc2, angle k, angle t0], gbp
+    the (nP, nz, ny, nx, C) partner-tag planes, gaf the angle role-flag
+    planes (has_angle only)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -2165,22 +2409,43 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
         pv, jnp.stack([Ly, Lz, jnp.asarray(dt, dtp),
                        jnp.asarray(tau_inv2, dtp),
                        it3[0], it3[1], it3[2],
-                       jnp.asarray(xi, dtp), jnp.asarray(eta, dtp)])])
-    NPAR = 10 + len(pnames)
+                       jnp.asarray(xi, dtp), jnp.asarray(eta, dtp),
+                       jnp.asarray(gamma, dtp)])])
+    if bonded is not None:
+        par = jnp.concatenate([par, jnp.asarray(bpar, dtp).reshape(7)])
+    NPAR = 11 + len(pnames) + (7 if bonded is not None else 0)
     YB = min(ny, 7)
+    langevin = method == 'langevin'
+    has_ang = bonded is not None and bonded[2]
     shp5 = (3, nz, ny, nx, C)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [sspec, sspec] + [vspec] * 7
+    operands = [par.reshape(1, NPAR),
+                kt_table.reshape(1, k).astype(dtp), sx,
+                gw, gm, gp, gv, gf, gr]
+    if langevin:
+        iv = jnp.stack([jnp.asarray(seed, jnp.int32),
+                        jnp.asarray(ts0, jnp.int32)]).reshape(1, 2)
+        in_specs.append(sspec)
+        operands.append(iv)
+    if langevin or bonded is not None:
+        in_specs.append(vspec)
+        operands.append(gt)
+    if bonded is not None:
+        in_specs.append(vspec)
+        operands.append(gbp)
+        if has_ang:
+            in_specs.append(vspec)
+            operands.append(gaf)
     po, vo, fo, st = pl.pallas_call(
         functools.partial(_kernel_megastep, k=k, nz=nz, ny=ny, nx=nx,
                           C=C, YB=YB, method=method, eval_name=eval_name,
                           pnames=pnames, recip=recip, ndof=float(ndof),
                           interpret=interpret, half=half,
-                          unroll_z=unroll_z, monitor=monitor),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # par (1, NPAR)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # kt (1, k)
-            vspec, vspec, vspec, vspec, vspec, vspec, vspec,
-        ],
+                          unroll_z=unroll_z, monitor=monitor,
+                          bonded=bonded),
+        in_specs=in_specs,
         out_specs=[vspec, vspec, vspec, vspec],
         out_shape=[jax.ShapeDtypeStruct(shp5, dtp),
                    jax.ShapeDtypeStruct(shp5, dtp),
@@ -2191,7 +2456,6 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(par.reshape(1, NPAR), kt_table.reshape(1, k).astype(dtp), sx,
-      gw, gm, gp, gv, gf, gr)
+    )(*operands)
     return (po, vo, fo,
             st[0, 0], st[1, 0], st[2, 0] > 0.5, st[3, 0], st[4, 0])

@@ -430,13 +430,17 @@ def build_fast_dd_chunk(*, N, box, mesh, grid, C, rcut, r_buff,
         if method_kind == 'langevin':
             kT = variant_mod.eval_packed(dyn['kT'], c['ts'])
             gamma = dyn['gamma']
-            key = rng_mod.step_key(method_seed, c['ts'], salt=4096)
-            u = jax.random.uniform(key, (N, 3), dtype=dtype,
-                                   minval=-1.0, maxval=1.0)
-            u_pad = jnp.concatenate([u, jnp.zeros((1, 3), dtype)])
-            noise = jnp.sqrt(6.0 * gamma * kT / dt) \
-                * u_pad[jnp.minimum(jnp.maximum(c['tag'], 0), N)
-                        ].reshape(lz, ly, lx, C, 3)
+            # per-SLOT counter hash keyed by (seed, step, tag, axis):
+            # O(local)/shard with zero gathers and no global (N, 3)
+            # table — the decomposed analog of the reference's
+            # per-particle Saru streams (md/TwoStepLangevin.cc:40-43;
+            # each rank draws only its own particles' streams)
+            from ..ops import hashrng
+            u = jnp.stack(
+                [hashrng.uniform_pm1(method_seed, c['ts'], c['tag'],
+                                     salt=ax) for ax in (1, 2, 3)],
+                axis=-1).astype(dtype)
+            noise = jnp.sqrt(6.0 * gamma * kT / dt) * u
             noise = jnp.where(valid, noise, 0.0)
             f_tot = jnp.where(valid, frc + noise - gamma * vel, 0.0)
             vel = jnp.where(valid, vel + 0.5 * dt * f_tot * minv, vel)

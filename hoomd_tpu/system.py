@@ -385,6 +385,15 @@ class System:
             return None
         interpret = (mode_env == 'interpret'
                      and jax.default_backend() != 'tpu')
+
+        def _decline(why):
+            # name the FIRST failed gate: silently dropping 30-200x in
+            # throughput is the reference Messenger's mode-selection
+            # notice territory (hoomd/Messenger.h:39-59)
+            from .util import notice
+            notice(2, f"fast engine declined ({why}); using the general "
+                      f"engine")
+            return None
         # bonded (fixed-topology) forces ride the fast engine as
         # tag-space terms around the cell-pair kernel (fast_lj
         # bonded_cfg); any count of them is allowed beside ONE pair
@@ -393,15 +402,23 @@ class System:
         from .md._bonded import BondedForce
         bonded_objs = [g for g in forces if isinstance(g, BondedForce)]
         pair_list = [g for g in forces if g not in bonded_objs]
-        if (len(pair_list) != 1 or len(methods) != 1 or aniso
-                or has_mode_hooks or composites
-                or len(self.particle_types) > 4):
-            return None
+        if len(pair_list) != 1:
+            return _decline(f'{len(pair_list)} pair forces (need exactly 1)')
+        if len(methods) != 1:
+            return _decline(f'{len(methods)} integration methods (need 1)')
+        if aniso:
+            return _decline('anisotropic pair forces')
+        if has_mode_hooks:
+            return _decline('integrator mode hooks (fire/npt hooks)')
+        if composites:
+            return _decline('rigid-body composites')
+        if len(self.particle_types) > 4:
+            return _decline(f'{len(self.particle_types)} particle types (max 4)')
         for g in bonded_objs:
             if getattr(g, '_needs_charge', False):
-                return None          # coulomb special pairs: general path
+                return _decline('coulomb special pairs')
             if type(g)._energy_fn is None:
-                return None          # table bonded: custom-JVP compute
+                return _decline('table bonded potential')
         f = pair_list[0]
         # any single-type, charge/diameter-free pair evaluator rides the
         # planar stencil kernel; the math is injected from ops/pair_eval
@@ -411,12 +428,14 @@ class System:
         ev = getattr(f, '_evaluator', None)
         eval_name = getattr(ev, '__name__', None)
         if eval_name not in FAST_EVALS:
-            return None
+            return _decline(f'pair evaluator {eval_name!r} not stencil-eligible')
         if f.mode not in ('none', 'shift'):
-            return None
+            return _decline(f'pair shift mode {f.mode!r} (need none/shift)')
         nl = f._nlist
-        if nl is None or nl._cfg is None or nl._cfg.diameter_shift:
-            return None
+        if nl is None or nl._cfg is None:
+            return _decline('no neighbor list attached')
+        if nl._cfg.diameter_shift:
+            return _decline('diameter-shifted neighbor list (slj)')
         # neighbor-list exclusions (bonded pairs removed from the pair
         # sum, reference md/NeighborList.h exclusion machinery): the
         # stencil kernel has no per-pair filtering, so the fast path
@@ -435,22 +454,22 @@ class System:
                                       axis=1).astype(np.int32)
         snap = self.snapshot_template
         if (snap.particles.body >= 0).any():
-            return None
+            return _decline('rigid/floppy body particles')
         m = methods[0]
         kind = type(m).__name__
         if kind not in ('nve', 'langevin', 'nvt'):
-            return None
+            return _decline(f'integration method {kind!r}')
         if kind == 'nve' and (m.limit is not None or m.zero_force):
-            return None
+            return _decline('nve limit/zero_force options')
         if kind == 'langevin' and (m.dscale or m.noiseless_t):
-            return None
+            return _decline('langevin dscale/noiseless options')
         if len(m.group.member_tags) != self.state.N:
-            return None
+            return _decline('method group is not group.all()')
         box = self.state.box
         import numpy as _np
         if box.dimensions != 3 or _np.abs(_np.asarray(box.tilt)).max() \
                 > 1e-12:
-            return None
+            return _decline('non-orthorhombic or 2D box')
         N = self.state.N
         rcut = float(np.max(f._rcut_matrix(self.particle_types)))
         r_buff = nl.r_buff
@@ -484,7 +503,7 @@ class System:
                 cell_dim, ncells, C = plan_fast_lj(
                     N, L, rcut, r_buff, conservative=True)
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
-            return None      # box too small for the stencil invariant
+            return _decline('box too small for the 27-cell stencil')
         C = max(C, self._grow.get('fast_C', 0))
         # legacy LJ-only Pallas variants can't host other evaluators
         impl_env = os.environ.get('HOOMD_TPU_FAST_IMPL')
@@ -596,6 +615,16 @@ class System:
         # exclusion-pair correction (subtracts the pair evaluator on
         # excluded pairs, matching the kernel's shift mode exactly)
         bonded_cfg = self._bonded_cfg_for(f, bonded_objs, excl_pairs)
+        # chain topologies (bead-spring family) move INTO the megastep
+        # kernel via tag matching when eligible; the tag-space
+        # bonded_cfg stays for pe/virial refresh + remainder steps
+        chain_cfg = None
+        if (bonded_objs and ntypes == 1 and impl == 'plane'
+                and self.real_dtype == _jnp.float32
+                and not self._grow.get('fast_chain_off')
+                and os.environ.get('HOOMD_TPU_CHAIN', 'on') != 'off'):
+            chain_cfg = self._chain_cfg_for_kernel(bonded_objs,
+                                                   excl_pairs)
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
@@ -603,7 +632,7 @@ class System:
             interpret=interpret, impl=impl, eval_name=eval_name,
             pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
             rebin_impl=rebin_impl, rebin_E=rebin_E,
-            bonded_cfg=tuple(bonded_cfg))
+            bonded_cfg=tuple(bonded_cfg), chain_cfg=chain_cfg)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
@@ -611,7 +640,7 @@ class System:
                 'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin,
                 'rebin_impl': rebin_impl, 'rebin_E': rebin_E,
                 'pair_force': f, 'bonded_forces': list(bonded_objs),
-                'excl_pairs': excl_pairs}
+                'excl_pairs': excl_pairs, 'chain': chain_cfg}
 
     def _bonded_cfg_for(self, f, bonded_objs, excl_pairs):
         """Fixed-topology term configs for the fast engines: user bonded
@@ -636,6 +665,114 @@ class System:
             bonded_cfg.append({'energy_fn': _excl_energy,
                                'groups': excl_pairs})
         return bonded_cfg
+
+    def _chain_cfg_for_kernel(self, bonded_objs, excl_pairs):
+        """Detect LINEAR-CHAIN topology eligible for the in-kernel
+        bonded path (megastep tag matching, ops/pallas_pair.py): one
+        fene/harmonic bond force whose graph has degree <= 2, plus at
+        most one harmonic angle force whose every angle is a
+        consecutive bonded triple, exclusions either empty or exactly
+        the bond (and optionally 1-3) set.  Returns the static
+        chain_cfg dict for build_fast_lj_chunk, plus bookkeeping for
+        _fast_dyn, or None (one_step tag-space path).  The reference
+        runs every such system through per-kind GPU kernels
+        (md/PotentialBondGPU.cuh, HarmonicAngleForceComputeGPU.cc);
+        this is the cell-major analog for the bead-spring family."""
+        from .md import angle as _angle
+        from .md import bond as _bond
+        bond_f = angle_f = None
+        for g in bonded_objs:
+            if isinstance(g, (_bond.fene, _bond.harmonic)) \
+                    and g._topology == 'bonds':
+                if bond_f is not None:
+                    return None
+                bond_f = g
+            elif isinstance(g, _angle.harmonic) \
+                    and g._topology == 'angles':
+                if angle_f is not None:
+                    return None
+                angle_f = g
+            else:
+                return None
+        if bond_f is None:
+            return None
+        snap = self.snapshot_template
+        bonds = np.asarray(snap.bonds.group, np.int64)
+        if bonds.size == 0 or len(snap.bonds.types) != 1:
+            return None
+        N = self.state.N
+        # adjacency, degree <= 2
+        deg = np.zeros(N, np.int64)
+        np.add.at(deg, bonds[:, 0], 1)
+        np.add.at(deg, bonds[:, 1], 1)
+        if deg.max() > 2:
+            return None
+        # 'no partner' sentinel is N (tags span [0, N); PAD slots
+        # carry tag -1, so -1 would falsely match every pad lane)
+        ptab = np.full((N + 1, 4), N, np.int32)
+        slot_next = np.zeros(N, np.int64)
+        for a, b in bonds:
+            ptab[a, slot_next[a]] = b
+            slot_next[a] += 1
+            ptab[b, slot_next[b]] = a
+            slot_next[b] += 1
+        # second neighbors: the OTHER partner of each bond partner
+        for ch in (0, 1):
+            p = ptab[:N, ch]
+            has = p < N
+            pa = np.where(has, p, 0)
+            other = np.where(ptab[pa, 0] == np.arange(N, dtype=np.int32),
+                             ptab[pa, 1], ptab[pa, 0])
+            ptab[:N, 2 + ch] = np.where(has, other, N)
+        has_ang = angle_f is not None
+        aflag = None
+        if has_ang:
+            angles = np.asarray(snap.angles.group, np.int64)
+            if len(snap.angles.types) != 1 or angles.size == 0:
+                return None
+            aflag = np.zeros(N + 1, np.int32)
+            b0 = ptab[:N, 0]
+            b1 = ptab[:N, 1]
+            for i, j, k in angles:
+                # center j must be bonded to exactly {i, k}
+                pj = {ptab[j, 0], ptab[j, 1]}
+                if pj != {i, k}:
+                    return None
+                aflag[j] |= 1
+                for end, far in ((i, k), (k, i)):
+                    if b0[end] == j and ptab[end, 2] == far:
+                        aflag[end] |= 2
+                    elif b1[end] == j and ptab[end, 3] == far:
+                        aflag[end] |= 4
+                    else:
+                        return None
+        # exclusion analysis: empty, bonds-only, or bonds + 1-3
+        def _pair_set(arr):
+            if arr is None or len(arr) == 0:
+                return set()
+            a = np.asarray(arr, np.int64)
+            return {(min(x, y), max(x, y)) for x, y in a}
+        excl = _pair_set(excl_pairs)
+        bond_set = _pair_set(bonds)
+        if not excl:
+            excl_bond = excl_13 = False
+        elif excl == bond_set:
+            excl_bond, excl_13 = True, False
+        else:
+            if not has_ang:
+                return None
+            set13 = {(min(i, k), max(i, k)) for i, _, k in angles}
+            if excl == (bond_set | set13):
+                excl_bond = excl_13 = True
+            else:
+                return None
+        bond_kind = 'fene' if isinstance(bond_f, _bond.fene) \
+            else 'harmonic'
+        return {'ptab': ptab if has_ang else ptab[:, :2],
+                'aflag': aflag, 'bond_kind': bond_kind,
+                'excl_bond': excl_bond, 'excl_13': excl_13,
+                'has_ang': has_ang,
+                'bond_force': bond_f, 'angle_force': angle_f}
 
     def _build_fast_dd(self, *, dd_shape, pair, bonded_objs, excl_pairs,
                        method, kind, eval_name, N, box, rcut, r_buff):
@@ -765,6 +902,28 @@ class System:
         for g in fast.get('bonded_forces', ()):
             gi = self._program['forces'].index(g)
             bd.append(self._dyn['forces'][gi])
+        ch = fast.get('chain')
+        if ch is not None:
+            gi = self._program['forces'].index(ch['bond_force'])
+            bp = self._dyn['forces'][gi]
+            z = jnp.zeros((), self.real_dtype)
+            if ch['bond_kind'] == 'fene':
+                sig = bp['sigma'][0]
+                eps = bp['epsilon'][0]
+                s6 = sig ** 6
+                bvec = [bp['k'][0], bp['r0'][0] ** 2,
+                        4.0 * eps * s6 * s6, 4.0 * eps * s6,
+                        2.0 ** (1.0 / 3.0) * sig ** 2]
+            else:
+                bvec = [bp['k'][0], bp['r0'][0], z, z, z]
+            if ch['angle_force'] is not None:
+                ai = self._program['forces'].index(ch['angle_force'])
+                ap = self._dyn['forces'][ai]
+                bvec += [ap['k'][0], ap['t0'][0]]
+            else:
+                bvec += [z, z]
+            out['bpar'] = jnp.stack(
+                [jnp.asarray(v, self.real_dtype) for v in bvec])
         ep = fast.get('excl_pairs')
         if ep is not None:
             tids = np.asarray(self.snapshot_template.particles.typeid)
@@ -859,20 +1018,25 @@ class System:
                 # round-trip (~15 ms on remote backends)
                 import jax as _jax
                 import jax.numpy as _j
+                cm = carry.chain_miss if carry.chain_miss is not None \
+                    else _j.zeros((), bool)
                 fl = np.asarray(_jax.device_get(_j.stack([
                     carry.overflow.astype(_j.float32),
                     carry.danger.astype(_j.float32),
                     carry.rebin_ovf.astype(_j.float32),
-                    carry.wmax.astype(_j.float32)])))
+                    carry.wmax.astype(_j.float32),
+                    cm.astype(_j.float32)])))
                 ovf = bool(fl[0] > 0.5)
                 dng = bool(fl[1] > 0.5)
                 rbo = bool(fl[2] > 0.5)
-                if dbg and (ovf or dng or rbo):
+                cmiss = bool(fl[4] > 0.5)
+                if dbg and (ovf or dng or rbo or cmiss):
                     print(f"[fast] flags ovf={ovf} dng={dng} rbo={rbo} "
+                          f"cmiss={cmiss} "
                           f"wmax={float(fl[3]):.4g} "
                           f"rebin={fast.get('rebin_impl')} "
                           f"C={fast.get('C')}", flush=True)
-                if not (ovf or dng or rbo):
+                if not (ovf or dng or rbo or cmiss):
                     self._fast_carry = carry
                     self._fast_state_stale = True
                     seg_cap = min(seg_cap * 2, 8192)
@@ -913,8 +1077,13 @@ class System:
                     # have grown to 8192, so the worst-case redo tax
                     # of periodic amnesty is <1%)
                     if clean == 16 \
-                            and self._grow.get('fast_m_probe_fails'):
+                            and (self._grow.get('fast_m_probe_fails')
+                                 or self._grow.get('fast_xsel_fails')):
                         self._grow.pop('fast_m_probe_fails', None)
+                        # same amnesty for xsel strikes: transient-heavy
+                        # starts (melts) must not permanently cost the
+                        # fast rebin at steady state
+                        self._grow.pop('fast_xsel_fails', None)
                         self._grow['fast_clean_segs'] = 0
                         if dbg:
                             print("[fast] probe amnesty (16 clean)",
@@ -1055,6 +1224,19 @@ class System:
                         self._grow['fast_rebin_E'] = 16
                     else:
                         self._grow['fast_rebin_sort'] = True
+                    need_rebuild = True
+                if cmiss and not ovf:
+                    # a chain partner fell outside the stencil at a
+                    # rebuild: the in-kernel bonded path cannot see it.
+                    # Permanently fall back to the one_step tag-space
+                    # bonded path for this simulation (correct for any
+                    # geometry); the reference has no analog cliff —
+                    # its bond kernels gather by index
+                    from .util import notice
+                    notice(2, "fast engine: chain partner left the "
+                              "27-cell stencil; falling back to the "
+                              "tag-space bonded path")
+                    self._grow['fast_chain_off'] = True
                     need_rebuild = True
                 if dng:
                     if m_now > 1:

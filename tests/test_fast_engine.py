@@ -308,6 +308,7 @@ def test_pallas_rebin_in_engine():
         assert np.array_equal(tags, np.arange(N))
     finally:
         os.environ.pop('HOOMD_TPU_FAST_IMPL', None)
+        os.environ.pop('HOOMD_TPU_FAST', None)
 
 def test_xsel_plane_cycles_in_engine():
     """The plane-resident rebuild cycle (megastep windows + xsel rebin
@@ -341,3 +342,4 @@ def test_xsel_plane_cycles_in_engine():
         assert np.array_equal(tags, np.arange(N))
     finally:
         os.environ.pop('HOOMD_TPU_FAST_IMPL', None)
+        os.environ.pop('HOOMD_TPU_FAST', None)

@@ -133,3 +133,24 @@ def test_hpmc_checkpoint_roundtrip(tmp_path):
     dmin, _ = min_pair_distance(sys2)
     assert dmin >= 1.0 - 1e-5
     hoomd_mod.run(5, quiet=True)
+
+
+def test_dense_sweep_path_invariants(monkeypatch):
+    """The opt-in dense (roll-based) checkerboard sweep keeps the hard
+    constraint and makes moves — regression cover for the non-default
+    path after the TPU default flipped to the gather sweep."""
+    monkeypatch.setenv('HOOMD_TPU_HPMC_DENSE', 'on')
+    import hoomd_tpu as hoomd
+    hoomd_mod, mc, L, N = hs_fluid(eta=0.3, n=6)
+    system = hoomd_mod.context.current.system
+    snap0 = system.take_snapshot()
+    hoomd_mod.run(40, quiet=True)
+    assert system._program.get('dense'), "dense sweep was not selected"
+    dmin, _ = min_pair_distance(system)
+    assert dmin >= 1.0 - 1e-5, f"overlap on dense sweep: {dmin}"
+    acc = mc.get_translate_acceptance()
+    assert 0.02 < acc < 0.999
+    snap1 = system.take_snapshot()
+    moved = np.abs(snap1.particles.position
+                   - snap0.particles.position).max()
+    assert moved > 0.05
