@@ -194,12 +194,14 @@ class pppm(Force):
         # The reference's GPU pendant is the per-thread atomic scatter
         # (md/PPPMForceComputeGPU.cu:115-1293) — atomics are the GPU's
         # answer, matmuls are the MXU's.
-        def compute(state, nl, params):
-            idt = int_dtype()
-            rdt = state.pos.dtype
-            N = state.N
-            q = state.charge
-            box = state.box
+        def mesh_compute(pos, q, box, params, want_pv=True):
+            """Mesh (k-space) part on ANY (M, 3)/(M,) layout — padding
+            rows ride along with q = 0 and receive zero force/energy.
+            Reused by the fast cell-major engine as its per-step mesh
+            hook (reference analog: PPPMForceComputeGPU.cu kernels
+            called from the same IntegratorTwoStep chain)."""
+            rdt = pos.dtype
+            N = pos.shape[0]
             L = box.L
             V = box.volume()
             kappa = params['kappa']
@@ -208,7 +210,7 @@ class pppm(Force):
             dense = N * Nx * Ny <= (1 << 25)
 
             # -- charge assignment ---------------------------------------
-            f = box.make_fraction(state.pos)        # [0,1)
+            f = box.make_fraction(pos)              # [0,1)
             u = (f - jnp.floor(f)) * jnp.asarray([Nx, Ny, Nz], rdt)
             pmx, wx = _bspline_weights(u[:, 0], order)
             pmy, wy = _bspline_weights(u[:, 1], order)
@@ -261,8 +263,11 @@ class pppm(Force):
                 0.0)
             phi_k = green * rho_k
 
-            # potential at particles (for per-particle energy)
-            phi = jnp.real(_ifftn(phi_k)) * (Nx * Ny * Nz)
+            # potential at particles (for per-particle energy);
+            # force-only callers (the fast engine's hot loop) skip this
+            # inverse FFT + interpolation entirely
+            phi = (jnp.real(_ifftn(phi_k)) * (Nx * Ny * Nz)
+                   if want_pv else None)
 
             def interp(field):
                 """Mesh field -> per-particle values (transpose of the
@@ -272,8 +277,11 @@ class pppm(Force):
                     return jnp.sum(TW * P1.T, axis=1)
                 return jnp.sum(field.reshape(-1)[flat_idx] * flat_w,
                                axis=1)
-            phi_i = interp(phi)
-            pe = 0.5 * q * phi_i
+            if want_pv:
+                phi_i = interp(phi)
+                pe = 0.5 * q * phi_i
+            else:
+                pe = jnp.zeros((N,), rdt)
 
             # E-field via ik differentiation: 3 inverse FFTs
             Exk = -1j * kx[:, None, None] * phi_k
@@ -286,29 +294,44 @@ class pppm(Force):
             # F = q E with E = -grad(phi), i.e. E_hat = -i k phi_hat
             force = q[:, None] * jnp.stack([Exi, Eyi, Ezi], axis=-1)
 
-            # -- self energy + neutralizing background --------------------
-            pe = pe - kappa / jnp.sqrt(jnp.pi) * q * q
-            Qtot = jnp.sum(q)
-            pe = pe - jnp.pi / (2.0 * kappa ** 2 * V) * q * Qtot
+            if want_pv:
+                # -- self energy + neutralizing background ----------------
+                pe = pe - kappa / jnp.sqrt(jnp.pi) * q * q
+                Qtot = jnp.sum(q)
+                pe = pe - jnp.pi / (2.0 * kappa ** 2 * V) * q * Qtot
 
-            # -- k-space virial (global, spread per particle) -------------
-            rr = jnp.abs(rho_k) ** 2
-            pref = green * rr / 2.0
-            kfac = jnp.where(k2 > 0,
-                             2.0 * (1.0 / jnp.where(k2 > 0, k2, 1.0)
-                                    + 1.0 / (4.0 * kappa ** 2)), 0.0)
-            kxx = kx[:, None, None]
-            kyy = ky[None, :, None]
-            kzz = kz[None, None, :]
-            vir6 = []
-            for (a, b, delta) in ((kxx, kxx, 1.0), (kxx, kyy, 0.0),
-                                  (kxx, kzz, 0.0), (kyy, kyy, 1.0),
-                                  (kyy, kzz, 0.0), (kzz, kzz, 1.0)):
-                vir6.append(jnp.sum(pref * (delta - kfac * a * b)))
-            vir_global = jnp.stack(vir6)
-            qsum2 = jnp.sum(q * q)
-            share = jnp.where(qsum2 > 0, q * q / qsum2, 0.0)
-            virial = share[:, None] * vir_global[None, :]
+                # -- k-space virial (global, spread per particle) ---------
+                rr = jnp.abs(rho_k) ** 2
+                pref = green * rr / 2.0
+                kfac = jnp.where(k2 > 0,
+                                 2.0 * (1.0 / jnp.where(k2 > 0, k2, 1.0)
+                                        + 1.0 / (4.0 * kappa ** 2)), 0.0)
+                kxx = kx[:, None, None]
+                kyy = ky[None, :, None]
+                kzz = kz[None, None, :]
+                vir6 = []
+                for (a, b, delta) in ((kxx, kxx, 1.0), (kxx, kyy, 0.0),
+                                      (kxx, kzz, 0.0), (kyy, kyy, 1.0),
+                                      (kyy, kzz, 0.0), (kzz, kzz, 1.0)):
+                    vir6.append(jnp.sum(pref * (delta - kfac * a * b)))
+                vir_global = jnp.stack(vir6)
+                qsum2 = jnp.sum(q * q)
+                share = jnp.where(qsum2 > 0, q * q / qsum2, 0.0)
+                virial = share[:, None] * vir_global[None, :]
+            else:
+                virial = jnp.zeros((N, 6), rdt)
+            return force.astype(rdt), pe.astype(rdt), virial.astype(rdt)
+
+        self._mesh_compute = mesh_compute
+
+        def compute(state, nl, params):
+            idt = int_dtype()
+            rdt = state.pos.dtype
+            N = state.N
+            q = state.charge
+            box = state.box
+            kappa = params['kappa']
+            force, pe, virial = mesh_compute(state.pos, q, box, params)
 
             # -- exclusion corrections ------------------------------------
             if nl_cfg_excl is not None:

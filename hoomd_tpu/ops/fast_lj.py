@@ -166,7 +166,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         impl='xla', eval_name='lj',
                         pnames=('lj1', 'lj2', 'rcut'), ntypes=1,
                         k_rebuild=8, rebin_impl='sort', rebin_E=16,
-                        bonded_cfg=(), chain_cfg=None):
+                        bonded_cfg=(), chain_cfg=None, charges=None,
+                        mesh_cfg=None):
     """Returns (to_fast, run_chunk, to_state_fields).
 
     dyn layout: {'pv': [rc2, e_shift, *pnames] evaluator params, 'lj':
@@ -202,6 +203,12 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     idt = int_dtype()
     nc = int(np.prod(cell_dim))
     M = nc * C
+    # charged configs (ewald / lj_ewald real space + optional PPPM mesh
+    # hook): charges are per-TAG constants, gathered to slots per step
+    needs_q = charges is not None
+    if needs_q:
+        q_tab = jnp.concatenate([jnp.asarray(charges, dtype),
+                                 jnp.zeros((1,), dtype)])
     L_np = np.asarray(box.L, dtype=np.float64)
     # the stencil covers all pairs within the actual cell width at
     # rebuild time, which is >= rcut + r_buff by construction; using the
@@ -305,7 +312,26 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             res = res + (out[:, 12:15],)
         return res + (ovf,)
 
-    def _forces(pos_cells, typ_cells, dyn, want_pv=True):
+    def _forces(pos_cells, typ_cells, dyn, want_pv=True, q_cells=None):
+        if needs_q:
+            # charge-consuming evaluators ride the planar row kernel
+            # (charge window planes) or the XLA roll formulation; the
+            # other impls have no charge channel
+            if impl in ('plane', 'planar', 'planar_n3l'):
+                return cell_pair_planar(
+                    pos_cells.reshape(nc, C, 3), cell_dim, shifts,
+                    dyn['pv'], C=C, eval_name=eval_name, pnames=pnames,
+                    interpret=interpret, want_pv=want_pv, ntypes=ntypes,
+                    cell_typ=(typ_cells.reshape(nc, C)
+                              if ntypes > 1 else None),
+                    cell_q=q_cells.reshape(nc, C))
+            out = cell_pair_xla(pos_cells.reshape(nc, C, 3), cell_dim,
+                                shifts, dyn['pv'], eval_name=eval_name,
+                                pnames=pnames, ntypes=ntypes,
+                                cell_typ=(typ_cells.reshape(nc, C)
+                                          if ntypes > 1 else None),
+                                cell_q=q_cells.reshape(nc, C))
+            return out if want_pv else out[0]
         if impl == 'pallas':
             out = cell_pair_lj(pos_cells.reshape(nc, C, 3), adj,
                                shifts, dyn['lj'], ncells=nc, C=C,
@@ -539,7 +565,20 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         # ---- forces (Pallas cell-pair kernel); pe/virial are NOT
         # computed in the hot loop — refresh_forces fills them at chunk
         # boundaries before any observer reads them
-        frc = _forces(pos, typ, dyn, want_pv=False)
+        if needs_q:
+            q_cells = jnp.where(tag >= 0,
+                                q_tab[jnp.minimum(
+                                    jnp.maximum(tag, 0), N)], 0.0)
+            frc = _forces(pos, typ, dyn, want_pv=False,
+                          q_cells=q_cells)
+            if mesh_cfg is not None:
+                fm, _, _ = mesh_cfg['fn'](pos.reshape(M, 3),
+                                          q_cells.reshape(M),
+                                          box, dyn['mesh'],
+                                          want_pv=False)
+                frc = frc + fm.reshape(nc, C, 3)
+        else:
+            frc = _forces(pos, typ, dyn, want_pv=False)
         if have_bonded:
             fb, _, _ = _bonded_terms(pos, c.bslots, dyn, want_pv=False)
             frc = frc + fb
@@ -594,6 +633,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # opt-in until the lean leapfrog-storage variant lands.
     import os as _os
     use_fused = (impl == 'plane' and ntypes == 1 and not have_bonded
+                 and not needs_q
                  and method_kind in ('nve', 'nvt')
                  and _os.environ.get('HOOMD_TPU_FUSED') == 'on')
     # window-resident mega kernel: k full VV steps in one pallas_call,
@@ -602,8 +642,10 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # the per-step one_step path instead
     # langevin rides the megastep via the in-kernel counter-RNG bath;
     # chain topologies (see chain_cfg) ride it via in-scan tag matching
+    # charged configs stay on the per-step path: the PPPM mesh hook
+    # (FFTs) cannot run inside a Mosaic kernel
     use_mega = (impl == 'plane' and ntypes == 1
-                and (not have_bonded or have_chain)
+                and (not have_bonded or have_chain) and not needs_q
                 and method_kind in ('nve', 'nvt', 'langevin')
                 and _os.environ.get('HOOMD_TPU_MEGA', 'on') != 'off')
     # probe-only knob: drop the in-kernel drift monitor (UNSAFE — the
@@ -1017,7 +1059,21 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
 
     @jax.jit
     def refresh_forces(carry, dyn):
-        frc, pe, vir = _forces(carry.pos, carry.typ, dyn)
+        if needs_q:
+            qc = jnp.where(carry.tag >= 0,
+                           q_tab[jnp.minimum(
+                               jnp.maximum(carry.tag, 0), N)], 0.0)
+            frc, pe, vir = _forces(carry.pos, carry.typ, dyn,
+                                   q_cells=qc)
+            if mesh_cfg is not None:
+                fm, pm, vm = mesh_cfg['fn'](carry.pos.reshape(M, 3),
+                                            qc.reshape(M), box,
+                                            dyn['mesh'], want_pv=True)
+                frc = frc + fm.reshape(nc, C, 3)
+                pe = pe + pm.reshape(nc, C)
+                vir = vir + vm.reshape(nc, C, 6)
+        else:
+            frc, pe, vir = _forces(carry.pos, carry.typ, dyn)
         if have_bonded:
             fb, peb, virb = _bonded_terms(carry.pos, carry.bslots, dyn,
                                           want_pv=True)

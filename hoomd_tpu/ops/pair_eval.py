@@ -291,6 +291,53 @@ class ewald:
         return fdivr, e
 
 
+def erfc_approx(x):
+    """erfc via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7): rational
+    prefactor times exp(-x^2) — only exp, which Mosaic lowers (unlike
+    erf/erfc/atan), so the same formula traces in XLA and in Pallas
+    kernels and both paths share one bit-stream."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+class lj_ewald:
+    """Fused LJ + real-space Ewald for the cell-major stencil kernel:
+    V = 4 eps [(sig/r)^12 - (sig/r)^6] + q_i q_j erfc(kappa r)/r.
+    The PPPM bench config runs pair.lj and the solver's implicit
+    pair.ewald on the SAME nlist with equal cutoffs; evaluating both in
+    one scan halves the candidate passes (reference analog: one fused
+    GPU kernel per potential pair, AllDriverPotentialPairGPU.cu)."""
+    coeff_names = ('lj1', 'lj2', 'kappa')
+    defaults = {}
+    needs_charge = True
+    needs_diameter = False
+
+    @staticmethod
+    def derive(p):
+        return dict(p)
+
+    @staticmethod
+    def energy_force(r2, p):
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        fdivr = r2inv * r6inv * (12.0 * p['lj1'] * r6inv
+                                 - 6.0 * p['lj2'])
+        e = r6inv * (p['lj1'] * r6inv - p['lj2'])
+        rinv = jnp.sqrt(r2inv)
+        r = r2 * rinv
+        kr = p['kappa'] * r
+        ec = erfc_approx(kr)
+        qq = p['qiqj']
+        e = e + qq * ec * rinv
+        fdivr = fdivr + qq * (ec * rinv
+                              + 2.0 * p['kappa']
+                              * jnp.float32(0.5641895835477563)
+                              * jnp.exp(-kr * kr)) * r2inv
+        return fdivr, e
+
+
 class dpd_conservative:
     """Conservative DPD (EvaluatorPairDPDThermo.h, conservative part only).
     F = A (1 - r/rc) rhat;  V = A rc/2 (1 - r/rc)^2."""

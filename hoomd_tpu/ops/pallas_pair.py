@@ -231,7 +231,8 @@ def cell_pair_lj_xla(cell_pos, cell_dim, cell_shift, lj_params):
                    static_argnames=('cell_dim', 'eval_name', 'pnames',
                                     'ntypes'))
 def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
-                  eval_name, pnames, ntypes=1, cell_typ=None):
+                  eval_name, pnames, ntypes=1, cell_typ=None,
+                  cell_q=None):
     """Pure-XLA formulation of the cell-pair computation for any
     single-type pair evaluator (params_vec = [rc2, e_shift, *coeffs]).
 
@@ -286,6 +287,18 @@ def cell_pair_xla(cell_pos, cell_dim, cell_shift, params_vec, *,
         rc2 = params_vec[0]
         e_shift = params_vec[1]
         pdict = {nm: params_vec[2 + k] for k, nm in enumerate(pnames)}
+    if cell_q is not None:
+        qblocks = []
+        q3 = cell_q.reshape(nz, ny, nx, C)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    qb = jnp.roll(q3, shift=(-dz, -dy, -dx),
+                                  axis=(0, 1, 2))
+                    qblocks.append(qb.reshape(nc, C))
+        qj = jnp.concatenate(qblocks, axis=1)             # (nc, 27C)
+        pdict = dict(pdict)
+        pdict['qiqj'] = cell_q[:, :, None] * qj[:, None, :]
     xi = cell_pos
     xi2 = jnp.sum(xi * xi, axis=-1)                       # (nc, C)
     xj2 = jnp.sum(xj * xj, axis=-1)                       # (nc, 27C)
@@ -595,7 +608,7 @@ def cell_pair_lj_row(cell_pos, cell_dim, cell_shift, lj_params, *,
 
 def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
                    want_pv=True, eval_name='lj', pnames=('lj1', 'lj2'),
-                   ntypes=1):
+                   ntypes=1, needs_q=False):
     """Planar (SoA) row kernel: grid (nz, ny, 9), j-candidates packed into
     the LANE dimension as a (nx, C, 3C) window tile.
 
@@ -618,6 +631,10 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
     if ntypes > 1:
         tj_ref = rest[0]
         ti_ref = rest[1]
+        rest = rest[2:]
+    if needs_q:
+        qj_ref = rest[0]
+        qi_ref = rest[1]
         rest = rest[2:]
     f_ref = rest[0]
     if want_pv:
@@ -672,6 +689,13 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
         rc2 = field(0)
         e_shift = field(1)
         pdict = {nm: field(2 + k) for k, nm in enumerate(pnames)}
+    if needs_q:
+        # per-pair charge product via the same window machinery as the
+        # type planes (reference EvaluatorPairEwald.h consumes qiqj)
+        qm_, q0_, qp_ = rolls(qj_ref[0, 0])
+        jq = jnp.concatenate([qm_, q0_, qp_], axis=-1)     # (nx, 3C)
+        pdict = dict(pdict)
+        pdict['qiqj'] = qi_ref[0, 0] * jq[:, None, :]      # (nx, C, 3C)
     xix = xi_ref[0, 0, 0]                  # (nx, C, 1) pre-transposed
     xiy = xi_ref[1, 0, 0]
     xiz = xi_ref[2, 0, 0]
@@ -732,17 +756,20 @@ def _kernel_planar(sy_ref, sz_ref, lj_ref, xj_ref, xi_ref, sx_ref, *rest,
                                     'ntypes'))
 def cell_pair_planar(cell_pos, cell_dim, cell_shift, params_vec, *,
                      C, eval_name, pnames, interpret=False,
-                     want_pv=True, ntypes=1, cell_typ=None):
+                     want_pv=True, ntypes=1, cell_typ=None,
+                     cell_q=None):
     """Planar row-blocked Pallas cell-pair kernel for ANY
     charge/diameter-free pair evaluator.  Single type: params_vec =
     [rc2, e_shift, *coeffs].  Multi-type (ntypes > 1): params_vec is
     (NPAR, T, T) per-pair tables and cell_typ (ncells, C) carries type
-    ids (one-hot mixed inside the kernel — Mosaic has no gathers)."""
+    ids (one-hot mixed inside the kernel — Mosaic has no gathers).
+    cell_q (ncells, C) feeds charge-consuming evaluators (ewald family):
+    per-pair q_i q_j is formed from charge window planes in-kernel."""
     return _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift,
                                   params_vec, C=C, eval_name=eval_name,
                                   pnames=pnames, interpret=interpret,
                                   want_pv=want_pv, ntypes=ntypes,
-                                  cell_typ=cell_typ)
+                                  cell_typ=cell_typ, cell_q=cell_q)
 
 
 def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
@@ -759,7 +786,8 @@ def cell_pair_lj_planar(cell_pos, cell_dim, cell_shift, lj_params, *,
 
 def _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift, params_vec, *,
                            C, eval_name, pnames, interpret=False,
-                           want_pv=True, ntypes=1, cell_typ=None):
+                           want_pv=True, ntypes=1, cell_typ=None,
+                           cell_q=None):
     """Planar row-blocked Pallas cell-pair kernel (the TPU hot loop).
     Same contract as cell_pair_lj_xla; cell_shift is only used to read
     the box lengths (shifts are rebuilt planar on the host side of jit).
@@ -851,10 +879,25 @@ def _cell_pair_planar_impl(cell_pos, cell_dim, cell_shift, params_vec, *,
     in_specs += [xj_spec, xi_spec, sx_spec]
     if ntypes > 1:
         in_specs += [tj_spec, ti_spec]
+    needs_q = cell_q is not None
+    if needs_q:
+        qf = cell_q.astype(dt).reshape(nz, ny, nx, C)
+        extra = extra + (qf, qf[..., None])
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, nx, C),
+                lambda iz, iy, ik: (
+                    (iz + ik // 3 - 1) % nz, (iy + ik % 3 - 1) % ny,
+                    0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, C, 1),
+                         lambda iz, iy, ik: (iz, iy, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     out = pl.pallas_call(
         functools.partial(_kernel_planar, want_pv=want_pv,
                           eval_name=eval_name, pnames=pnames,
-                          ntypes=ntypes),
+                          ntypes=ntypes, needs_q=needs_q),
         grid=(nz, ny, 9),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -2387,8 +2430,12 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
             # ms/step — the rolled loop's cost is dynamic addressing,
             # not loop machinery), and u>=4 register-spills past the
             # 128M VMEM budget at Mosaic's register allocator.  Full
-            # unroll stays for small grids only.
-            unroll_z = nz * -(-ny // min(ny, 7)) <= 16
+            # unroll stays for small grids only — and never for the
+            # chain-bonded scan, whose per-body extraction code makes
+            # even modest unrolls a Mosaic compile bomb (measured:
+            # 15 bodies > 10 min at the 32k KG grid)
+            budget = 6 if bonded is not None else 16
+            unroll_z = nz * -(-ny // min(ny, 7)) <= budget
 
     Lx = cell_shift[nc - 1, 26, 0]
     Ly = cell_shift[nc - 1, 26, 1]

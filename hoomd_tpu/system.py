@@ -400,8 +400,56 @@ class System:
         # force (reference analog: IntegratorTwoStep sums ForceComputes,
         # md/IntegratorTwoStep.cc)
         from .md._bonded import BondedForce
+        from .md import charge as _charge
         bonded_objs = [g for g in forces if isinstance(g, BondedForce)]
         pair_list = [g for g in forces if g not in bonded_objs]
+        # charged configs: ONE pppm mesh force may ride the fast engine
+        # as a per-step XLA hook beside its real-space ewald pair; the
+        # real-space part fuses with an optional LJ pair into the
+        # lj_ewald stencil evaluator (reference: PPPMForceComputeGPU +
+        # pair ewald on one nlist)
+        mesh_list = [g for g in pair_list
+                     if isinstance(g, _charge.pppm)]
+        pair_list = [g for g in pair_list if g not in mesh_list]
+        if len(mesh_list) > 1:
+            return _decline('multiple pppm instances')
+        mesh_f = mesh_list[0] if mesh_list else None
+        charged = None
+        if mesh_f is not None:
+            ew = mesh_f._ewald_pair
+            if ew is None or ew not in pair_list:
+                return _decline('pppm without its real-space ewald pair')
+            others = [g for g in pair_list if g is not ew]
+            if len(others) > 1:
+                return _decline(f'{len(others) + 1} pair forces beside '
+                                f'pppm (need at most lj + ewald)')
+            if want_dd:
+                return _decline('pppm under spatial DD (general engine)')
+            if others:
+                lj_f = others[0]
+                if getattr(getattr(lj_f, '_evaluator', None), '__name__',
+                           None) != 'lj':
+                    return _decline('pppm + non-lj pair (need lj)')
+                if lj_f.mode != 'none':
+                    return _decline('pppm + shifted lj pair')
+                if lj_f._nlist is not ew._nlist:
+                    return _decline('pppm pair on a different nlist')
+                if not np.allclose(
+                        lj_f._rcut_matrix(self.particle_types),
+                        ew._rcut_matrix(self.particle_types)):
+                    return _decline('pppm lj/ewald cutoffs differ')
+                charged = {'kind': 'lj_ewald', 'lj': lj_f, 'ewald': ew,
+                           'mesh': mesh_f}
+                pair_list = [lj_f]
+            else:
+                charged = {'kind': 'ewald', 'lj': None, 'ewald': ew,
+                           'mesh': mesh_f}
+                pair_list = [ew]
+        elif len(pair_list) == 1 and getattr(
+                getattr(pair_list[0], '_evaluator', None), '__name__',
+                None) == 'ewald':
+            charged = {'kind': 'ewald', 'lj': None,
+                       'ewald': pair_list[0], 'mesh': None}
         if len(pair_list) != 1:
             return _decline(f'{len(pair_list)} pair forces (need exactly 1)')
         if len(methods) != 1:
@@ -425,10 +473,22 @@ class System:
         FAST_EVALS = ('lj', 'gauss', 'yukawa', 'morse', 'mie',
                       'buckingham', 'lj1208', 'force_shifted_lj',
                       'dpd_conservative', 'moliere')
-        ev = getattr(f, '_evaluator', None)
-        eval_name = getattr(ev, '__name__', None)
-        if eval_name not in FAST_EVALS:
-            return _decline(f'pair evaluator {eval_name!r} not stencil-eligible')
+        if charged is not None:
+            if self.real_dtype != jnp.float32:
+                return _decline('charged fast path is f32-only')
+            if bonded_objs:
+                return _decline('charged fast path with bonded forces')
+            nlq = pair_list[0]._nlist
+            if (nlq is not None and nlq._cfg is not None
+                    and nlq._cfg.excl_tags is not None):
+                return _decline('charged fast path with exclusions')
+            eval_name = charged['kind']
+        else:
+            ev = getattr(f, '_evaluator', None)
+            eval_name = getattr(ev, '__name__', None)
+            if eval_name not in FAST_EVALS:
+                return _decline(
+                    f'pair evaluator {eval_name!r} not stencil-eligible')
         if f.mode not in ('none', 'shift'):
             return _decline(f'pair shift mode {f.mode!r} (need none/shift)')
         nl = f._nlist
@@ -534,8 +594,13 @@ class System:
             # tiles (measured fatal compile OOM).  The XLA formulation
             # is shape-agnostic — slower, but it keeps the run alive.
             impl = 'xla'
-        pnames = tuple(sorted(
-            f._pack_params(self)['tables'].keys())) + ('rcut',)
+        if charged is not None and charged['kind'] == 'lj_ewald':
+            pnames = ('kappa', 'lj1', 'lj2', 'rcut')
+        elif charged is not None:
+            pnames = ('kappa', 'rcut')
+        else:
+            pnames = tuple(sorted(
+                f._pack_params(self)['tables'].keys())) + ('rcut',)
         # rebuild window: steps for the fastest particle to cross half
         # the Verlet skin at the current dt (conservative: the true
         # max-displacement crossing is slower than ballistic v_max).
@@ -618,6 +683,16 @@ class System:
         # chain topologies (bead-spring family) move INTO the megastep
         # kernel via tag matching when eligible; the tag-space
         # bonded_cfg stays for pe/virial refresh + remainder steps
+        charges_arr = None
+        mesh_cfg = None
+        if charged is not None:
+            charges_arr = np.asarray(
+                self.snapshot_template.particles.charge, np.float64)
+            if charged['mesh'] is not None:
+                mf = charged['mesh']
+                if not hasattr(mf, '_mesh_compute'):
+                    mf._make_compute(self)
+                mesh_cfg = {'fn': mf._mesh_compute}
         chain_cfg = None
         if (bonded_objs and ntypes == 1 and impl == 'plane'
                 and self.real_dtype == _jnp.float32
@@ -632,7 +707,8 @@ class System:
             interpret=interpret, impl=impl, eval_name=eval_name,
             pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
             rebin_impl=rebin_impl, rebin_E=rebin_E,
-            bonded_cfg=tuple(bonded_cfg), chain_cfg=chain_cfg)
+            bonded_cfg=tuple(bonded_cfg), chain_cfg=chain_cfg,
+            charges=charges_arr, mesh_cfg=mesh_cfg)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
@@ -640,7 +716,8 @@ class System:
                 'ntypes': ntypes, 'k_rebuild': k_rebuild, 'skin': skin,
                 'rebin_impl': rebin_impl, 'rebin_E': rebin_E,
                 'pair_force': f, 'bonded_forces': list(bonded_objs),
-                'excl_pairs': excl_pairs, 'chain': chain_cfg}
+                'excl_pairs': excl_pairs, 'chain': chain_cfg,
+                'charged': charged}
 
     def _bonded_cfg_for(self, f, bonded_objs, excl_pairs):
         """Fixed-topology term configs for the fast engines: user bonded
@@ -855,6 +932,43 @@ class System:
         fp = self._dyn['forces'][fi]
         pnames = fast['pnames']
         T = fast.get('ntypes', 1)
+        charged = fast.get('charged')
+        if charged is not None:
+            # merged coefficient tables: rcut/lj from the lj pair (if
+            # any), kappa from the ewald pair; shift mode is gated to
+            # 'none' so e_shift is zero
+            ei = self._program['forces'].index(charged['ewald'])
+            ep_ = self._dyn['forces'][ei]
+            tabs = {'kappa': ep_['tables']['kappa']}
+            rc = fp['rcut']
+            if charged['lj'] is not None:
+                tabs['lj1'] = fp['tables']['lj1']
+                tabs['lj2'] = fp['tables']['lj2']
+            tabs['rcut'] = rc
+            rc2 = rc * rc
+            if T == 1:
+                pv = jnp.stack([rc2[0, 0], jnp.zeros((), self.real_dtype)]
+                               + [tabs[k][0, 0] for k in pnames])
+            else:
+                pv = jnp.stack([rc2, jnp.zeros_like(rc2)]
+                               + [tabs[k] for k in pnames])
+            out = {'pv': pv, 'dt': self._dyn['dt'], 'lj': pv}
+            mp = self._dyn['methods'][0]
+            kind = fast['kind']
+            if kind in ('langevin', 'nvt'):
+                out['kT'] = mp['kT']
+            else:
+                out['kT'] = (jnp.zeros((1,), self.real_dtype),
+                             jnp.ones((1,), self.real_dtype))
+            out['tau'] = mp.get('tau', jnp.ones((), self.real_dtype))
+            gam = mp.get('gamma')
+            out['gamma'] = (gam[0] if gam is not None
+                            else jnp.ones((), self.real_dtype))
+            out['bonded'] = ()
+            if charged['mesh'] is not None:
+                mi = self._program['forces'].index(charged['mesh'])
+                out['mesh'] = self._dyn['forces'][mi]
+            return out
         if T == 1:
             rc = fp['rcut'][0, 0]
             rc2 = rc * rc
