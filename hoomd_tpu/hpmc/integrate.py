@@ -411,10 +411,18 @@ class mode_hpmc:
         else:
             M_dep = 0
 
-        def sub_sweep(state, counters, sweep_idx, class_idx, hdyn):
+        def sub_sweep(state, counters, sweep_idx, class_idx, hdyn,
+                      cell_list):
+            # cell_list comes from the ROUND-level binning: within a
+            # round each particle moves at most once (a particle is a
+            # member of exactly one stale cell, so one parity class),
+            # and the stencil width diam + 2*d_max covers partners
+            # after both endpoints moved once — the same invariant the
+            # dense sweep and the reference GPU path rely on
+            # (IntegratorHPMCMonoGPU.cuh cell sets).  Hoisting the
+            # re-bin out of the sub-sweep removes 7/8 of the binning
+            # scatters (serial element stores on TPU).
             box = state.box
-            cid, cell_list, cell_ovf = cells_ops.bin_particles(
-                state.pos, box, cell_dim, cell_cap)
             cl_pad = jnp.concatenate(
                 [cell_list, jnp.full((1, cell_cap), N, jnp.int32)], axis=0)
             counts = jnp.sum(cell_list < N, axis=1)
@@ -634,7 +642,7 @@ class mode_hpmc:
                 'rotate_accept': counters['rotate_accept'] + n_acc_r,
                 'rotate_reject': counters['rotate_reject']
                 + (n_try_r - n_acc_r),
-                'cell_overflow': counters['cell_overflow'] | cell_ovf,
+                'cell_overflow': counters['cell_overflow'],
                 'cand_overflow': counters['cand_overflow'] | cand_ovf,
                 'depletant_overflow':
                     counters['depletant_overflow'] | dep_ovf,
@@ -643,13 +651,25 @@ class mode_hpmc:
 
         def one_sweep(state, counters, hdyn):
             key = step_key(hdyn['seed'], state.timestep, salt=23)
-            perm = jax.random.permutation(key, 8 * self.nselect) % 8
+            nsel = max(1, n_sub // 8)
 
-            def body(k, carry):
+            def round_body(r, carry):
                 state, counters = carry
-                return sub_sweep(state, counters, k, perm[k], hdyn)
+                kr = jax.random.fold_in(key, r)
+                perm = jax.random.permutation(kr, 8)
+                cid, cell_list, cell_ovf = cells_ops.bin_particles(
+                    state.pos, state.box, cell_dim, cell_cap)
+                counters = dict(counters)
+                counters['cell_overflow'] = \
+                    counters['cell_overflow'] | cell_ovf
+
+                def body(k, carry2):
+                    st, ct = carry2
+                    return sub_sweep(st, ct, r * 8 + k, perm[k], hdyn,
+                                     cell_list)
+                return jax.lax.fori_loop(0, 8, body, (state, counters))
             state, counters = jax.lax.fori_loop(
-                0, n_sub, body, (state, counters))
+                0, nsel, round_body, (state, counters))
             return state.replace(timestep=state.timestep + 1), counters
 
         # -- dense cell-major sweep --------------------------------------

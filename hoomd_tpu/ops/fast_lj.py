@@ -652,6 +652,27 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
     # danger/retry protocol goes blind; for cost measurement only)
     _monitor = _os.environ.get('HOOMD_TPU_MEGA_MONITOR', 'on') != 'off'
 
+    def _noise_planes(tag_any, dyn, ts, k):
+        """(k, 3, nz, ny, nx, C) Langevin noise planes for the window
+        starting at traced timestep ts: the per-(seed, tag, step)
+        counter-hash stream (identical bits to one_step), amplitude
+        sqrt(6 gamma kT(t) / dt), masked to valid slots."""
+        from . import hashrng
+        plane4 = (cell_dim[2], cell_dim[1], cell_dim[0], C)
+        tag_p = tag_any.reshape(plane4)
+        kt = variant_mod.eval_packed(dyn['kT'],
+                                     ts + jnp.arange(k, dtype=idt))
+        amp = jnp.sqrt(6.0 * dyn['gamma'] * kt / dyn['dt'])   # (k,)
+        ts_vec = (ts + jnp.arange(k, dtype=idt)).reshape(
+            k, 1, 1, 1, 1).astype(jnp.int32)
+        u = jnp.stack(
+            [hashrng.uniform_pm1(method_seed, ts_vec, tag_p[None],
+                                 salt=ax)
+             for ax in (1, 2, 3)], axis=1)    # (k, 3, nz, ny, nx, C)
+        valid = (tag_p >= 0).astype(dtype)
+        return (amp.reshape(k, 1, 1, 1, 1, 1) * u.astype(dtype)
+                * valid[None, None])
+
     def mega_windows(c: FastCarry, dyn, nw, k):
         """nw chained megastep windows (k fused VV steps each), the
         state plane-resident throughout — transposes happen once per
@@ -672,16 +693,19 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
         gw = (1.0 / c.mass).reshape(plane4)
         gm = c.mass.reshape(plane4)
         gr = _to_planes(c.ref_pos)
-        need_tags = method_kind == 'langevin' or have_chain
-        gtag = c.tag.reshape(plane4) if need_tags else None
+        gtag = c.tag.reshape(plane4) if have_chain else None
         gbp = gaf = None
         if have_chain:
             gbp, gaf = _chain_planes(c.tag)
         ck = dict(gt=gtag,
-                  gamma=dyn['gamma'], seed=method_seed,
+                  gamma=dyn['gamma'],
                   bonded=chain_static if have_chain else None,
                   bpar=dyn.get('bpar') if have_chain else None,
                   gbp=gbp, gaf=gaf)
+        if method_kind == 'langevin':
+            noise_tag = c.tag
+        else:
+            noise_tag = None
         st0 = (_to_planes(c.pos), _to_planes(c.vel), _to_planes(c.frc),
                aux.get('xi', jnp.zeros((), dtype)),
                aux.get('eta', jnp.zeros((), dtype)),
@@ -694,6 +718,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                     dyn['kT'], ts + jnp.arange(k, dtype=idt))
             else:
                 kt = jnp.ones((k,), dtype)
+            gn = (_noise_planes(noise_tag, dyn, ts, k)
+                  if method_kind == 'langevin' else None)
             gp, gv, gf, xi, eta, d, _, mdmax = cell_megastep_planes(
                 gp, gv, gf, gw, gm, gr, cell_dim, shifts, dyn['pv'],
                 dyn['dt'], kt, xi, eta, skin3, C=C, k=k,
@@ -701,7 +727,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                 recip=('approx' if method_kind in ('nvt', 'langevin')
                        else 'div'),
                 ndof=ndof, tau_inv2=ti2, interpret=interpret,
-                monitor=_monitor, ts0=ts, **ck)
+                monitor=_monitor, gn=gn, **ck)
             return (gp, gv, gf, xi, eta, danger | d,
                     jnp.maximum(wmax, mdmax), ts + k)
 
@@ -879,9 +905,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
             gbp = gaf = None
             if have_chain:
                 gbp, gaf = _chain_planes(gtag)
-            ck = dict(gt=(gtag if method_kind == 'langevin'
-                          or have_chain else None),
-                      gamma=dyn['gamma'], seed=method_seed,
+            ck = dict(gt=gtag if have_chain else None,
+                      gamma=dyn['gamma'],
                       bonded=chain_static if have_chain else None,
                       bpar=dyn.get('bpar') if have_chain else None,
                       gbp=gbp, gaf=gaf)
@@ -893,6 +918,8 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                         dyn['kT'], ts + jnp.arange(k, dtype=idt))
                 else:
                     kt = jnp.ones((k,), dtype)
+                gn = (_noise_planes(gtag, dyn, ts, k)
+                      if method_kind == 'langevin' else None)
                 gp, gv, gf, xi, eta, d, _, mdmax = cell_megastep_planes(
                     gp, gv, gf, gw, gmass, gr, cell_dim, shifts,
                     dyn['pv'], dyn['dt'], kt, xi, eta, skin3, C=C, k=k,
@@ -901,7 +928,7 @@ def build_fast_lj_chunk(*, N, box, cell_dim, C, r_buff, rcut, method_kind,
                     recip=('approx' if method_kind in ('nvt', 'langevin')
                            else 'div'),
                     ndof=ndof, tau_inv2=ti2, interpret=interpret,
-                    monitor=_monitor, ts0=ts, **ck)
+                    monitor=_monitor, gn=gn, **ck)
                 return (gp, gv, gf, xi, eta, danger | d,
                         jnp.maximum(wmax, mdmax), ts + k)
 

@@ -1896,8 +1896,14 @@ def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
     v_ref = next(it_refs)
     f_ref = next(it_refs)
     r_ref = next(it_refs)
-    iv_ref = next(it_refs) if langevin else None
-    tg_ref = next(it_refs) if (langevin or bonded is not None) else None
+    # langevin noise arrives PRECOMPUTED as (k, 3, nz, ny, nx, C)
+    # amplitude-scaled planes (XLA-side counter hash: the in-kernel
+    # int32 hash measured an 8x Mosaic compile blowup — 68 s -> 558 s
+    # at the 32k KG grid — for ~60 int ops; the same stream computed
+    # outside costs one extra VMEM input and keeps the kernel graph
+    # float-only)
+    gn_ref = next(it_refs) if langevin else None
+    tg_ref = next(it_refs) if bonded is not None else None
     bp_ref = next(it_refs) if bonded is not None else None
     af_ref = next(it_refs) if has_ang else None
     po_ref = next(it_refs)
@@ -2281,22 +2287,15 @@ def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
         # kick (+ thermostat post-scale and KE for the next step)
         if method == 'langevin':
             # Langevin bath (reference md/TwoStepLangevin.cc:40-43,
-            # TwoStepLangevinGPU.cu): f_tot = F + noise - gamma v_mid,
-            # noise = sqrt(6 gamma kT / dt) U(-1,1) per component from
-            # the per-(seed, tag, step) counter hash — evaluated
-            # IN-KERNEL on the tag planes, zero gathers, the same
-            # stream one_step draws so window/remainder steps agree
-            kT_l = kt_ref[0, si]
-            amp = jnp.sqrt(6.0 * gamma * kT_l / dt)
-            tg = tg_ref[...]                 # (nz, ny, nx, C) i32
-            vmask = (tg >= 0).astype(jnp.float32)
-            ts_i = iv_ref[0, 1] + si
-            sd = iv_ref[0, 0]
-            noise = jnp.stack(
-                [hashrng.uniform_pm1(sd, ts_i, tg, salt=ax)
-                 for ax in (1, 2, 3)])
+            # TwoStepLangevinGPU.cu): f_tot = F + noise - gamma v_mid.
+            # noise planes are precomputed per window from the
+            # per-(seed, tag, step) counter hash, amplitude-scaled and
+            # validity-masked — the same stream one_step draws, so
+            # window and remainder steps share one bath.  Pad slots
+            # carry noise 0 and vh 0, so f_tot stays 0 there.
+            noise = gn_ref[pl.ds(si, 1)][0]  # (3, nz, ny, nx, C)
             vh = vo_ref[...]
-            ft = (fo_ref[...] + amp * noise - gamma * vh) * vmask[None]
+            ft = fo_ref[...] + noise - gamma * vh
             fo_ref[...] = ft
             vo_ref[...] = vh + hdt * ft * w[None]
             ke2n = ke2
@@ -2393,7 +2392,7 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                          pnames=('lj1', 'lj2'), recip='approx', ndof=1.0,
                          tau_inv2=0.0, interpret=False, half=False,
                          unroll_z=None, monitor=True,
-                         gamma=0.0, seed=0, ts0=0, gt=None,
+                         gamma=0.0, gn=None, gt=None,
                          bonded=None, bpar=None, gbp=None, gaf=None):
     """Plane-layout megastep: k fused VV steps on (3, nz, ny, nx, C)
     arrays, drift monitored against the explicit rebuild-reference
@@ -2403,9 +2402,11 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
     that lets the host stretch the rebuild cadence at runtime (a traced
     window count) instead of recompiling a longer kernel.
 
-    method='langevin' adds the in-kernel counter-RNG bath: gamma (f32
-    scalar), seed (int), ts0 (traced int32 timestep of the window's
-    first step) and gt (tag planes, (nz, ny, nx, C) int32) are required.
+    method='langevin' adds the counter-RNG bath: gamma (f32 scalar)
+    and gn, the (k, 3, nz, ny, nx, C) PRECOMPUTED noise planes
+    (amplitude-scaled, validity-masked — built from ops/hashrng outside
+    the kernel; the in-kernel int hash was a measured 8x Mosaic compile
+    blowup).  gt (tag planes) is required for bonded only.
     ``bonded`` = (bond_kind, nP, has_angle, excl_bond, excl_13) enables
     the in-scan chain-topology forces: bpar is the 7-vector [bond k,
     r0^2|r0, bond lj1, bond lj2, bond wca_rc2, angle k, angle t0], gbp
@@ -2430,11 +2431,14 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
             # ms/step — the rolled loop's cost is dynamic addressing,
             # not loop machinery), and u>=4 register-spills past the
             # 128M VMEM budget at Mosaic's register allocator.  Full
-            # unroll stays for small grids only — and never for the
-            # chain-bonded scan, whose per-body extraction code makes
-            # even modest unrolls a Mosaic compile bomb (measured:
-            # 15 bodies > 10 min at the 32k KG grid)
-            budget = 6 if bonded is not None else 16
+            # unroll stays for small grids only.  The budget is body
+            # COUNT x body size: at C = 40 (the coarse-planner grids)
+            # 15 unrolled bodies hang the remote Mosaic compile >10 min
+            # (measured at (15,15,5): both the plain-langevin and the
+            # chain-bonded variants), where the old 16-body budget was
+            # tuned on C = 16 near-dmax grids.  6 bodies compile in
+            # tens of seconds at any C measured.
+            budget = 6
             unroll_z = nz * -(-ny // min(ny, 7)) <= budget
 
     Lx = cell_shift[nc - 1, 26, 0]
@@ -2472,11 +2476,9 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                 kt_table.reshape(1, k).astype(dtp), sx,
                 gw, gm, gp, gv, gf, gr]
     if langevin:
-        iv = jnp.stack([jnp.asarray(seed, jnp.int32),
-                        jnp.asarray(ts0, jnp.int32)]).reshape(1, 2)
-        in_specs.append(sspec)
-        operands.append(iv)
-    if langevin or bonded is not None:
+        in_specs.append(vspec)
+        operands.append(gn)
+    if bonded is not None:
         in_specs.append(vspec)
         operands.append(gt)
     if bonded is not None:
