@@ -2019,12 +2019,14 @@ def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
               b12 * r1z - b22 * r2z)
         return FA, FC
 
-    def _angle_block(V, af):
+    def _angle_block(V, m0, m1, m2):
         """Per-slot angle-force sum from extracted partner vectors
         V (4, 3, yb, nx, C) = [prev, next, prev2, next2] displacements
-        and the 3-bit role flags af (yb, nx, C): bit0 = center of
-        (prev, self, next), bit1 = end of the angle centered at prev,
-        bit2 = end of the angle centered at next."""
+        and float role masks (yb, nx, C): m0 = center of
+        (prev, self, next), m1 = end of the angle centered at prev,
+        m2 = end of the angle centered at next.  Float masks (not int
+        bit tests): integer vector ops are a measured Mosaic
+        compile-time pathology."""
         v0x, v0y, v0z = V[0, 0], V[0, 1], V[0, 2]
         v1x, v1y, v1z = V[1, 0], V[1, 1], V[1, 2]
         w0x, w0y, w0z = V[2, 0], V[2, 1], V[2, 2]
@@ -2039,9 +2041,6 @@ def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
                              w0x - v0x, w0y - v0y, w0z - v0z)
         FE1, _ = _angle_pair(-v1x, -v1y, -v1z,
                              w1x - v1x, w1y - v1y, w1z - v1z)
-        m0 = (af & 1) > 0
-        m1 = (af & 2) > 0
-        m2 = (af & 4) > 0
         z = jnp.float32(0.0)
         gx = jnp.where(m0, Fcx, z) + jnp.where(m1, FE0[0], z) \
             + jnp.where(m2, FE1[0], z)
@@ -2080,8 +2079,10 @@ def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
                     energy_force, bonded=bdict)
                 if has_ang:
                     Fx, Fy, Fz, V = out
-                    af = af_ref[pl.ds(iz, 1), y0:y0 + yb][0]
-                    gx, gy, gz = _angle_block(V, af)
+                    afb = af_ref[:, pl.ds(iz, 1), y0:y0 + yb]
+                    gx, gy, gz = _angle_block(
+                        V, afb[0, 0] > 0.5, afb[1, 0] > 0.5,
+                        afb[2, 0] > 0.5)
                     Fx, Fy, Fz = Fx + gx, Fy + gy, Fz + gz
                 else:
                     Fx, Fy, Fz = out
@@ -2479,14 +2480,19 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
         in_specs.append(vspec)
         operands.append(gn)
     if bonded is not None:
+        # tags/partner tags matched as FLOATS (exact for ints < 2^24;
+        # N < 16.7M gated by the caller): int32 vector compare/roll
+        # chains are a measured Mosaic compile-time pathology
         in_specs.append(vspec)
-        operands.append(gt)
+        operands.append(gt.astype(dtp))
     if bonded is not None:
         in_specs.append(vspec)
-        operands.append(gbp)
+        operands.append(gbp.astype(dtp))
         if has_ang:
             in_specs.append(vspec)
-            operands.append(gaf)
+            operands.append(jnp.stack(
+                [(gaf & 1) > 0, (gaf & 2) > 0,
+                 (gaf & 4) > 0]).astype(dtp))
     po, vo, fo, st = pl.pallas_call(
         functools.partial(_kernel_megastep, k=k, nz=nz, ny=ny, nx=nx,
                           C=C, YB=YB, method=method, eval_name=eval_name,

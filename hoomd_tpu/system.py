@@ -757,6 +757,8 @@ class System:
         this is the cell-major analog for the bead-spring family."""
         from .md import angle as _angle
         from .md import bond as _bond
+        if self.state.N >= (1 << 24):
+            return None   # float tag matching is exact below 2^24 only
         bond_f = angle_f = None
         for g in bonded_objs:
             if isinstance(g, (_bond.fene, _bond.harmonic)) \
