@@ -76,7 +76,8 @@ class FastCarry:
                             # segment on the one_step (XLA bonded) path
 
 
-def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False):
+def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False,
+                 max_C=None):
     """Static planning: cell grid and capacity.
 
     Kernel time is proportional to nc * C (the lane window always pads
@@ -141,15 +142,24 @@ def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False):
         C = cap_for(N / nc)
         if 3 * C > 128:
             continue
+        if max_C is not None and C > max_C:
+            # chain-bonded + angle kernels OOM VMEM at C = 40 tiles
+            # (measured 192M of 128M): the caller caps C and the scan
+            # finds the best finer grid instead
+            continue
         # sort key: (1) grids with any dimension < 3 rank last — a
         # 2-cell axis aliases the rebin roll windows (the same source
         # cell appears twice), which forces the slower sort rebuild
         # and disables the plane-resident cycle; (2) padded slots;
-        # (3) smallest z dimension — z is the megastep kernel's rolled
-        # plane loop, and each rolled iteration pays dynamic-slice
-        # machinery, so fewer planes is measurably cheaper at equal
-        # slots (cubic boxes admit any axis permutation)
-        key = (min(cdim) < 3, nc * C, cdim[2], cdim[1])
+        # (3) fewest TRACED y-blocks (ceil(ny/7)) — every y-block is a
+        # separately traced force body, and Mosaic compile time grows
+        # superlinearly in body count (the chain-bonded scan at 3
+        # blocks exceeded 9 minutes; 1 block compiles in ~1/3 of
+        # that); (4) smallest z dimension — z is the rolled plane
+        # loop, each iteration pays dynamic-slice machinery (cubic
+        # boxes admit any axis permutation)
+        key = (min(cdim) < 3, nc * C, -(-cdim[1] // 7), cdim[2],
+               cdim[1])
         if best is None or key < best[0]:
             best = (key, cdim, nc, C)
     if best is None:

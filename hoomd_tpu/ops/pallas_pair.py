@@ -1544,6 +1544,79 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
     return out
 
 
+def _plane_window_extract(drift, tdrift, bp, y0, yb, ny, nx, C, sx,
+                          Ly, szm, szp):
+    """Partner-vector extraction pass, SEPARATE from the force scan:
+    fusing the masked lane reductions into the force body made the
+    Mosaic scheduler keep both passes' temporaries live at once and
+    blow VMEM (measured 192-230M of 128M at the 32k KG grid, any C).
+    Split, each pass peaks like the bonds-only kernel that fits.
+    Returns V (P, 3, yb, nx, C): displacement x_partner - x_i for the
+    partner-tag channels bp (P, yb, nx, C, 1)."""
+    import jax.numpy as jnp
+
+    def rollx(comp, s):
+        rm = jnp.concatenate([comp[:, -1:], comp[:, :-1]], axis=1)
+        rp = jnp.concatenate([comp[:, 1:], comp[:, :1]], axis=1)
+        if s is not None:
+            rm = rm + s[0]
+            rp = rp + s[2]
+        return rm, comp, rp
+
+    P = bp.shape[0]
+    xi_x = drift[0][0][y0:y0 + yb][:, :, :, None]
+    xi_y = drift[0][1][y0:y0 + yb][:, :, :, None]
+    xi_z = drift[0][2][y0:y0 + yb][:, :, :, None]
+    Vx = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)]
+    Vy = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)]
+    Vz = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)]
+    for dz in (-1, 0, 1):
+        cx, cy, cz = drift[dz]
+        sz = szm if dz == -1 else (0.0 if dz == 0 else szp)
+
+        def seg(c, add_y=False):
+            lo, hi = y0 - 1, y0 + yb + 1
+            parts = []
+            if lo < 0:
+                a = c[ny + lo:]
+                if add_y:
+                    a = a - Ly
+                parts.append(a)
+                lo = 0
+            parts.append(c[lo:min(hi, ny)])
+            if hi > ny:
+                b = c[:hi - ny]
+                if add_y:
+                    b = b + Ly
+                parts.append(b)
+            return parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=0)
+        xm, x0c, xp = rollx(seg(cx), sx)
+        jxw_e = jnp.concatenate([xm, x0c, xp], axis=-1)
+        ym, yc, yp = rollx(seg(cy, add_y=True), None)
+        jyw_e = jnp.concatenate([ym, yc, yp], axis=-1)
+        zm, zc, zp = rollx(seg(cz) + (sz if dz != 0 else 0.0), None)
+        jzw_e = jnp.concatenate([zm, zc, zp], axis=-1)
+        tm, tc, tp = rollx(seg(tdrift[dz]), None)
+        jtw_e = jnp.concatenate([tm, tc, tp], axis=-1)
+        for dy in (-1, 0, 1):
+            o = dy + 1
+            drx = xi_x - jxw_e[o:o + yb][:, :, None, :]
+            dry = xi_y - jyw_e[o:o + yb][:, :, None, :]
+            drz = xi_z - jzw_e[o:o + yb][:, :, None, :]
+            jt4 = jtw_e[o:o + yb][:, :, None, :]
+            for p in range(P):
+                m = jt4 == bp[p]
+                Vx[p] = Vx[p] - jnp.sum(jnp.where(m, drx, 0.0),
+                                        axis=-1)
+                Vy[p] = Vy[p] - jnp.sum(jnp.where(m, dry, 0.0),
+                                        axis=-1)
+                Vz[p] = Vz[p] - jnp.sum(jnp.where(m, drz, 0.0),
+                                        axis=-1)
+    return jnp.stack([jnp.stack([Vx[p], Vy[p], Vz[p]])
+                      for p in range(P)])
+
+
 def _plane_window_forces_n3l(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
                              szp, energy_force):
     """Half-stencil (Newton's-third-law) variant of
@@ -2064,34 +2137,42 @@ def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
                 tdrift[dz] = tg_ref[pl.ds(src, 1)][0]   # (ny, nx, C)
         for (y0, yb) in y0s:
             if bonded is not None:
-                nPch = 4 if has_ang else 2
                 bp_blk = bp_ref[:, pl.ds(iz, 1), y0:y0 + yb]
+                bp_b = bp_blk[:, 0][..., None]  # (P, yb, nx, C, 1)
                 bdict = {
                     'tdrift': tdrift,
-                    'bp': bp_blk[:, 0][..., None],  # (P, yb, nx, C, 1)
+                    'bp': bp_b,
                     'bond_fmag': bond_fmag,
                     'excl_bond': bonded[3],
                     'excl_13': bonded[4],
-                    'want_vec': has_ang,
+                    'want_vec': False,
                 }
-                out = _plane_window_forces(
+                Fx, Fy, Fz = _plane_window_forces(
                     drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
                     energy_force, bonded=bdict)
-                if has_ang:
-                    Fx, Fy, Fz, V = out
-                    afb = af_ref[:, pl.ds(iz, 1), y0:y0 + yb]
-                    gx, gy, gz = _angle_block(
-                        V, afb[0, 0] > 0.5, afb[1, 0] > 0.5,
-                        afb[2, 0] > 0.5)
-                    Fx, Fy, Fz = Fx + gx, Fy + gy, Fz + gz
-                else:
-                    Fx, Fy, Fz = out
             else:
                 Fx, Fy, Fz = _plane_window_forces(
                     drift, y0, yb, ny, nx, C, rc2, sx, Ly, szm, szp,
                     energy_force)
             blk = jnp.stack([Fx, Fy, Fz])[:, None]   # (3, 1, yb, nx, C)
             fo_ref[:, pl.ds(iz, 1), y0:y0 + yb] = blk
+        if has_ang:
+            # SECOND pass per plane: partner-vector extraction + angle
+            # terms, accumulated into the stored forces — split from
+            # the force scan so the two passes' temporaries never
+            # coexist (VMEM, see _plane_window_extract)
+            for (y0, yb) in y0s:
+                bp_blk = bp_ref[:, pl.ds(iz, 1), y0:y0 + yb]
+                V = _plane_window_extract(
+                    drift, tdrift, bp_blk[:, 0][..., None], y0, yb,
+                    ny, nx, C, sx, Ly, szm, szp)
+                afb = af_ref[:, pl.ds(iz, 1), y0:y0 + yb]
+                gx, gy, gz = _angle_block(
+                    V, afb[0, 0] > 0.5, afb[1, 0] > 0.5,
+                    afb[2, 0] > 0.5)
+                blk = fo_ref[:, pl.ds(iz, 1), y0:y0 + yb]
+                fo_ref[:, pl.ds(iz, 1), y0:y0 + yb] = \
+                    blk + jnp.stack([gx, gy, gz])[:, None]
 
     N3L_ROWS = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
 

@@ -540,9 +540,22 @@ class System:
                 excl_pairs=excl_pairs, method=m, kind=kind,
                 eval_name=eval_name, N=N, box=box, rcut=rcut,
                 r_buff=r_buff)
+        # chain-topology detection happens BEFORE grid planning: the
+        # in-kernel angle extraction OOMs VMEM at C = 40 tiles, so
+        # angle-bearing chain configs plan with a C cap
+        chain_cfg = None
+        if (bonded_objs and len(self.particle_types) == 1
+                and self.real_dtype == jnp.float32
+                and not self._grow.get('fast_chain_off')
+                and os.environ.get('HOOMD_TPU_CHAIN', 'on') != 'off'):
+            chain_cfg = self._chain_cfg_for_kernel(bonded_objs,
+                                                   excl_pairs)
+        chain_max_C = 24 if (chain_cfg is not None
+                             and chain_cfg['has_ang']) else None
         conservative = bool(self._grow.get('fast_plan_conservative'))
         cell_dim, ncells, C = plan_fast_lj(
-            N, L, rcut, r_buff, conservative=conservative)
+            N, L, rcut, r_buff, conservative=conservative,
+            max_C=chain_max_C)
         if not conservative:
             # STATE-AWARE plan check: the dense-liquid capacity margin
             # assumes liquid count statistics, but the CURRENT
@@ -561,7 +574,8 @@ class System:
             maxocc = int(_np.bincount(flat, minlength=ncells).max())
             if maxocc + 4 > C:
                 cell_dim, ncells, C = plan_fast_lj(
-                    N, L, rcut, r_buff, conservative=True)
+                    N, L, rcut, r_buff, conservative=True,
+                    max_C=chain_max_C)
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
             return _decline('box too small for the 27-cell stencil')
         C = max(C, self._grow.get('fast_C', 0))
@@ -693,13 +707,8 @@ class System:
                 if not hasattr(mf, '_mesh_compute'):
                     mf._make_compute(self)
                 mesh_cfg = {'fn': mf._mesh_compute}
-        chain_cfg = None
-        if (bonded_objs and ntypes == 1 and impl == 'plane'
-                and self.real_dtype == _jnp.float32
-                and not self._grow.get('fast_chain_off')
-                and os.environ.get('HOOMD_TPU_CHAIN', 'on') != 'off'):
-            chain_cfg = self._chain_cfg_for_kernel(bonded_objs,
-                                                   excl_pairs)
+        if impl != 'plane':
+            chain_cfg = None     # kernel path only
         to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
             N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
             rcut=rcut, method_kind=kind,
