@@ -1544,16 +1544,29 @@ def _plane_window_forces(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
     return out
 
 
+# the rolled dy loop is REQUIRED for the extraction pass: static dy
+# reads (even through the scratch ref) let the register allocator keep
+# all 9 row bodies live and spill 182M past the 128M VMEM (measured);
+# the env knob exists only for future A/B when Mosaic's allocator
+# improves
+_EXTRACT_ROLLED = __import__('os').environ.get(
+    'HOOMD_TPU_EXTRACT_ROLLED', 'on') != 'off'
+
+
 def _plane_window_extract(drift, tdrift, bp, y0, yb, ny, nx, C, sx,
-                          Ly, szm, szp):
+                          Ly, szm, szp, jw_scr):
     """Partner-vector extraction pass, SEPARATE from the force scan:
     fusing the masked lane reductions into the force body made the
     Mosaic scheduler keep both passes' temporaries live at once and
-    blow VMEM (measured 192-230M of 128M at the 32k KG grid, any C).
-    Split, each pass peaks like the bonds-only kernel that fits.
+    register-spill 165-230M past the 128M VMEM, at any C.  Split out
+    AND with the dy row loop ROLLED: the extended (x, y, z, tag)
+    windows round-trip through the ``jw_scr`` VMEM scratch ref so the
+    rolled fori can pl.ds them (Mosaic cannot dynamic-slice register
+    values), which also fences each row's temporaries.
     Returns V (P, 3, yb, nx, C): displacement x_partner - x_i for the
     partner-tag channels bp (P, yb, nx, C, 1)."""
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
     def rollx(comp, s):
         rm = jnp.concatenate([comp[:, -1:], comp[:, :-1]], axis=1)
@@ -1563,13 +1576,12 @@ def _plane_window_extract(drift, tdrift, bp, y0, yb, ny, nx, C, sx,
             rp = rp + s[2]
         return rm, comp, rp
 
+    import jax
     P = bp.shape[0]
     xi_x = drift[0][0][y0:y0 + yb][:, :, :, None]
     xi_y = drift[0][1][y0:y0 + yb][:, :, :, None]
     xi_z = drift[0][2][y0:y0 + yb][:, :, :, None]
-    Vx = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)]
-    Vy = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)]
-    Vz = [jnp.zeros((yb, nx, C), jnp.float32) for _ in range(P)]
+    Vacc = jnp.zeros((P, 3, yb, nx, C), jnp.float32)
     for dz in (-1, 0, 1):
         cx, cy, cz = drift[dz]
         sz = szm if dz == -1 else (0.0 if dz == 0 else szp)
@@ -1599,22 +1611,40 @@ def _plane_window_extract(drift, tdrift, bp, y0, yb, ny, nx, C, sx,
         jzw_e = jnp.concatenate([zm, zc, zp], axis=-1)
         tm, tc, tp = rollx(seg(tdrift[dz]), None)
         jtw_e = jnp.concatenate([tm, tc, tp], axis=-1)
-        for dy in (-1, 0, 1):
-            o = dy + 1
-            drx = xi_x - jxw_e[o:o + yb][:, :, None, :]
-            dry = xi_y - jyw_e[o:o + yb][:, :, None, :]
-            drz = xi_z - jzw_e[o:o + yb][:, :, None, :]
-            jt4 = jtw_e[o:o + yb][:, :, None, :]
+        jw_scr[0, :yb + 2] = jxw_e
+        jw_scr[1, :yb + 2] = jyw_e
+        jw_scr[2, :yb + 2] = jzw_e
+        jw_scr[3, :yb + 2] = jtw_e
+
+        def dy_body(o, V):
+            jxw = jw_scr[0, pl.ds(o, yb)]
+            jyw = jw_scr[1, pl.ds(o, yb)]
+            jzw = jw_scr[2, pl.ds(o, yb)]
+            jtw = jw_scr[3, pl.ds(o, yb)]
+            drx = xi_x - jxw[:, :, None, :]
+            dry = xi_y - jyw[:, :, None, :]
+            drz = xi_z - jzw[:, :, None, :]
+            jt4 = jtw[:, :, None, :]
+            out = []
             for p in range(P):
                 m = jt4 == bp[p]
-                Vx[p] = Vx[p] - jnp.sum(jnp.where(m, drx, 0.0),
-                                        axis=-1)
-                Vy[p] = Vy[p] - jnp.sum(jnp.where(m, dry, 0.0),
-                                        axis=-1)
-                Vz[p] = Vz[p] - jnp.sum(jnp.where(m, drz, 0.0),
-                                        axis=-1)
-    return jnp.stack([jnp.stack([Vx[p], Vy[p], Vz[p]])
-                      for p in range(P)])
+                out.append(jnp.stack([
+                    V[p, 0] - jnp.sum(jnp.where(m, drx, 0.0), axis=-1),
+                    V[p, 1] - jnp.sum(jnp.where(m, dry, 0.0), axis=-1),
+                    V[p, 2] - jnp.sum(jnp.where(m, drz, 0.0),
+                                      axis=-1)]))
+            return jnp.stack(out)
+        if _EXTRACT_ROLLED:
+            Vacc = jax.lax.fori_loop(0, 3, dy_body, Vacc,
+                                     unroll=False)
+        else:
+            # static dy reads from the scratch ref: the ref round-trip
+            # still fences each row's temporaries (the register
+            # allocator cannot hoist values across the write), without
+            # the rolled loop's per-iteration machinery
+            for o in range(3):
+                Vacc = dy_body(o, Vacc)
+    return Vacc
 
 
 def _plane_window_forces_n3l(drift, y0, yb, ny, nx, C, rc2, sx, Ly,
@@ -2161,11 +2191,12 @@ def _kernel_megastep(*refs, k, nz, ny, nx, C, YB, method, eval_name,
             # terms, accumulated into the stored forces — split from
             # the force scan so the two passes' temporaries never
             # coexist (VMEM, see _plane_window_extract)
+            jw_scr = scr_refs[-1]
             for (y0, yb) in y0s:
                 bp_blk = bp_ref[:, pl.ds(iz, 1), y0:y0 + yb]
                 V = _plane_window_extract(
                     drift, tdrift, bp_blk[:, 0][..., None], y0, yb,
-                    ny, nx, C, sx, Ly, szm, szp)
+                    ny, nx, C, sx, Ly, szm, szp, jw_scr)
                 afb = af_ref[:, pl.ds(iz, 1), y0:y0 + yb]
                 gx, gy, gz = _angle_block(
                     V, afb[0, 0] > 0.5, afb[1, 0] > 0.5,
@@ -2588,7 +2619,9 @@ def cell_megastep_planes(gp, gv, gf, gw, gm, gr, cell_dim, cell_shift,
                    jax.ShapeDtypeStruct(shp5, dtp),
                    jax.ShapeDtypeStruct((8, 128), jnp.float32)],
         scratch_shapes=(
-            [pltpu.VMEM((5,) + shp5, dtp)] if half is True else []),
+            ([pltpu.VMEM((5,) + shp5, dtp)] if half is True else [])
+            + ([pltpu.VMEM((4, YB + 2, nx, 3 * C), dtp)]
+               if has_ang else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

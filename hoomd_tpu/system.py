@@ -550,8 +550,9 @@ class System:
                 and os.environ.get('HOOMD_TPU_CHAIN', 'on') != 'off'):
             chain_cfg = self._chain_cfg_for_kernel(bonded_objs,
                                                    excl_pairs)
-        chain_max_C = 24 if (chain_cfg is not None
-                             and chain_cfg['has_ang']) else None
+        # no C cap needed since the extraction pass rolls its row
+        # loop (the C=40 KG kernel compiles in ~2 min and fits VMEM)
+        chain_max_C = None
         conservative = bool(self._grow.get('fast_plan_conservative'))
         cell_dim, ncells, C = plan_fast_lj(
             N, L, rcut, r_buff, conservative=conservative,
