@@ -550,9 +550,10 @@ class System:
                 and os.environ.get('HOOMD_TPU_CHAIN', 'on') != 'off'):
             chain_cfg = self._chain_cfg_for_kernel(bonded_objs,
                                                    excl_pairs)
-        # no C cap needed since the extraction pass rolls its row
-        # loop (the C=40 KG kernel compiles in ~2 min and fits VMEM)
-        chain_max_C = None
+        # overflow-driven cap: repeated capacity overflows force finer
+        # grids with real headroom instead of growing C past the
+        # one-lane-tile kernel limit (see the ovf handler)
+        chain_max_C = self._grow.get('fast_plan_maxC')
         conservative = bool(self._grow.get('fast_plan_conservative'))
         cell_dim, ncells, C = plan_fast_lj(
             N, L, rcut, r_buff, conservative=conservative,
@@ -1311,6 +1312,25 @@ class System:
                         # place (an in-place grow can push 3C past one
                         # lane tile and degrade the kernel to XLA)
                         self._grow['fast_plan_conservative'] = True
+                    elif fast.get('flavor') != 'dd' \
+                            and fast.get('C', 40) < 40 \
+                            and not self._grow.get('fast_plan_maxC'):
+                        # grow WITHIN the one-lane-tile limit first:
+                        # the blind 1.5x+8 grow once pushed C 32 -> 56
+                        # (3C = 168) and silently demoted the README
+                        # bench to the XLA impl for the rest of the run
+                        self._grow['fast_C'] = 40
+                    elif fast.get('flavor') != 'dd' and \
+                            self._grow.get('fast_plan_maxC', 40) > 16:
+                        # C = 40 still overflows: force a FINER grid
+                        # with real headroom (mean occupancy bounded by
+                        # max_C with the conservative margin) instead
+                        # of leaving the kernel tile
+                        self._grow['fast_plan_maxC'] = \
+                            {40: 24, 24: 16}.get(
+                                self._grow.get('fast_plan_maxC', 40),
+                                16)
+                        self._grow.pop('fast_C', None)
                     else:
                         self._grow['fast_C'] = int(fast['C'] * 1.5) + 8
                     need_rebuild = True
@@ -1366,12 +1386,19 @@ class System:
                     need_rebuild = True
                 if dng:
                     if m_now > 1:
-                        # back off ONE window (the danger edge is
-                        # usually just past the last clean cadence —
-                        # halving overshoots and the doubling re-probe
-                        # re-hits danger, an oscillation that cost ~20%
-                        # steady-state throughput) and pin the ceiling
-                        # so optimistic growth re-probes gently
+                        # back off: ONE window when the edge was barely
+                        # crossed (the usual case — halving overshoots
+                        # and the doubling re-probe re-hits danger, an
+                        # oscillation that cost ~20% steady state), but
+                        # PROPORTIONALLY when the kernel-reported drift
+                        # ratio is large (a gas config once overshot
+                        # 6.8x and the -1 ladder retried whole segments
+                        # for each rung)
+                        import math as _math
+                        wm = max(float(fl[3]), 1.0)
+                        m_tgt = max(int(m_now * 0.8 / _math.sqrt(wm)),
+                                    1)
+                        m_tgt = min(m_tgt, m_now - 1)
                         if self._grow.get('fast_m_pinned'):
                             # a re-probe of an already-measured edge
                             # failed again: count toward the 2-strike
@@ -1379,8 +1406,8 @@ class System:
                             self._grow['fast_m_probe_fails'] = \
                                 self._grow.get('fast_m_probe_fails',
                                                0) + 1
-                        self._grow['fast_m'] = max(m_now - 1, 1)
-                        self._grow['fast_m_ceil'] = max(m_now - 1, 1)
+                        self._grow['fast_m'] = max(m_tgt, 1)
+                        self._grow['fast_m_ceil'] = max(m_tgt, 1)
                         self._grow['fast_m_pinned'] = True
                         self._grow['fast_clean_segs'] = 0
                     elif self._grow.get('fast_k_grown'):
