@@ -220,16 +220,26 @@ class pppm(Force):
             pmz = jnp.mod(pmz, Nz)
             if dense:
                 import jax as _jx
+                # MXU matmuls MUST run above the default single-pass
+                # bf16 precision: B-spline weights truncated to 8
+                # mantissa bits put ~1e-2 relative error on rho and the
+                # interpolated fields — enough to steadily heat the
+                # system into divergence on TPU while CPU (which
+                # ignores precision) is exact.  Same failure class as
+                # the xsel one-hot einsum (commit 37e0fe0).
+                _PREC = _jx.lax.Precision.HIGHEST
 
                 def dense_w(pm, w, n):
                     oh = _jx.nn.one_hot(pm, n, dtype=rdt)  # (N, p, n)
-                    return jnp.einsum('npk,np->nk', oh, w)
+                    return jnp.einsum('npk,np->nk', oh, w,
+                                      precision=_PREC)
                 Wx = dense_w(pmx, wx, Nx)
                 Wy = dense_w(pmy, wy, Ny)
                 Wz = dense_w(pmz, wz, Nz)
                 TW = (Wx[:, :, None] * Wy[:, None, :]).reshape(
                     N, Nx * Ny)                         # (N, Nx*Ny)
-                rho = ((TW * q[:, None]).T @ Wz).reshape(Nx, Ny, Nz)
+                rho = jnp.einsum('nm,nz->mz', TW * q[:, None], Wz,
+                                 precision=_PREC).reshape(Nx, Ny, Nz)
             else:
                 # (N, p, p, p) weights and flat mesh indices
                 w3 = (wx[:, :, None, None] * wy[:, None, :, None]
@@ -273,7 +283,9 @@ class pppm(Force):
                 """Mesh field -> per-particle values (transpose of the
                 assignment: dense matmuls or gathers)."""
                 if dense:
-                    P1 = field.reshape(Nx * Ny, Nz) @ Wz.T  # (XY, N)
+                    P1 = jnp.einsum('mz,nz->mn',
+                                    field.reshape(Nx * Ny, Nz), Wz,
+                                    precision=_PREC)     # (XY, N)
                     return jnp.sum(TW * P1.T, axis=1)
                 return jnp.sum(field.reshape(-1)[flat_idx] * flat_w,
                                axis=1)

@@ -77,7 +77,7 @@ class FastCarry:
 
 
 def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False,
-                 max_C=None):
+                 max_C=None, frac=None):
     """Static planning: cell grid and capacity.
 
     Kernel time is proportional to nc * C (the lane window always pads
@@ -126,8 +126,29 @@ def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False,
             C += 2
         return max(16, ((C + 7) // 8) * 8)
 
-    best = None
     from itertools import product
+
+    _axcache = {}
+
+    def _ax_idx(axis, r):
+        key = (axis, r)
+        if key not in _axcache:
+            _axcache[key] = np.minimum(
+                (frac[:, axis] * r).astype(np.int64), r - 1)
+        return _axcache[key]
+
+    def maxocc_of(cdim):
+        """Exact max cell occupancy of the CURRENT configuration on
+        grid ``cdim`` (frac = (N, 3) fractional positions, xyz cols)."""
+        flat = (_ax_idx(0, cdim[0]) + cdim[0]
+                * (_ax_idx(1, cdim[1])
+                   + cdim[1] * _ax_idx(2, cdim[2])))
+        return int(np.bincount(flat,
+                               minlength=int(np.prod(cdim))).max())
+
+    def cap_round(c):
+        return max(16, ((int(c) + 7) // 8) * 8)
+
     # scan ALL feasible grids, not just the finest: kernel time is
     # structural (slots x 9 stencil rows x one 128-lane tile), so for
     # short-cutoff systems (e.g. WCA, rcut ~ 1.12) the slot-minimizing
@@ -136,17 +157,19 @@ def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False,
     # (10,10,11)/C=40 = 45k slots (1.8x less kernel work) and a ~2.0
     # Verlet skin (vs 0.8) is feasible.  Wider cells only add MASKED
     # candidates inside the already-padded lane tile.
+    #
+    # Capacity is sized from BOTH the equilibrium count statistics
+    # (cap_for) and the ACTUAL current occupancy when the caller
+    # passes fractional positions: the mean-occupancy model alone
+    # picks coarse grids that a clustered configuration (a polymer
+    # bundle, a commensurate lattice start) instantly overflows at
+    # ANY C <= 40 — the finer grid whose real occupancy is small is
+    # the only feasible plan, and only the data can say so.
     ranges = [range(1, d + 1) for d in dmax]
+    cands = []
     for cdim in product(*ranges):
         nc = int(np.prod(cdim))
         C = cap_for(N / nc)
-        if 3 * C > 128:
-            continue
-        if max_C is not None and C > max_C:
-            # chain-bonded + angle kernels OOM VMEM at C = 40 tiles
-            # (measured 192M of 128M): the caller caps C and the scan
-            # finds the best finer grid instead
-            continue
         # sort key: (1) grids with any dimension < 3 rank last — a
         # 2-cell axis aliases the rebin roll windows (the same source
         # cell appears twice), which forces the slower sort rebuild
@@ -160,13 +183,37 @@ def plan_fast_lj(N, box_L, rcut, r_buff, conservative=False,
         # boxes admit any axis permutation)
         key = (min(cdim) < 3, nc * C, -(-cdim[1] // 7), cdim[2],
                cdim[1])
+        cands.append((key, cdim, nc, C))
+    cands.sort(key=lambda t: t[0])
+    best = None
+    for key, cdim, nc, C in cands:
+        if best is not None:
+            # C only grows under the occupancy correction, so once the
+            # MODEL slot count alone exceeds the best EFFECTIVE slot
+            # count there is nothing better further down the list
+            if (key[0], nc * C) > (best[0][0], best[0][1]):
+                break
+        if frac is not None:
+            C = max(C, cap_round(maxocc_of(cdim) + 1))
+            key = (key[0], nc * C) + key[2:]
+        if 3 * C > 128:
+            continue
+        if max_C is not None and C > max_C:
+            # chain-bonded + angle kernels OOM VMEM at C = 40 tiles
+            # (measured 192M of 128M): the caller caps C and the scan
+            # finds the best finer grid instead
+            continue
         if best is None or key < best[0]:
             best = (key, cdim, nc, C)
     if best is None:
         # no grid fits the one-lane-tile window: fall back to the
-        # coarsest grid and let C exceed the tile (correct, slower)
+        # coarsest grid and let C exceed the tile (correct, slower —
+        # the caller degrades the kernel impl to XLA past one tile)
         nc = int(np.prod(dmax))
-        return dmax, nc, cap_for(N / nc)
+        C = cap_for(N / nc)
+        if frac is not None:
+            C = max(C, cap_round(maxocc_of(dmax) + 1))
+        return dmax, nc, C
     _, cell_dim, ncells, C = best
     return cell_dim, ncells, C
 

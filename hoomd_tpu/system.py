@@ -555,29 +555,21 @@ class System:
         # one-lane-tile kernel limit (see the ovf handler)
         chain_max_C = self._grow.get('fast_plan_maxC')
         conservative = bool(self._grow.get('fast_plan_conservative'))
+        # STATE-AWARE planning: the dense-liquid capacity margin
+        # assumes liquid count statistics, but the CURRENT
+        # configuration may be anything — a commensurate lattice start
+        # packs (ceil(n_side/nx))^3 per cell (measured 64 at the 64k
+        # sc start on a 13-cell grid) and a clustered polymer bundle
+        # can pack ~100 into one coarse cell, an occupancy NO C <= 40
+        # holds.  The planner bins the actual positions per candidate
+        # grid and sizes C from max(model, real occupancy), so
+        # clustered configurations land on the finer grid that
+        # actually fits (ops/fast_lj.plan_fast_lj).
+        pos_h = _np.asarray(self._state_raw.pos)
+        frac = (pos_h / L + 0.5) % 1.0
         cell_dim, ncells, C = plan_fast_lj(
             N, L, rcut, r_buff, conservative=conservative,
-            max_C=chain_max_C)
-        if not conservative:
-            # STATE-AWARE plan check: the dense-liquid capacity margin
-            # assumes liquid count statistics, but the CURRENT
-            # configuration may be anything (a commensurate lattice
-            # start packs up to (ceil(n_side/nx))^3 per cell — measured
-            # 64 at the 64k sc start on a 13-cell grid, an instant
-            # overflow).  Bin the actual positions once at build time
-            # and fall back to the conservative plan unless the dense
-            # grid holds the real occupancy with headroom
-            pos_h = _np.asarray(self._state_raw.pos)
-            frac = (pos_h / L + 0.5) % 1.0
-            cid3 = _np.clip((frac * _np.asarray(cell_dim)).astype(int),
-                            0, _np.asarray(cell_dim) - 1)
-            flat = (cid3[:, 0] + cell_dim[0]
-                    * (cid3[:, 1] + cell_dim[1] * cid3[:, 2]))
-            maxocc = int(_np.bincount(flat, minlength=ncells).max())
-            if maxocc + 4 > C:
-                cell_dim, ncells, C = plan_fast_lj(
-                    N, L, rcut, r_buff, conservative=True,
-                    max_C=chain_max_C)
+            max_C=chain_max_C, frac=frac)
         if min(L / _np.array(cell_dim)) < rcut + r_buff - 1e-9:
             return _decline('box too small for the 27-cell stencil')
         C = max(C, self._grow.get('fast_C', 0))
