@@ -122,7 +122,11 @@ def initialize(args=None, memory_traceback=False):
         for g in grid:
             prod *= g
         n_req = prod if n_req is None else n_req
-    if n_req is not None and n_req > 1:
+    # n_req == 1 with an explicit grid still builds the (trivial) mesh:
+    # a 1x1x1 DD run exercises the spatial-DD engine on one chip, which
+    # is how its per-chip speed is measured against the single-chip
+    # fast engine (no multi-chip hardware needed)
+    if n_req is not None and (n_req > 1 or grid):
         devs = jax.devices()
         if len(devs) < n_req:
             raise RuntimeError(
