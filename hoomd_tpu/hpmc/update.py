@@ -585,6 +585,26 @@ class clusters(Updater):
                 self.n_moves += 1
                 return
         new_tid = np.where(member, swap_tid, tid)
+        # moved-vs-moved veto: the adjacency (swapped-i vs original-j)
+        # guarantees cluster/outside pairs stay valid, but two cluster
+        # members that BOTH grow (e.g. B->A at diameter ratio >1) can
+        # overlap each other at the post-swap size without sharing an
+        # edge (their mutual threshold r_swp+r_swp exceeds the edge
+        # threshold r_swp+r_now).  The reference rejects any cluster
+        # move whose moved-moved pairs overlap in the new configuration
+        # (UpdaterClusters.h m_overlap/reject handling); do the same.
+        mi = np.nonzero(member)[0]
+        if len(mi) > 1:
+            r_new = radii_t[new_tid]
+            d = pos[mi][:, None, :] - pos[mi][None, :, :]
+            d -= L * np.round(d / L)
+            r2 = np.sum(d * d, axis=-1)
+            rs = r_new[mi][:, None] + r_new[mi][None, :]
+            hit = r2 < rs * rs
+            np.fill_diagonal(hit, False)
+            if hit.any():
+                self.n_moves += 1
+                return
         snap.particles.typeid[:] = new_tid
         for i in range(N):
             snap.particles.diameter[i] = 2.0 * radii_t[new_tid[i]]

@@ -187,3 +187,37 @@ def test_clusters_line_reflection_and_swap():
     # type identities remain a permutation of {A,B} counts summing to N
     tid = np.asarray(system.take_snapshot().particles.typeid)
     assert len(tid) == N and set(np.unique(tid)) <= {0, 1}
+
+
+def test_clusters_swap_moved_vs_moved_veto():
+    """Adversarial unequal-diameter swap (ratio 1.25): two B spheres
+    (d=0.8) at distance 0.95 are valid and share no adjacency edge
+    (edge threshold r_swp+r_now = 0.9), but both connect to one A
+    placed between them (A-B threshold 1.0).  A B->A swap of that
+    cluster grows both B's to d=1.0 and they would overlap at 0.95 —
+    the move must be vetoed (reference UpdaterClusters.h rejects
+    moved-moved overlap-creating configurations)."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.context.initialize("--notice-level=0")
+    snap = hoomd.data.make_snapshot(3, hoomd.data.boxdim(L=12),
+                                    particle_types=['A', 'B'])
+    snap.particles.position[:] = [[0.475, 0.8, 0.0],    # A (bridge)
+                                  [0.0, 0.0, 0.0],      # B
+                                  [0.95, 0.0, 0.0]]     # B
+    snap.particles.typeid[:] = [0, 1, 1]
+    hoomd.init.read_snapshot(snap)
+    mc = hpmc.integrate.sphere(seed=3, d=0.0)
+    mc.shape_param.set('A', diameter=1.0)
+    mc.shape_param.set('B', diameter=0.8)
+    assert mc.count_overlaps() == 0
+    cl = hpmc.update.clusters(mc=mc, seed=13, period=1,
+                              swap_move_ratio=1.0,
+                              swap_types=['A', 'B'])
+    # check after EVERY step: an accepted overlap-creating swap is
+    # undone by the next swap (the move is an involution), so an
+    # end-of-run check alone can alias to zero
+    for _ in range(6):
+        hoomd.run(1, quiet=True)
+        assert mc.count_overlaps() == 0
+    assert cl.n_moves >= 6
