@@ -121,7 +121,15 @@ def initialize(args=None, memory_traceback=False):
         prod = 1
         for g in grid:
             prod *= g
-        n_req = prod if n_req is None else n_req
+        if n_req is not None and prod != n_req:
+            # the reference errors on an infeasible nx/ny/nz vs nranks
+            # (DomainDecomposition.cc:323 findDecomposition)
+            raise RuntimeError(
+                f"--nx/--ny/--nz grid product {prod} does not match "
+                f"--nrank={n_req}")
+        n_req = prod
+    if n_req is not None and n_req < 1:
+        raise RuntimeError(f"--nrank={n_req} must be >= 1")
     # n_req == 1 with an explicit grid still builds the (trivial) mesh:
     # a 1x1x1 DD run exercises the spatial-DD engine on one chip, which
     # is how its per-chip speed is measured against the single-chip

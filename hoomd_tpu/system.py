@@ -474,14 +474,16 @@ class System:
                       'buckingham', 'lj1208', 'force_shifted_lj',
                       'dpd_conservative', 'moliere')
         if charged is not None:
+            # bonded forces and nlist exclusions ride the charged fast
+            # path as tag-space terms: the exclusion correction
+            # subtracts the in-kernel real-space term (lj + erfc) AND
+            # the mesh's k-space erf part for each excluded pair — the
+            # reference's PPPM intramolecular-exclusion fixup
+            # (md/PPPMForceCompute.h:103-186) in energy form.  This is
+            # the molecular-electrolyte bread-and-butter case (water
+            # models, polyelectrolytes).
             if self.real_dtype != jnp.float32:
                 return _decline('charged fast path is f32-only')
-            if bonded_objs:
-                return _decline('charged fast path with bonded forces')
-            nlq = pair_list[0]._nlist
-            if (nlq is not None and nlq._cfg is not None
-                    and nlq._cfg.excl_tags is not None):
-                return _decline('charged fast path with exclusions')
             eval_name = charged['kind']
         else:
             ev = getattr(f, '_evaluator', None)
@@ -535,16 +537,28 @@ class System:
         r_buff = nl.r_buff
         L = _np.asarray(box.L)
         if want_dd:
-            return self._build_fast_dd(
+            dd_prog = self._build_fast_dd(
                 dd_shape=dd_shape, pair=f, bonded_objs=bonded_objs,
                 excl_pairs=excl_pairs, method=m, kind=kind,
                 eval_name=eval_name, N=N, box=box, rcut=rcut,
                 r_buff=r_buff)
+            if dd_prog is not None:
+                return dd_prog
+            # DD-ineligible (box too small for 3 cell planes per axis,
+            # too few devices, ...): on a 1-device grid fall through to
+            # the single-chip fast engine rather than silently dropping
+            # to the 30-200x slower general engine; on a real multi-
+            # device grid the atom decomposition is the fallback
+            _decline('spatial-DD gate (plan_fast_dd rejected the '
+                     'grid/box); falling back')
+            if int(_np.prod(dd_shape)) != 1:
+                return None
         # chain-topology detection happens BEFORE grid planning: the
         # in-kernel angle extraction OOMs VMEM at C = 40 tiles, so
         # angle-bearing chain configs plan with a C cap
         chain_cfg = None
         if (bonded_objs and len(self.particle_types) == 1
+                and charged is None
                 and self.real_dtype == jnp.float32
                 and not self._grow.get('fast_chain_off')
                 and os.environ.get('HOOMD_TPU_CHAIN', 'on') != 'off'):
@@ -687,7 +701,8 @@ class System:
         # tag-space fixed-topology terms: user bonded forces, then the
         # exclusion-pair correction (subtracts the pair evaluator on
         # excluded pairs, matching the kernel's shift mode exactly)
-        bonded_cfg = self._bonded_cfg_for(f, bonded_objs, excl_pairs)
+        bonded_cfg = self._bonded_cfg_for(f, bonded_objs, excl_pairs,
+                                          charged=charged)
         # chain topologies (bead-spring family) move INTO the megastep
         # kernel via tag matching when eligible; the tag-space
         # bonded_cfg stays for pe/virial refresh + remainder steps
@@ -722,15 +737,46 @@ class System:
                 'excl_pairs': excl_pairs, 'chain': chain_cfg,
                 'charged': charged}
 
-    def _bonded_cfg_for(self, f, bonded_objs, excl_pairs):
+    def _bonded_cfg_for(self, f, bonded_objs, excl_pairs, charged=None):
         """Fixed-topology term configs for the fast engines: user bonded
-        forces first, then the nlist-exclusion pair correction."""
+        forces first, then the nlist-exclusion pair correction.  For
+        charged configs the correction subtracts the in-kernel
+        real-space term (lj + qiqj erfc(kr)/r inside rcut) and, when a
+        PPPM mesh is present, the k-space erf part at any distance —
+        mirroring the general engine (md/charge.py exclusion fixups;
+        reference md/PPPMForceCompute.h:103-186)."""
         bonded_cfg = []
         for g in bonded_objs:
             data = g._topology_data(self)
             bonded_cfg.append({'energy_fn': type(g)._energy_fn,
                                'groups': np.asarray(data.group)})
-        if excl_pairs is not None:
+        if excl_pairs is not None and charged is not None:
+            import jax
+            import jax.numpy as _jnpx
+            has_lj = charged['lj'] is not None
+            has_mesh = charged['mesh'] is not None
+            lj_ev = charged['lj']._evaluator if has_lj else None
+
+            def _excl_energy_q(disps, p, _lj=lj_ev, _mesh=has_mesh):
+                d = disps[0]
+                r2 = _jnpx.sum(d * d)
+                r = _jnpx.sqrt(r2)
+                in_rc = r2 < p['rcut2']
+                kap = p['kappa']
+                e = _jnpx.where(
+                    in_rc,
+                    p['qiqj'] * jax.scipy.special.erfc(kap * r) / r,
+                    0.0)
+                if _lj is not None:
+                    _, V = _lj.energy_force(r2, p)
+                    e = e + _jnpx.where(in_rc, V, 0.0)
+                if _mesh:
+                    e = e + p['qiqj'] \
+                        * jax.scipy.special.erf(kap * r) / r
+                return -e
+            bonded_cfg.append({'energy_fn': _excl_energy_q,
+                               'groups': excl_pairs})
+        elif excl_pairs is not None:
             evaluator = f._evaluator
             shifted = (f.mode == 'shift')
             import jax.numpy as _jnpx
@@ -969,7 +1015,33 @@ class System:
             gam = mp.get('gamma')
             out['gamma'] = (gam[0] if gam is not None
                             else jnp.ones((), self.real_dtype))
-            out['bonded'] = ()
+            # tag-space fixed-topology params (same order as the
+            # build's bonded_cfg): user bonded forces, then the
+            # charged exclusion correction (lj + erfc real-space +
+            # mesh erf part; see _bonded_cfg_for)
+            bd = []
+            for g in fast.get('bonded_forces', ()):
+                gi = self._program['forces'].index(g)
+                bd.append(self._dyn['forces'][gi])
+            ep = fast.get('excl_pairs')
+            if ep is not None:
+                tids = np.asarray(
+                    self.snapshot_template.particles.typeid)
+                ti = tids[ep[:, 0]]
+                tj = tids[ep[:, 1]]
+                p = {}
+                if charged['lj'] is not None:
+                    p['lj1'] = fp['tables']['lj1'][ti, tj]
+                    p['lj2'] = fp['tables']['lj2'][ti, tj]
+                p['kappa'] = ep_['tables']['kappa'][ti, tj]
+                rc_e = rc[ti, tj]
+                p['rcut2'] = rc_e * rc_e
+                q = np.asarray(
+                    self.snapshot_template.particles.charge)
+                p['qiqj'] = jnp.asarray(
+                    q[ep[:, 0]] * q[ep[:, 1]], self.real_dtype)
+                bd.append(p)
+            out['bonded'] = tuple(bd)
             if charged['mesh'] is not None:
                 mi = self._program['forces'].index(charged['mesh'])
                 out['mesh'] = self._dyn['forces'][mi]
