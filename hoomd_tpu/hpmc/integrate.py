@@ -288,6 +288,11 @@ class mode_hpmc:
     def _has_rotation(self):
         return False
 
+    def _fused_radii(self, system):
+        """Per-type hard radii when the shape is a sphere (the fused
+        Pallas sweep's narrow phase); None gates the fused path off."""
+        return None
+
     # -- program construction (called by System) -----------------------------
     def _build_program(self, system):
         import jax
@@ -874,8 +879,119 @@ class mode_hpmc:
                 0, self.nselect, one_round, (state, counters))
             return state.replace(timestep=state.timestep + 1), counters
 
+        # -- fused-sweep Pallas kernel (spheres) -------------------------
+        # ONE kernel per sweep: nselect rounds x 8 parity sub-sweeps
+        # resident in VMEM (hpmc/pallas_sweep.py) — replaces 8*nselect
+        # sequential XLA sub-sweeps of serial element gathers (measured
+        # ~3 ms each on TPU at N=4k).  Needs its own, WIDER grid: stale
+        # cell membership over R rounds requires width >= diam+2*R*d_max
+        # (the same invariant as the hoisted re-bin, extended R rounds).
+        fused_env = os.environ.get('HOOMD_TPU_HPMC_FUSED', 'auto')
+        radii_np = self._fused_radii(system)
+        use_fused = False
+        if (dims3 == 3 and not implicit_on and patch is None
+                and self._external is None and not has_rotation
+                and radii_np is not None and dtype == jnp.float32
+                and float(np.max(tilt)) < 1e-12   # orthorhombic min_image
+                and fused_env != 'off'
+                and (fused_env in ('on', 'interpret')
+                     or jax.default_backend() == 'tpu')):
+            # R = rounds per kernel call (and per re-bin).  Finer grids
+            # pack MORE trials per kernel (trials/round = ncells ~ 1/w^3
+            # with w = diam + 2*R*d), so small R wins as long as the
+            # re-bin amortizes — measured on TPU at N=4k spheres:
+            # R=1 -> 2744 trials/0.8ms beats R=4 -> 2048 trials/1.7ms.
+            R_f = int(os.environ.get('HOOMD_TPU_HPMC_R', '1'))
+            R_f = max(1, min(R_f, int(self.nselect)))
+            w_f = (diam + 2.0 * d_max * R_f) \
+                * float(np.sqrt(1.0 + np.max(tilt) ** 2))
+            cd = list(cells_ops.choose_cell_dim(L, w_f, 3))
+            cd = [min(c, 32) for c in cd]
+            for ax in range(3):
+                cd[ax] = max(2, 2 * (cd[ax] // 2))
+            if all(L[ax] / cd[ax] >= w_f - 1e-9 for ax in range(3)):
+                nxf, nyf, nzf = cd
+                ncells_f = nxf * nyf * nzf
+                cap_f = max(4, int(np.ceil(N / ncells_f * 2.0)) + 4,
+                            system._grow.get('hpmc_cell_cap', 0))
+                use_fused = True
+        if use_fused:
+            from ..rng import step_key as _step_key
+            from .pallas_sweep import fused_sphere_sweep
+            fused_interp = (jax.default_backend() != 'tpu')
+            radii_j = jnp.asarray(radii_np, dtype)
+            box_Lf = tuple(float(v) for v in np.asarray(state.box.L))
+
+            n_kernels = max(1, -(-int(self.nselect) // R_f))
+
+            def one_sweep_fused(state, counters, hdyn):
+                pos = state.pos
+                nacc = jnp.zeros((), jnp.int32)
+                ntry = jnp.zeros((), jnp.int32)
+                cell_ovf = jnp.zeros((), bool)
+                t_pad = jnp.concatenate(
+                    [state.typeid, jnp.zeros((1,), jnp.int32)])
+                key = _step_key(hdyn['seed'], state.timestep, salt=31)
+                for kcall in range(n_kernels):
+                    cid, cell_list, ovf = cells_ops.bin_particles(
+                        pos, state.box, (nxf, nyf, nzf), cap_f)
+                    cell_ovf = cell_ovf | ovf
+                    pos_pad = jnp.concatenate(
+                        [pos, jnp.zeros((1, 3), dtype)], axis=0)
+                    pc = pos_pad[cell_list]       # (ncells, cap, 3)
+                    live = (cell_list < N).astype(dtype)
+                    shp = (nzf, nyf, nxf * cap_f)
+                    px = pc[..., 0].reshape(shp)
+                    py = pc[..., 1].reshape(shp)
+                    pz = pc[..., 2].reshape(shp)
+                    if len(radii_np) == 1:
+                        # single type: skip the typeid gathers
+                        rad = radii_j[0] * live.reshape(shp)
+                        dmv = hdyn['d'][0] * live.reshape(shp)
+                    else:
+                        tc = t_pad[cell_list]
+                        rad = (radii_j[tc] * live).reshape(shp)
+                        dmv = (hdyn['d'][tc] * live).reshape(shp)
+                    kk = jax.random.fold_in(key, kcall)
+                    ks = jax.random.split(kk, R_f + 1)
+                    perms = jnp.concatenate(
+                        [jax.random.permutation(ks[r], 8)
+                         for r in range(R_f)]).astype(jnp.int32)
+                    if fused_interp:
+                        randu = jax.random.uniform(
+                            ks[-1], (R_f * 8, 6, nzf, nyf, nxf), dtype)
+                    else:
+                        randu = jnp.zeros((1, 1, 1, 1, 1), dtype)
+                    seed_s = (hdyn['seed'].astype(jnp.int32)
+                              + state.timestep.astype(jnp.int32)
+                              * 131071 + kcall * 7919)
+                    npx, npy, npz, na, nt = fused_sphere_sweep(
+                        px, py, pz, rad, dmv, live.reshape(shp), perms,
+                        seed_s, randu, cell_dim=(nxf, nyf, nzf),
+                        C=cap_f, R=R_f, box_L=box_Lf,
+                        interpret=fused_interp)
+                    nacc = nacc + na
+                    ntry = ntry + nt
+                    newp = jnp.stack(
+                        [npx.reshape(-1), npy.reshape(-1),
+                         npz.reshape(-1)], axis=-1)
+                    flat = cell_list.reshape(-1)
+                    dst = jnp.where(flat < N, flat, N)
+                    pos = pos.at[dst].set(newp, mode='drop')
+                counters = dict(counters)
+                counters['translate_accept'] = \
+                    counters['translate_accept'] + nacc
+                counters['translate_reject'] = \
+                    counters['translate_reject'] + (ntry - nacc)
+                counters['cell_overflow'] = (counters['cell_overflow']
+                                             | cell_ovf)
+                return (state.replace(pos=pos,
+                                      timestep=state.timestep + 1),
+                        counters)
+
         def run_chunk(state, counters, hdyn, nsteps):
-            sweep = one_sweep_dense if use_dense else one_sweep
+            sweep = (one_sweep_fused if use_fused
+                     else one_sweep_dense if use_dense else one_sweep)
 
             def body(_, carry):
                 return sweep(*carry, hdyn)
@@ -898,9 +1014,10 @@ class mode_hpmc:
                 'run_chunk_raw': run_chunk,
                 'pack_hdyn': pack_hdyn,
                 'init_counters': init_counters,
-                'cell_cap': cell_cap,
+                'cell_cap': max(cell_cap, cap_f if use_fused else 0),
                 'cand_cap': cand_cap,
                 'dense': use_dense,
+                'fused': use_fused,
                 'dep_cap': M_dep}
 
 
@@ -923,6 +1040,9 @@ class sphere(mode_hpmc):
 
     def _interaction_diameter(self, system):
         return float(self._diameters(system).max())
+
+    def _fused_radii(self, system):
+        return 0.5 * self._diameters(system)
 
     def _make_overlap_fn(self, system):
         import jax.numpy as jnp

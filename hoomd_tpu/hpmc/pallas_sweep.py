@@ -1,0 +1,286 @@
+"""Fused-sweep Pallas kernel for HPMC hard spheres.
+
+The reference GPU runs one trial move per active cell per cell-set
+pass, one thread block per cell, with the cell list in shared memory
+(hpmc/IntegratorHPMCMonoGPU.cuh:124-160, .cu:34-152).  The TPU analog
+here keeps the ENTIRE cell-major state resident in VMEM for a whole
+sweep (R rounds x 8 parity sub-sweeps) inside ONE Pallas kernel:
+
+  * planar SoA planes (nz, ny, nx*C): x/y/z positions, per-slot radius,
+    move size, and liveness, with the C slots of cell x occupying lanes
+    [x*C, (x+1)*C);
+  * every sub-sweep proposes a trial for EVERY cell and commits only
+    the cells of the active parity class (full-grid masked trials: the
+    8x redundant proposal compute is cheaper on the VPU than any
+    strided-active extraction, and it keeps all rolls STATIC);
+  * candidate windows are 27 static rolls of the resident planes
+    (z: untiled-dim roll, y: sublane roll, x: lane roll by C) — zero
+    gathers, zero HBM traffic between sub-sweeps;
+  * per-cell reductions (live count, mover extraction) and per-cell ->
+    per-lane broadcasts run as one-hot indicator matmuls on the MXU;
+  * trial randoms: the in-kernel PRNG (pltpu.prng_random_bits) on
+    compiled TPU; interpret mode (CPU tests) instead reads threefry
+    planes precomputed in XLA (prng_* has no interpret lowering, and a
+    per-sub-sweep HBM DMA of (6,nz,ny,nx) violates Mosaic's 128-lane
+    slice alignment anyway).  Box-Muller for the direction, u^(1/3)
+    for the radius — the reference's move_translate ball distribution
+    (Moves.h);
+  * the kernel runs R rounds without re-binning: the stencil width is
+    sized diam + 2*R*d_max so stale cell membership still covers every
+    possible partner after up to R accepted moves per particle (the
+    same invariant the reference's per-sweep cell list relies on).
+
+One sweep = ONE bin + ONE plane build + ONE kernel + ONE scatter-back,
+replacing the gather path's 32 sequential XLA sub-sweeps of serial
+element gathers (measured 3 ms each on TPU at N=4k).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cell_dim', 'C', 'R', 'box_L', 'interpret'))
+def fused_sphere_sweep(px, py, pz, rad, dmv, live, perms, seed, randu,
+                       *, cell_dim, C, R, box_L, interpret=False):
+    """Run R rounds x 8 parity sub-sweeps of single-mover-per-cell
+    sphere trials on resident planes.
+
+    px/py/pz/rad/dmv/live: (nz, ny, nx*C) f32 planes (live is 1/0 and
+    slots are a per-cell live prefix).  perms: (R*8,) i32 class order.
+    seed: i32 scalar (compiled-TPU PRNG).  randu: (R*8, 6, nz, ny, nx)
+    f32 uniforms (interpret mode only; pass a (1,1,1,1,1) dummy on
+    TPU).  Returns (px', py', pz', n_accept, n_try).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    NXC = nx * C
+    Lx, Ly, Lz = (float(box_L[0]), float(box_L[1]), float(box_L[2]))
+    f32 = jnp.float32
+
+    offsets = [(dz, dy, dx) for dz in (-1, 0, 1)
+               for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def kernel(perm_ref, seed_ref, px_ref, py_ref, pz_ref, rad_ref,
+               dmv_ref, live_ref, randu_ref, opx_ref, opy_ref, opz_ref,
+               cnt_ref):
+        if not interpret:
+            pltpu.prng_seed(seed_ref[0])
+        opx_ref[:] = px_ref[:]
+        opy_ref[:] = py_ref[:]
+        opz_ref[:] = pz_ref[:]
+        cnt_ref[0] = 0
+        cnt_ref[1] = 0
+
+        live = live_ref[:]                          # (nz, ny, NXC)
+        rad = rad_ref[:]
+        dmv = dmv_ref[:]
+
+        # lane bookkeeping (static)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, NXC), 2)
+        lane_in_cell = lane % C
+        # group indicator G (NXC, nx): lane l belongs to cell l//C
+        gl = jax.lax.broadcasted_iota(jnp.int32, (NXC, nx), 0)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (NXC, nx), 1)
+        G = (gl // C == gc).astype(f32)             # (NXC, nx)
+
+        def gsum(a, exact=False):
+            """(nz, ny, NXC) -> per-cell sum (nz, ny, nx).
+
+            exact=True forces bf16x3 (Precision.HIGHEST): the MXU's
+            single-pass bf16 quantizes f32 POSITION payloads to ~8
+            mantissa bits (measured 2e-3 on unit coords), which would
+            bias accepted positions; 0/1 indicators and small-int
+            counts are bf16-exact and keep the default."""
+            return jax.lax.dot_general(
+                a, G, (((2,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else None))
+
+        def bcast(a, exact=False):
+            """(nz, ny, nx) per-cell -> (nz, ny, NXC) lanes."""
+            return jax.lax.dot_general(
+                a, G.T, (((2,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else None))
+
+        cnt_c = gsum(live)                          # (nz, ny, nx)
+        has_c = cnt_c > 0.5
+        # per-cell parity indices
+        zc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 0) % 2
+        yc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 1) % 2
+        xc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 2) % 2
+
+        two_pi = f32(2.0 * np.pi)
+
+        def sub_sweep(idx, _):
+            c = perm_ref[idx]
+            pz_par = c // 4
+            py_par = (c // 2) % 2
+            px_par = c % 2
+            pmask_c = ((zc == pz_par) & (yc == py_par)
+                       & (xc == px_par))            # (nz, ny, nx)
+
+            # -- per-cell randoms -------------------------------------
+            if interpret:
+                u_sel = randu_ref[idx, 0]
+                u1 = randu_ref[idx, 1]
+                u2 = randu_ref[idx, 2]
+                u3 = randu_ref[idx, 3]
+                u4 = randu_ref[idx, 4]
+                u_r = randu_ref[idx, 5]
+            else:
+                def draw():
+                    # raw bits may be SIGNED int32 — mask off the sign
+                    # byte (logical-shift/uint casts are unsupported in
+                    # Mosaic) so the int32->f32 cast lands in [0, 2^24)
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits((nz, ny, nx)),
+                        jnp.int32)
+                    return ((bits >> 8) & jnp.int32(0xFFFFFF)
+                            ).astype(f32) * f32(1.0 / (1 << 24))
+                u_sel = draw()
+                u1 = draw()
+                u2 = draw()
+                u3 = draw()
+                u4 = draw()
+                u_r = draw()
+            # Box-Muller: two gaussians from (u1, u2), one from (u3, u4)
+            r1 = jnp.sqrt(-2.0 * jnp.log(u1 + f32(1e-12)))
+            g1 = r1 * jnp.cos(two_pi * u2)
+            g2 = r1 * jnp.sin(two_pi * u2)
+            r2g = jnp.sqrt(-2.0 * jnp.log(u3 + f32(1e-12)))
+            g3 = r2g * jnp.cos(two_pi * u4)
+            gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3 + f32(1e-12))
+            # radius ~ d * u^(1/3) (uniform in ball)
+            rball = jnp.exp(jnp.log(u_r + f32(1e-12)) * f32(1.0 / 3.0))
+
+            # -- mover selection --------------------------------------
+            pick = jnp.minimum((u_sel * cnt_c).astype(jnp.int32),
+                               jnp.maximum(cnt_c.astype(jnp.int32) - 1,
+                                           0))
+            pick_b = bcast(pick.astype(f32))
+            onehot = ((lane_in_cell.astype(f32) - pick_b) == 0.0
+                      ).astype(f32) * live          # (nz, ny, NXC)
+
+            cpx = opx_ref[:]
+            cpy = opy_ref[:]
+            cpz = opz_ref[:]
+            mx_c = gsum(cpx * onehot, exact=True)   # (nz, ny, nx)
+            my_c = gsum(cpy * onehot, exact=True)
+            mz_c = gsum(cpz * onehot, exact=True)
+            mr_c = gsum(rad * onehot, exact=True)
+            md_c = gsum(dmv * onehot, exact=True)
+
+            step = md_c * rball * gn
+            nxp = mx_c + g1 * step
+            nyp = my_c + g2 * step
+            nzp = mz_c + g3 * step
+            # wrap into the box
+            nxp = nxp - Lx * jnp.floor(nxp / Lx + 0.5)
+            nyp = nyp - Ly * jnp.floor(nyp / Ly + 0.5)
+            nzp = nzp - Lz * jnp.floor(nzp / Lz + 0.5)
+
+            nxb = bcast(nxp, exact=True)
+            nyb = bcast(nyp, exact=True)
+            nzb = bcast(nzp, exact=True)
+            mrb = bcast(mr_c, exact=True)
+
+            # -- overlap count over the 27-cell windows ---------------
+            oc = jnp.zeros((nz, ny, NXC), f32)
+            for (dz, dy, dxo) in offsets:
+                # pltpu.roll requires non-negative shifts
+                sz = (-dz) % nz
+                sy = (-dy) % ny
+                sx = ((-dxo) % nx) * C
+
+                def roll3(a):
+                    r = a
+                    if sz:
+                        r = pltpu.roll(r, sz, 0)
+                    if sy:
+                        r = pltpu.roll(r, sy, 1)
+                    if sx:
+                        r = pltpu.roll(r, sx, 2)
+                    return r
+                wx = roll3(cpx)
+                wy = roll3(cpy)
+                wz = roll3(cpz)
+                wl = roll3(live)
+                wr = roll3(rad)
+                ddx = nxb - wx
+                ddx = ddx - Lx * jnp.round(ddx / Lx)
+                ddy = nyb - wy
+                ddy = ddy - Ly * jnp.round(ddy / Ly)
+                ddz = nzb - wz
+                ddz = ddz - Lz * jnp.round(ddz / Lz)
+                rr = ddx * ddx + ddy * ddy + ddz * ddz
+                thr = mrb + wr
+                ind = (rr < thr * thr).astype(f32) * wl
+                if (dz, dy, dxo) == (0, 0, 0):
+                    ind = ind * (1.0 - onehot)
+                oc = oc + ind
+            occ_c = gsum(oc)                        # (nz, ny, nx)
+
+            acc_c = (pmask_c & has_c & (occ_c < 0.5)).astype(f32)
+            acc_b = bcast(acc_c)
+            sel = onehot * acc_b                    # (nz, ny, NXC)
+            opx_ref[:] = cpx + sel * (nxb - cpx)
+            opy_ref[:] = cpy + sel * (nyb - cpy)
+            opz_ref[:] = cpz + sel * (nzb - cpz)
+
+            n_try = jnp.sum((pmask_c & has_c).astype(jnp.int32))
+            n_acc = jnp.sum(acc_c.astype(jnp.int32))
+            cnt_ref[0] = cnt_ref[0] + n_acc
+            cnt_ref[1] = cnt_ref[1] + n_try
+            return 0
+
+        jax.lax.fori_loop(0, R * 8, sub_sweep, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, ny, NXC), f32),
+            jax.ShapeDtypeStruct((nz, ny, NXC), f32),
+            jax.ShapeDtypeStruct((nz, ny, NXC), f32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the 27-offset unrolled stencil's live tile chains overflow
+            # the default 16M scoped-VMEM stack at production grids; the
+            # chip has a 128M budget (same lesson as the MD megastep)
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(perms.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)),
+      px, py, pz, rad, dmv, live, randu.astype(f32))
+    npx, npy, npz, cnts = out
+    return npx, npy, npz, cnts[0], cnts[1]

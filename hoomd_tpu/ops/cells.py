@@ -2,7 +2,7 @@
 
 TPU-native redesign of the reference CellList (hoomd/CellList.h:99-361,
 CellList.cc:133/438 and the GPU kernels in CellListGPU.cu): instead of
-per-cell atomic counters, binning is a sort + searchsorted ranking, which is
+per-cell atomic counters, binning is a sort + scan ranking, which is
 deterministic, has no atomics, and keeps every shape static — the XLA-friendly
 formulation.  Cells are padded to a fixed ``capacity``; overflow raises a flag
 so the host can regrow and recompile (the same grow-and-rebuild protocol the
@@ -11,6 +11,7 @@ reference uses for its cell list and neighbor list).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,10 +91,17 @@ def bin_particles(pos, box, cell_dim, capacity):
     cid = cell_index(pos, box, cell_dim)
     order = jnp.argsort(cid, stable=True).astype(idt)
     scid = cid[order]
-    # rank of each particle within its cell = position in sorted order minus
-    # index of the first particle of that cell
-    first = jnp.searchsorted(scid, scid, side='left').astype(idt)
-    rank = jnp.arange(N, dtype=idt) - first
+    # rank of each particle within its cell = position in sorted order
+    # minus the index of the first particle of that cell.  The first
+    # index comes from a cummax over segment boundaries — searchsorted
+    # here is a binary search of N serial gathers, measured 6x slower
+    # than this scan on TPU (0.40 vs 0.07 ms at N=4k)
+    idx = jnp.arange(N, dtype=idt)
+    bnd = jnp.concatenate(
+        [jnp.ones((1,), bool), scid[1:] != scid[:-1]])
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(bnd, idx, 0))
+    rank = idx - first
     ok = rank < capacity
     slot = scid * capacity + jnp.minimum(rank, capacity - 1)
     # overflowing entries are routed to an out-of-bounds slot and dropped
