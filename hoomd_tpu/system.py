@@ -569,6 +569,15 @@ class System:
         # one-lane-tile kernel limit (see the ovf handler)
         chain_max_C = self._grow.get('fast_plan_maxC')
         conservative = bool(self._grow.get('fast_plan_conservative'))
+        # small systems: start on the conservative plan outright.  The
+        # adaptation ladder (brave capacity -> ovf -> replan -> xsel
+        # flip ...) exists to squeeze big grids; at N=1000 every rung
+        # is a 10-60 s Mosaic compile that can never amortize (the
+        # README bench spent >90% of its walltime compiling variants,
+        # 0.5M pss vs ~10M steady)
+        small_N = N < 4096
+        if small_N:
+            conservative = True
         # STATE-AWARE planning: the dense-liquid capacity margin
         # assumes liquid count statistics, but the CURRENT
         # configuration may be anything — a commensurate lattice start
@@ -683,7 +692,7 @@ class System:
         # retry (below) falls back to the sort on buffer overflow
         rebin_impl = 'sort'
         env_rebin = os.environ.get('HOOMD_TPU_REBIN', 'on')
-        if (ntypes == 1 and N < (1 << 23)
+        if (ntypes == 1 and (1 << 12) <= N < (1 << 23)
                 and min(cell_dim) >= 3
                 and self.real_dtype == _jnp.float32
                 and impl in ('plane', 'planar', 'planar_n3l')
@@ -691,7 +700,10 @@ class System:
                 and env_rebin != 'off'):
             # default: the staged one-hot-matmul XLA rebin (MXU,
             # ~0.4 ms at 64k vs the Mosaic plane kernel's 2.3 ms);
-            # HOOMD_TPU_REBIN=pallas keeps the old kernel for A/B
+            # HOOMD_TPU_REBIN=pallas keeps the old kernel for A/B.
+            # Below 4096 particles the sort costs next to nothing and
+            # xsel's transient-failure flip cycle costs Mosaic compiles
+            # the tiny run can never amortize — sort unconditionally
             rebin_impl = 'pallas' if env_rebin == 'pallas' else 'xsel'
         # emigrant-buffer width: 8 covers the drift bound with a wide
         # margin at liquid densities (measured E=8 rebin ~2x faster
@@ -718,15 +730,43 @@ class System:
                 mesh_cfg = {'fn': mf._mesh_compute}
         if impl != 'plane':
             chain_cfg = None     # kernel path only
-        to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
-            N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
-            rcut=rcut, method_kind=kind,
-            method_seed=getattr(m, 'seed', 0), dtype=self.real_dtype,
-            interpret=interpret, impl=impl, eval_name=eval_name,
-            pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
-            rebin_impl=rebin_impl, rebin_E=rebin_E,
-            bonded_cfg=tuple(bonded_cfg), chain_cfg=chain_cfg,
-            charges=charges_arr, mesh_cfg=mesh_cfg)
+        # MEMOIZE built programs by their full static plan: the
+        # adaptation machinery (ovf replans, xsel<->sort flips, k
+        # grows) oscillates on hard systems (condensing gases), and
+        # every _rebuild_program used to create FRESH closures whose
+        # jits could never reuse a previously compiled executable —
+        # measured as 10-15 s Mosaic recompiles per flip that crushed
+        # the N=1000 README bench to 0.5M pss (steady state runs at
+        # ~10M).  Returning the cached program makes revisiting a plan
+        # free.  Only topology-free configs are cached (bonded/chain/
+        # charged carry unhashable tables and don't oscillate).
+        prog_key = None
+        if not bonded_cfg and chain_cfg is None and charged is None:
+            prog_key = (N, tuple(np.asarray(box.L).tolist()),
+                        tuple(cell_dim), C, float(r_buff), float(rcut),
+                        kind, int(getattr(m, 'seed', 0) or 0),
+                        str(self.real_dtype), interpret, impl,
+                        eval_name, tuple(pnames), ntypes, k_rebuild,
+                        rebin_impl, rebin_E)
+        cache = getattr(self, '_fast_prog_cache', None)
+        if cache is None:
+            cache = self._fast_prog_cache = {}
+        if prog_key is not None and prog_key in cache:
+            to_fast, refresh, run_chunk, to_state = cache[prog_key]
+        else:
+            to_fast, refresh, run_chunk, to_state = build_fast_lj_chunk(
+                N=N, box=box, cell_dim=cell_dim, C=C, r_buff=r_buff,
+                rcut=rcut, method_kind=kind,
+                method_seed=getattr(m, 'seed', 0),
+                dtype=self.real_dtype,
+                interpret=interpret, impl=impl, eval_name=eval_name,
+                pnames=pnames, ntypes=ntypes, k_rebuild=k_rebuild,
+                rebin_impl=rebin_impl, rebin_E=rebin_E,
+                bonded_cfg=tuple(bonded_cfg), chain_cfg=chain_cfg,
+                charges=charges_arr, mesh_cfg=mesh_cfg)
+            if prog_key is not None:
+                cache[prog_key] = (to_fast, refresh, run_chunk,
+                                   to_state)
         return {'to_fast': to_fast, 'refresh': refresh,
                 'run_chunk': run_chunk, 'to_state': to_state,
                 'C': C, 'method': m, 'kind': kind, 'rcut': rcut,
@@ -1286,9 +1326,19 @@ class System:
                     if xr:
                         if xr <= 1:
                             self._grow.pop('fast_xsel_retry', None)
-                            self._grow.pop('fast_rebin_sort', None)
-                            self._rebuild_program()
-                            self._pack_dyn()
+                            # lifetime flip cap (NOT subject to the
+                            # probe amnesty): a condensing gas fails
+                            # xsel indefinitely, and the re-enable /
+                            # re-fail cycle costs two program rebuilds
+                            # per lap — the README N=1000 bench spent
+                            # 90% of its walltime in this loop
+                            flips = self._grow.get(
+                                'fast_xsel_flips', 0) + 1
+                            self._grow['fast_xsel_flips'] = flips
+                            if flips <= 2:
+                                self._grow.pop('fast_rebin_sort', None)
+                                self._rebuild_program()
+                                self._pack_dyn()
                         else:
                             self._grow['fast_xsel_retry'] = xr - 1
                     if (ceil_m < 64 and m_now >= ceil_m and clean >= 4
