@@ -293,6 +293,11 @@ class mode_hpmc:
         Pallas sweep's narrow phase); None gates the fused path off."""
         return None
 
+    def _fused_poly_tables(self, system):
+        """(V, F, E) static hull tables for the fused SAT sweep
+        (single-type convex polyhedra); None gates it off."""
+        return None
+
     # -- program construction (called by System) -----------------------------
     def _build_program(self, system):
         import jax
@@ -888,10 +893,14 @@ class mode_hpmc:
         # (the same invariant as the hoisted re-bin, extended R rounds).
         fused_env = os.environ.get('HOOMD_TPU_HPMC_FUSED', 'auto')
         radii_np = self._fused_radii(system)
+        poly_tables = (self._fused_poly_tables(system)
+                       if radii_np is None else None)
         use_fused = False
         if (dims3 == 3 and not implicit_on and patch is None
-                and self._external is None and not has_rotation
-                and radii_np is not None and dtype == jnp.float32
+                and self._external is None
+                and (radii_np is not None
+                     or (poly_tables is not None and has_rotation))
+                and dtype == jnp.float32
                 and float(np.max(tilt)) < 1e-12   # orthorhombic min_image
                 and fused_env != 'off'
                 and (fused_env in ('on', 'interpret')
@@ -915,7 +924,82 @@ class mode_hpmc:
                 cap_f = max(4, int(np.ceil(N / ncells_f * 2.0)) + 4,
                             system._grow.get('hpmc_cell_cap', 0))
                 use_fused = True
-        if use_fused:
+        if use_fused and poly_tables is not None:
+            from ..rng import step_key as _step_key
+            from .pallas_sweep import fused_poly_sweep
+            fused_interp = (jax.default_backend() != 'tpu')
+            box_Lf = tuple(float(v) for v in np.asarray(state.box.L))
+            n_kernels = max(1, -(-int(self.nselect) // R_f))
+
+            def one_sweep_fused(state, counters, hdyn):
+                pos = state.pos
+                quat = state.orientation
+                acc4 = jnp.zeros((4,), jnp.int32)
+                cell_ovf = jnp.zeros((), bool)
+                key = _step_key(hdyn['seed'], state.timestep, salt=37)
+                mp = jnp.stack([hdyn['d'][0], hdyn['a'][0],
+                                hdyn['mr']])
+                for kcall in range(n_kernels):
+                    cid, cell_list, ovf = cells_ops.bin_particles(
+                        pos, state.box, (nxf, nyf, nzf), cap_f)
+                    cell_ovf = cell_ovf | ovf
+                    pos_pad = jnp.concatenate(
+                        [pos, jnp.zeros((1, 3), dtype)], axis=0)
+                    q_pad = jnp.concatenate(
+                        [quat, jnp.asarray([[1.0, 0, 0, 0]], dtype)],
+                        axis=0)
+                    pc = pos_pad[cell_list]
+                    qc = q_pad[cell_list]
+                    live = (cell_list < N).astype(dtype)
+                    shp = (nzf, nyf, nxf * cap_f)
+                    planes = [pc[..., k].reshape(shp) for k in range(3)]
+                    planes += [qc[..., k].reshape(shp)
+                               for k in range(4)]
+                    kk = jax.random.fold_in(key, kcall)
+                    ks = jax.random.split(kk, R_f + 1)
+                    perms = jnp.concatenate(
+                        [jax.random.permutation(ks[r], 8)
+                         for r in range(R_f)]).astype(jnp.int32)
+                    if fused_interp:
+                        randu = jax.random.uniform(
+                            ks[-1], (R_f * 8, 12, nzf, nyf, nxf),
+                            dtype)
+                    else:
+                        randu = jnp.zeros((1, 1, 1, 1, 1), dtype)
+                    seed_s = (hdyn['seed'].astype(jnp.int32)
+                              + state.timestep.astype(jnp.int32)
+                              * 131071 + kcall * 7919)
+                    out = fused_poly_sweep(
+                        *planes, live.reshape(shp), perms, seed_s,
+                        randu, mp, cell_dim=(nxf, nyf, nzf), C=cap_f,
+                        R=R_f, box_L=box_Lf, tables=poly_tables,
+                        interpret=fused_interp)
+                    acc4 = acc4 + out[7]
+                    newp = jnp.stack(
+                        [out[k].reshape(-1) for k in range(3)],
+                        axis=-1)
+                    newq = jnp.stack(
+                        [out[3 + k].reshape(-1) for k in range(4)],
+                        axis=-1)
+                    flat = cell_list.reshape(-1)
+                    dst = jnp.where(flat < N, flat, N)
+                    pos = pos.at[dst].set(newp, mode='drop')
+                    quat = quat.at[dst].set(newq, mode='drop')
+                counters = dict(counters)
+                counters['translate_accept'] = \
+                    counters['translate_accept'] + acc4[0]
+                counters['translate_reject'] = \
+                    counters['translate_reject'] + (acc4[1] - acc4[0])
+                counters['rotate_accept'] = \
+                    counters['rotate_accept'] + acc4[2]
+                counters['rotate_reject'] = \
+                    counters['rotate_reject'] + (acc4[3] - acc4[2])
+                counters['cell_overflow'] = (counters['cell_overflow']
+                                             | cell_ovf)
+                return (state.replace(pos=pos, orientation=quat,
+                                      timestep=state.timestep + 1),
+                        counters)
+        elif use_fused:
             from ..rng import step_key as _step_key
             from .pallas_sweep import fused_sphere_sweep
             fused_interp = (jax.default_backend() != 'tpu')
@@ -1215,6 +1299,22 @@ class convex_polyhedron(_aniso_hpmc):
             verts = np.asarray(self.shape_param[t].get('vertices'))
             r = max(r, float(np.linalg.norm(verts, axis=1).max()))
         return 2.0 * r
+
+    def _fused_poly_tables(self, system):
+        types = system.particle_types
+        if len(types) != 1:
+            return None
+        verts = self.shape_param[types[0]].get('vertices')
+        if verts is None:
+            return None
+        v, f, e = _hull_data(verts)
+        # code-size bound: the SAT axis loops are fully unrolled in the
+        # kernel (NF + NF + NE^2 axes, NV-way supports each)
+        if len(v) > 8 or len(f) > 8 or len(e) > 6:
+            return None
+        return (tuple(map(tuple, v.tolist())),
+                tuple(map(tuple, f.tolist())),
+                tuple(map(tuple, e.tolist())))
 
     def _make_overlap_fn(self, system):
         import jax.numpy as jnp

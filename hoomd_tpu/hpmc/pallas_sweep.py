@@ -284,3 +284,371 @@ def fused_sphere_sweep(px, py, pz, rad, dmv, live, perms, seed, randu,
       px, py, pz, rad, dmv, live, randu.astype(f32))
     npx, npy, npz, cnts = out
     return npx, npy, npz, cnts[0], cnts[1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cell_dim', 'C', 'R', 'box_L', 'tables',
+                     'interpret'))
+def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
+                     randu, mp, *, cell_dim, C, R, box_L, tables,
+                     interpret=False):
+    """Fused checkerboard sweep for single-type convex polyhedra.
+
+    Same structure as fused_sphere_sweep (full-grid masked trials,
+    VMEM-resident planes, 27-window stencil) with rotation moves and a
+    branch-free SAT narrow phase (the TPU-native replacement for the
+    reference's XenoCollide MPR, hpmc/ShapeConvexPolyhedron.h): per
+    candidate pair the separating axes are A's face normals (static in
+    A's frame), B's face normals (S-mapped), and edge-cross products,
+    with support intervals over the static vertex table.  S = R(q_rel)
+    with q_rel = conj(q_A) * q_B, so all per-axis work happens in A's
+    body frame and A's own supports are compile-time constants.
+
+    qw..qz: orientation planes.  mp: (3,) f32 [d, a, move_ratio]
+    (traced move parameters).  tables: (V, F, E) as nested tuples of
+    floats (static).  randu: (R*8, 12, nz, ny, nx) uniforms for
+    interpret mode (dummy (1,1,1,1,1) on TPU).
+    Returns (px', py', pz', qw', qx', qy', qz', counts(4,)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = cell_dim
+    NXC = nx * C
+    Lx, Ly, Lz = (float(box_L[0]), float(box_L[1]), float(box_L[2]))
+    f32 = jnp.float32
+    V = np.asarray(tables[0], np.float32)           # (NV, 3)
+    Fn = np.asarray(tables[1], np.float32)          # (NF, 3)
+    Ed = np.asarray(tables[2], np.float32)          # (NE, 3)
+    NV, NF, NE = len(V), len(Fn), len(Ed)
+    # static A-frame face supports
+    projA = Fn @ V.T                                # (NF, NV)
+    loA_f = projA.min(axis=1)
+    hiA_f = projA.max(axis=1)
+    EPS = 1e-7
+
+    offsets = [(dz, dy, dx) for dz in (-1, 0, 1)
+               for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    shifts_np = np.asarray(
+        [[(-dz) % nz, (-dy) % ny, (((-dxo) % nx) * C)]
+         for (dz, dy, dxo) in offsets], np.int32).reshape(-1)
+    c_center = offsets.index((0, 0, 0))
+
+    def kernel(perm_ref, seed_ref, shift_ref, mp_ref,
+               px_ref, py_ref, pz_ref, qw_ref, qx_ref, qy_ref, qz_ref,
+               live_ref, randu_ref,
+               opx_ref, opy_ref, opz_ref, oqw_ref, oqx_ref, oqy_ref,
+               oqz_ref, cnt_ref):
+        if not interpret:
+            pltpu.prng_seed(seed_ref[0])
+        opx_ref[:] = px_ref[:]
+        opy_ref[:] = py_ref[:]
+        opz_ref[:] = pz_ref[:]
+        oqw_ref[:] = qw_ref[:]
+        oqx_ref[:] = qx_ref[:]
+        oqy_ref[:] = qy_ref[:]
+        oqz_ref[:] = qz_ref[:]
+        for i in range(4):
+            cnt_ref[i] = 0
+
+        live = live_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, NXC), 2)
+        lane_in_cell = lane % C
+        gl = jax.lax.broadcasted_iota(jnp.int32, (NXC, nx), 0)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (NXC, nx), 1)
+        G = (gl // C == gc).astype(f32)
+
+        def gsum(a, exact=False):
+            return jax.lax.dot_general(
+                a, G, (((2,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else None))
+
+        def bcast(a, exact=False):
+            return jax.lax.dot_general(
+                a, G.T, (((2,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else None))
+
+        cnt_c = gsum(live)
+        has_c = cnt_c > 0.5
+        zc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 0) % 2
+        yc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 1) % 2
+        xc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 2) % 2
+        two_pi = f32(2.0 * np.pi)
+        d_mv = mp_ref[0]
+        a_mv = mp_ref[1]
+        m_ratio = mp_ref[2]
+
+        def quat_to_R(w, x, y, z):
+            """Rows of the rotation matrix R(q) (body -> frame)."""
+            return (
+                (1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                 2 * (x * z + w * y)),
+                (2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - w * x)),
+                (2 * (x * z - w * y), 2 * (y * z + w * x),
+                 1 - 2 * (x * x + y * y)),
+            )
+
+        def sub_sweep(idx, _):
+            c = perm_ref[idx]
+            pz_par = c // 4
+            py_par = (c // 2) % 2
+            px_par = c % 2
+            pmask_c = ((zc == pz_par) & (yc == py_par)
+                       & (xc == px_par))
+
+            if interpret:
+                u = [randu_ref[idx, k] for k in range(12)]
+            else:
+                def draw():
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits((nz, ny, nx)),
+                        jnp.int32)
+                    return ((bits >> 8) & jnp.int32(0xFFFFFF)
+                            ).astype(f32) * f32(1.0 / (1 << 24))
+                u = [draw() for _ in range(12)]
+            u_sel, u_mr, u1, u2, u3, u4, u_r, a1, a2, a3, a4, u_ang = u
+
+            # translate: ball-uniform (Box-Muller direction, u^(1/3))
+            r1 = jnp.sqrt(-2.0 * jnp.log(u1 + f32(1e-12)))
+            g1 = r1 * jnp.cos(two_pi * u2)
+            g2 = r1 * jnp.sin(two_pi * u2)
+            g3 = jnp.sqrt(-2.0 * jnp.log(u3 + f32(1e-12))) \
+                * jnp.cos(two_pi * u4)
+            gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3
+                               + f32(1e-12))
+            rball = jnp.exp(jnp.log(u_r + f32(1e-12)) * f32(1. / 3.))
+            # rotate: random axis + uniform angle in [-a, a]
+            # (reference Moves.h move_rotate)
+            b1 = jnp.sqrt(-2.0 * jnp.log(a1 + f32(1e-12)))
+            h1 = b1 * jnp.cos(two_pi * a2)
+            h2 = b1 * jnp.sin(two_pi * a2)
+            h3 = jnp.sqrt(-2.0 * jnp.log(a3 + f32(1e-12))) \
+                * jnp.cos(two_pi * a4)
+            hn = jax.lax.rsqrt(h1 * h1 + h2 * h2 + h3 * h3
+                               + f32(1e-12))
+            half = 0.5 * (2.0 * u_ang - 1.0) * a_mv
+            dqw = jnp.cos(half)
+            s_h = jnp.sin(half) * hn
+            dqx = s_h * h1
+            dqy = s_h * h2
+            dqz = s_h * h3
+            do_rot = (u_mr > m_ratio).astype(f32)   # (nz, ny, nx)
+
+            pick = jnp.minimum((u_sel * cnt_c).astype(jnp.int32),
+                               jnp.maximum(cnt_c.astype(jnp.int32) - 1,
+                                           0))
+            pick_b = bcast(pick.astype(f32))
+            onehot = ((lane_in_cell.astype(f32) - pick_b) == 0.0
+                      ).astype(f32) * live
+
+            cpx = opx_ref[:]
+            cpy = opy_ref[:]
+            cpz = opz_ref[:]
+            cqw = oqw_ref[:]
+            cqx = oqx_ref[:]
+            cqy = oqy_ref[:]
+            cqz = oqz_ref[:]
+            mx = gsum(cpx * onehot, exact=True)
+            my = gsum(cpy * onehot, exact=True)
+            mz = gsum(cpz * onehot, exact=True)
+            mqw = gsum(cqw * onehot, exact=True)
+            mqx = gsum(cqx * onehot, exact=True)
+            mqy = gsum(cqy * onehot, exact=True)
+            mqz = gsum(cqz * onehot, exact=True)
+
+            step = d_mv * rball * gn * (1.0 - do_rot)
+            nxp = mx + g1 * step
+            nyp = my + g2 * step
+            nzp = mz + g3 * step
+            nxp = nxp - Lx * jnp.floor(nxp / Lx + 0.5)
+            nyp = nyp - Ly * jnp.floor(nyp / Ly + 0.5)
+            nzp = nzp - Lz * jnp.floor(nzp / Lz + 0.5)
+            # q_new = normalize(dq * q_old) when rotating
+            rw = dqw * mqw - dqx * mqx - dqy * mqy - dqz * mqz
+            rx = dqw * mqx + dqx * mqw + dqy * mqz - dqz * mqy
+            ry = dqw * mqy - dqx * mqz + dqy * mqw + dqz * mqx
+            rz = dqw * mqz + dqx * mqy - dqy * mqx + dqz * mqw
+            rn = jax.lax.rsqrt(rw * rw + rx * rx + ry * ry + rz * rz
+                               + f32(1e-12))
+            nqw = jnp.where(do_rot > 0, rw * rn, mqw)
+            nqx = jnp.where(do_rot > 0, rx * rn, mqx)
+            nqy = jnp.where(do_rot > 0, ry * rn, mqy)
+            nqz = jnp.where(do_rot > 0, rz * rn, mqz)
+
+            nxb = bcast(nxp, exact=True)
+            nyb = bcast(nyp, exact=True)
+            nzb = bcast(nzp, exact=True)
+            qwb = bcast(nqw, exact=True)
+            qxb = bcast(nqx, exact=True)
+            qyb = bcast(nqy, exact=True)
+            qzb = bcast(nqz, exact=True)
+            # A-side rotation rows (per lane, reused across offsets)
+            RA = quat_to_R(qwb, qxb, qyb, qzb)
+
+            oc0 = jnp.zeros((nz, ny, NXC), f32)
+
+            def offset_body(i, oc):
+                sz = shift_ref[3 * i]
+                sy = shift_ref[3 * i + 1]
+                sx = shift_ref[3 * i + 2]
+
+                def roll3(a):
+                    r = pltpu.roll(a, sz, 0)
+                    r = pltpu.roll(r, sy, 1)
+                    return pltpu.roll(r, sx, 2)
+                wx = roll3(cpx)
+                wy = roll3(cpy)
+                wz = roll3(cpz)
+                ww = roll3(cqw)
+                wqx = roll3(cqx)
+                wqy = roll3(cqy)
+                wqz = roll3(cqz)
+                wl = roll3(live)
+                dgx = wx - nxb
+                dgx = dgx - Lx * jnp.round(dgx / Lx)
+                dgy = wy - nyb
+                dgy = dgy - Ly * jnp.round(dgy / Ly)
+                dgz = wz - nzb
+                dgz = dgz - Lz * jnp.round(dgz / Lz)
+                # dr in A's body frame: R_A^T dr (rows of RA are
+                # R's rows; R^T dr = columns dotted)
+                drx = RA[0][0] * dgx + RA[1][0] * dgy + RA[2][0] * dgz
+                dry = RA[0][1] * dgx + RA[1][1] * dgy + RA[2][1] * dgz
+                drz = RA[0][2] * dgx + RA[1][2] * dgy + RA[2][2] * dgz
+                # q_rel = conj(q_A) * q_B; S = R(q_rel) maps B-body
+                # vectors into A's frame
+                sw = qwb * ww + qxb * wqx + qyb * wqy + qzb * wqz
+                sx_ = qwb * wqx - qxb * ww - qyb * wqz + qzb * wqy
+                sy_ = qwb * wqy + qxb * wqz - qyb * ww - qzb * wqx
+                sz_ = qwb * wqz - qxb * wqy + qyb * wqx - qzb * ww
+                S = quat_to_R(sw, sx_, sy_, sz_)
+
+                def Sv(v):
+                    """S @ v for a static 3-vector v."""
+                    return (S[0][0] * v[0] + S[0][1] * v[1]
+                            + S[0][2] * v[2],
+                            S[1][0] * v[0] + S[1][1] * v[1]
+                            + S[1][2] * v[2],
+                            S[2][0] * v[0] + S[2][1] * v[1]
+                            + S[2][2] * v[2])
+
+                def STc(cx_, cy_, cz_):
+                    """S^T @ c for per-lane c."""
+                    return (S[0][0] * cx_ + S[1][0] * cy_
+                            + S[2][0] * cz_,
+                            S[0][1] * cx_ + S[1][1] * cy_
+                            + S[2][1] * cz_,
+                            S[0][2] * cx_ + S[1][2] * cy_
+                            + S[2][2] * cz_)
+
+                def supports(cx_, cy_, cz_):
+                    """min/max over the static vertex table of c.v."""
+                    lo = hi = None
+                    for k in range(NV):
+                        p = (cx_ * float(V[k, 0]) + cy_ * float(V[k, 1])
+                             + cz_ * float(V[k, 2]))
+                        lo = p if lo is None else jnp.minimum(lo, p)
+                        hi = p if hi is None else jnp.maximum(hi, p)
+                    return lo, hi
+
+                sep = jnp.zeros((nz, ny, NXC), bool)
+                # A's face normals (static in A frame)
+                for i_f in range(NF):
+                    n = Fn[i_f]
+                    t = (drx * float(n[0]) + dry * float(n[1])
+                         + drz * float(n[2]))
+                    cb = STc(f32(float(n[0])), f32(float(n[1])),
+                             f32(float(n[2])))
+                    loB, hiB = supports(*cb)
+                    sep = sep | (float(loA_f[i_f])
+                                 > t + hiB + EPS) \
+                        | (t + loB > float(hiA_f[i_f]) + EPS)
+                # B's face normals (static in B frame -> S-mapped)
+                for j_f in range(NF):
+                    cA = Sv(tuple(float(x) for x in Fn[j_f]))
+                    t = drx * cA[0] + dry * cA[1] + drz * cA[2]
+                    loA, hiA = supports(*cA)
+                    # B supports along its own face normal are static
+                    loB = float(loA_f[j_f])
+                    hiB = float(hiA_f[j_f])
+                    sep = sep | (loA > t + hiB + EPS) \
+                        | (t + loB > hiA + EPS)
+                # edge-cross axes
+                SE = [Sv(tuple(float(x) for x in Ed[j_e]))
+                      for j_e in range(NE)]
+                for i_e in range(NE):
+                    e = tuple(float(x) for x in Ed[i_e])
+                    for j_e in range(NE):
+                        b = SE[j_e]
+                        cx_ = e[1] * b[2] - e[2] * b[1]
+                        cy_ = e[2] * b[0] - e[0] * b[2]
+                        cz_ = e[0] * b[1] - e[1] * b[0]
+                        t = drx * cx_ + dry * cy_ + drz * cz_
+                        loA, hiA = supports(cx_, cy_, cz_)
+                        cb = STc(cx_, cy_, cz_)
+                        loB, hiB = supports(*cb)
+                        sep = sep | (loA > t + hiB + EPS) \
+                            | (t + loB > hiA + EPS)
+                ind = (~sep).astype(f32) * wl
+                is_center = (i == c_center).astype(f32)
+                ind = ind * (1.0 - is_center * onehot)
+                return oc + ind
+
+            oc = jax.lax.fori_loop(0, 27, offset_body, oc0)
+            occ_c = gsum(oc)
+
+            acc_c = (pmask_c & has_c & (occ_c < 0.5)).astype(f32)
+            acc_b = bcast(acc_c)
+            sel = onehot * acc_b
+            opx_ref[:] = cpx + sel * (nxb - cpx)
+            opy_ref[:] = cpy + sel * (nyb - cpy)
+            opz_ref[:] = cpz + sel * (nzb - cpz)
+            oqw_ref[:] = cqw + sel * (qwb - cqw)
+            oqx_ref[:] = cqx + sel * (qxb - cqx)
+            oqy_ref[:] = cqy + sel * (qyb - cqy)
+            oqz_ref[:] = cqz + sel * (qzb - cqz)
+
+            tr_c = pmask_c & has_c
+            rot_f = do_rot > 0
+            cnt_ref[0] = cnt_ref[0] + jnp.sum(
+                (acc_c > 0) & ~rot_f, dtype=jnp.int32)
+            cnt_ref[1] = cnt_ref[1] + jnp.sum(
+                tr_c & ~rot_f, dtype=jnp.int32)
+            cnt_ref[2] = cnt_ref[2] + jnp.sum(
+                (acc_c > 0) & rot_f, dtype=jnp.int32)
+            cnt_ref[3] = cnt_ref[3] + jnp.sum(
+                tr_c & rot_f, dtype=jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, R * 8, sub_sweep, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nz, ny, NXC), f32)] * 7
+            + [jax.ShapeDtypeStruct((4,), jnp.int32)]),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=tuple(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(perms.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)),
+      jnp.asarray(shifts_np),
+      mp.astype(f32),
+      px, py, pz, qw, qx, qy, qz, live, randu.astype(f32))
+    return out

@@ -556,12 +556,21 @@ class System:
         # chain-topology detection happens BEFORE grid planning: the
         # in-kernel angle extraction OOMs VMEM at C = 40 tiles, so
         # angle-bearing chain configs plan with a C cap
+        # the in-kernel chain-bonded path is OFF by default: measured on
+        # TPU v5e at the Kremer-Grest benchmark statepoint, the compiled
+        # chain megastep produces NaN positions right after a dt change
+        # (wmax=nan, cmiss+danger together) while the interpret-mode
+        # oracle passes — a compiled-Mosaic-only defect — and each of
+        # its plan variants costs a 5-20 minute Mosaic compile at 32k.
+        # The tag-space bonded path (one_step) is correct and measured
+        # at 6.9M pss on the same config.  HOOMD_TPU_CHAIN=on re-enables
+        # the kernel for debugging.
         chain_cfg = None
         if (bonded_objs and len(self.particle_types) == 1
                 and charged is None
                 and self.real_dtype == jnp.float32
                 and not self._grow.get('fast_chain_off')
-                and os.environ.get('HOOMD_TPU_CHAIN', 'on') != 'off'):
+                and os.environ.get('HOOMD_TPU_CHAIN', 'off') == 'on'):
             chain_cfg = self._chain_cfg_for_kernel(bonded_objs,
                                                    excl_pairs)
         # overflow-driven cap: repeated capacity overflows force finer

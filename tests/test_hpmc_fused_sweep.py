@@ -99,3 +99,30 @@ def test_fused_dense_liquid_acceptance():
     acc = int(c['translate_accept'])
     rej = int(c['translate_reject'])
     assert acc > 0 and rej > 0          # veto fires, moves happen
+
+
+def test_fused_convex_polyhedron_validity():
+    """Fused SAT sweep for cubes: translations + rotations at phi=0.5
+    with large moves, validated sweep-by-sweep against the independent
+    gather-path SAT (count_overlaps)."""
+    import hoomd_tpu as hoomd
+    from hoomd_tpu import hpmc
+    hoomd.context.initialize("--notice-level=0")
+    phi = 0.5
+    a = (1.0 / phi) ** (1.0 / 3.0)
+    hoomd.init.create_lattice(unitcell=hoomd.lattice.sc(a=a), n=4)
+    system = hoomd.context.current.system
+    mc = hpmc.integrate.convex_polyhedron(seed=11, d=0.25, a=0.4)
+    verts = 0.5 * np.array([[sx, sy, sz] for sx in (-1, 1)
+                            for sy in (-1, 1) for sz in (-1, 1)])
+    mc.shape_param.set('A', vertices=verts)
+    q0 = np.asarray(system.take_snapshot().particles.orientation).copy()
+    for _ in range(4):
+        hoomd.run(1, quiet=True)
+        assert mc.count_overlaps() == 0
+    assert system._program.get('fused')
+    c = mc.get_counters()
+    assert int(c['translate_accept']) > 0
+    assert int(c['rotate_accept']) > 0
+    q1 = np.asarray(system.take_snapshot().particles.orientation)
+    assert np.abs(q1 - q0).max() > 0.01
