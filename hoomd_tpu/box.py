@@ -84,10 +84,19 @@ class Box:
         return jnp.stack([fx, fy, fz], axis=-1) + 0.5
 
     def from_fraction(self, f):
-        """Inverse of make_fraction: box fraction -> cartesian position."""
+        """Inverse of make_fraction: box fraction -> cartesian position.
+
+        ELEMENTWISE on purpose: `g @ h.T` is a matmul, and the TPU MXU
+        runs f32 matmuls as single-pass bf16 — positions would quantize
+        to ~8 mantissa bits (measured 0.0185 sigma on a 34.7 sigma box).
+        """
         g = f - 0.5
-        h = self.lattice_vectors()
-        return g @ h.T
+        Lx, Ly, Lz = self.L[0], self.L[1], self.L[2]
+        xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+        x = g[..., 0] * Lx + g[..., 1] * xy * Ly + g[..., 2] * xz * Lz
+        y = g[..., 1] * Ly + g[..., 2] * yz * Lz
+        z = g[..., 2] * Lz
+        return jnp.stack([x, y, z], axis=-1)
 
     def min_image(self, dr):
         """Nearest periodic image of displacement vectors (BoxDim::minImage).
@@ -114,11 +123,23 @@ class Box:
 
     def wrap(self, pos, image):
         """Wrap positions into the box, accumulating image flags
-        (BoxDim::wrap semantics)."""
+        (BoxDim::wrap semantics).
+
+        The lattice-vector combination is ELEMENTWISE, not `shift @
+        h.T`: the TPU MXU lowers f32 matmuls to single-pass bf16, so
+        the matmul form subtracts a bf16-ROUNDED box length — every
+        boundary crossing kicked the particle by ~L*2^-9 (measured
+        0.0185 sigma at L=34.7), a steady energy injection that sent
+        the 32k Kremer-Grest benchmark into a FENE blowup."""
         f = self.make_fraction(pos)
         shift = jnp.where(self.periodic, jnp.floor(f), 0.0)
-        h = self.lattice_vectors()
-        new_pos = pos - shift @ h.T
+        Lx, Ly, Lz = self.L[0], self.L[1], self.L[2]
+        xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+        sx = (shift[..., 0] * Lx + shift[..., 1] * xy * Ly
+              + shift[..., 2] * xz * Lz)
+        sy = shift[..., 1] * Ly + shift[..., 2] * yz * Lz
+        sz = shift[..., 2] * Lz
+        new_pos = pos - jnp.stack([sx, sy, sz], axis=-1)
         new_image = image + shift.astype(image.dtype)
         return new_pos, new_image
 

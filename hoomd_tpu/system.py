@@ -1519,8 +1519,14 @@ class System:
                         # for each rung)
                         import math as _math
                         wm = max(float(fl[3]), 1.0)
-                        m_tgt = max(int(m_now * 0.8 / _math.sqrt(wm)),
-                                    1)
+                        if _math.isnan(wm):
+                            # diverged dynamics report wmax=nan; back
+                            # off maximally instead of crashing on
+                            # int(nan)
+                            wm = float('inf')
+                        m_tgt = max(
+                            int(m_now * 0.8 / _math.sqrt(wm))
+                            if _math.isfinite(wm) else 1, 1)
                         m_tgt = min(m_tgt, m_now - 1)
                         if self._grow.get('fast_m_pinned'):
                             # a re-probe of an already-measured edge
