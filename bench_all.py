@@ -199,16 +199,21 @@ def config4_pppm_fluid():
     md.integrate.mode_standard(dt=0.005)
     md.integrate.nvt(group=hoomd.group.all(), kT=1.0, tau=0.5)
     system.run(300, quiet=True)
-    steps = 500
+    for _ in range(4):                       # cadence warmup
+        system.run(512, quiet=True)
+    steps = 1000
     el = _timed(system, steps)
     pss = steps / el * N
     q = system.thermo_quantities()
+    fast = system._program.get('fast')
     return {
         "metric": "pppm_fluid_4k_particle_steps_per_sec",
         "value": pss, "unit": "particle-steps/s/chip",
         "vs_baseline": pss / NORTH_STAR,
         "extra": {"N": N, "tps": steps / el, "steps": steps,
-                  "temperature": q['temperature']},
+                  "temperature": q['temperature'],
+                  "fast_engine": bool(fast),
+                  "fast_eval": fast.get('eval_name') if fast else None},
     }
 
 

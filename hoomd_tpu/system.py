@@ -585,7 +585,12 @@ class System:
         # README bench spent >90% of its walltime compiling variants,
         # 0.5M pss vs ~10M steady)
         small_N = N < 4096
-        if small_N:
+        if small_N or charged is not None:
+            # charged configs start on lattice-like states (electrolyte
+            # crystals) whose commensurate packing overflows the brave
+            # capacity model; the replan ladder costs Mosaic compiles
+            # that dwarf the slots saved (measured: config-4's bench
+            # window spent most of its time in ovf retries)
             conservative = True
         # STATE-AWARE planning: the dense-liquid capacity margin
         # assumes liquid count statistics, but the CURRENT
