@@ -1343,12 +1343,23 @@ class convex_polyhedron(_aniso_hpmc):
             # degenerate cross products (parallel edges): harmless — the
             # axis is ~0 so both intervals collapse to ~0 and never
             # separate; real separating axes are always among the rest
-            # support intervals: A centered at dr, B at origin
+            # support intervals: A centered at dr, B at origin.
+            # Precision.HIGHEST (bf16x3): these einsums hit the MXU,
+            # whose single-pass bf16 quantizes the projections to ~8
+            # mantissa bits — measured as 56 PHANTOM overlaps (depth
+            # ~1e-3, f64 SAT says zero) on a valid N=4096 cube config
+            # on TPU, which would invalidate EOS gates and falsely
+            # veto moves
+            import jax as _jax
+            HI = _jax.lax.Precision.HIGHEST
             pa = jnp.einsum('...ak,...vk->...av', axes,
                             jnp.broadcast_to(
-                                vi, axes.shape[:-2] + vi.shape[-2:]))
-            pb = jnp.einsum('...ak,...vk->...av', axes, vj)
-            da = jnp.einsum('...ak,...k->...a', axes, dr)
+                                vi, axes.shape[:-2] + vi.shape[-2:]),
+                            precision=HI)
+            pb = jnp.einsum('...ak,...vk->...av', axes, vj,
+                            precision=HI)
+            da = jnp.einsum('...ak,...k->...a', axes, dr,
+                            precision=HI)
             a_lo = jnp.min(pa, axis=-1) + da
             a_hi = jnp.max(pa, axis=-1) + da
             b_lo = jnp.min(pb, axis=-1)
@@ -1530,11 +1541,16 @@ class convex_polygon(_aniso_hpmc):
             axes = jnp.concatenate(
                 [jnp.broadcast_to(ni, nj.shape[:-2] + ni.shape[-2:]),
                  nj], axis=-2)
+            import jax as _jax
+            HI = _jax.lax.Precision.HIGHEST
+            # bf16x3: MXU einsum quantization creates phantom overlaps
             pa = jnp.einsum('...ak,...vk->...av', axes,
                             jnp.broadcast_to(
-                                vi, axes.shape[:-2] + vi.shape[-2:]))
-            pb = jnp.einsum('...ak,...vk->...av', axes, vj)
-            da = jnp.einsum('...ak,...k->...a', axes, dr)
+                                vi, axes.shape[:-2] + vi.shape[-2:]),
+                            precision=HI)
+            pb = jnp.einsum('...ak,...vk->...av', axes, vj,
+                            precision=HI)
+            da = jnp.einsum('...ak,...k->...a', axes, dr, precision=HI)
             sep = ((jnp.min(pa, -1) + da > jnp.max(pb, -1) + 1e-7)
                    | (jnp.min(pb, -1) > jnp.max(pa, -1) + da + 1e-7))
             return ~jnp.any(sep, axis=-1)

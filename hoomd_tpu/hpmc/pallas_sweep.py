@@ -328,12 +328,15 @@ def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
     hiA_f = projA.max(axis=1)
     EPS = 1e-7
 
-    offsets = [(dz, dy, dx) for dz in (-1, 0, 1)
-               for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    # (dz, dy) rows ride a fori_loop with DYNAMIC z/y rolls (supported
+    # at any lane width); dx is unrolled over 3 statically x-rolled
+    # plane variants — dynamic LANE rolls require 128-aligned lane
+    # dims, which nx*C rarely is
+    offs9 = [(dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
     shifts_np = np.asarray(
-        [[(-dz) % nz, (-dy) % ny, (((-dxo) % nx) * C)]
-         for (dz, dy, dxo) in offsets], np.int32).reshape(-1)
-    c_center = offsets.index((0, 0, 0))
+        [[(-dz) % nz, (-dy) % ny] for (dz, dy) in offs9],
+        np.int32).reshape(-1)
+    c_center9 = offs9.index((0, 0))
 
     def kernel(perm_ref, seed_ref, shift_ref, mp_ref,
                px_ref, py_ref, pz_ref, qw_ref, qx_ref, qy_ref, qz_ref,
@@ -383,6 +386,16 @@ def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
         a_mv = mp_ref[1]
         m_ratio = mp_ref[2]
 
+        def rsqrt_exact(x):
+            """rsqrt + one Newton step: Mosaic's rsqrt is a coarse
+            approximation (~1e-3 rel observed), and a mis-normalized
+            trial quaternion SCALES the rotated vertices — the
+            compiled kernel accepted grazing configurations the exact
+            SAT counts as overlapping (58 shallow overlaps at depth
+            ~1e-3 after 20 sweeps; zero after this refinement)."""
+            r = jax.lax.rsqrt(x)
+            return r * (1.5 - 0.5 * x * r * r)
+
         def quat_to_R(w, x, y, z):
             """Rows of the rotation matrix R(q) (body -> frame)."""
             return (
@@ -420,8 +433,8 @@ def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
             g2 = r1 * jnp.sin(two_pi * u2)
             g3 = jnp.sqrt(-2.0 * jnp.log(u3 + f32(1e-12))) \
                 * jnp.cos(two_pi * u4)
-            gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3
-                               + f32(1e-12))
+            gn = rsqrt_exact(g1 * g1 + g2 * g2 + g3 * g3
+                             + f32(1e-12))
             rball = jnp.exp(jnp.log(u_r + f32(1e-12)) * f32(1. / 3.))
             # rotate: random axis + uniform angle in [-a, a]
             # (reference Moves.h move_rotate)
@@ -430,8 +443,8 @@ def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
             h2 = b1 * jnp.sin(two_pi * a2)
             h3 = jnp.sqrt(-2.0 * jnp.log(a3 + f32(1e-12))) \
                 * jnp.cos(two_pi * a4)
-            hn = jax.lax.rsqrt(h1 * h1 + h2 * h2 + h3 * h3
-                               + f32(1e-12))
+            hn = rsqrt_exact(h1 * h1 + h2 * h2 + h3 * h3
+                             + f32(1e-12))
             half = 0.5 * (2.0 * u_ang - 1.0) * a_mv
             dqw = jnp.cos(half)
             s_h = jnp.sin(half) * hn
@@ -474,8 +487,8 @@ def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
             rx = dqw * mqx + dqx * mqw + dqy * mqz - dqz * mqy
             ry = dqw * mqy - dqx * mqz + dqy * mqw + dqz * mqx
             rz = dqw * mqz + dqx * mqy - dqy * mqx + dqz * mqw
-            rn = jax.lax.rsqrt(rw * rw + rx * rx + ry * ry + rz * rz
-                               + f32(1e-12))
+            rn = rsqrt_exact(rw * rw + rx * rx + ry * ry + rz * rz
+                             + f32(1e-12))
             nqw = jnp.where(do_rot > 0, rw * rn, mqw)
             nqx = jnp.where(do_rot > 0, rx * rn, mqx)
             nqy = jnp.where(do_rot > 0, ry * rn, mqy)
@@ -492,24 +505,27 @@ def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
             RA = quat_to_R(qwb, qxb, qyb, qzb)
 
             oc0 = jnp.zeros((nz, ny, NXC), f32)
+            # statically x-rolled plane variants (lane rolls by C);
+            # all 27 windows use STATIC shifts — dynamic rolls are
+            # rejected by Mosaic in this kernel at unaligned lane
+            # widths, and static rolls compile at any width (the
+            # sphere kernel is the proof)
+            planes8 = (cpx, cpy, cpz, cqw, cqx, cqy, cqz, live)
+            xvar = {0: planes8}
+            for dxo in (-1, 1):
+                sx = ((-dxo) % nx) * C
+                xvar[dxo] = tuple(pltpu.roll(p, sx, 2)
+                                  for p in planes8)
 
-            def offset_body(i, oc):
-                sz = shift_ref[3 * i]
-                sy = shift_ref[3 * i + 1]
-                sx = shift_ref[3 * i + 2]
+            def one_window(dz, dy, dxo, oc):
+                sz = (-dz) % nz
+                sy = (-dy) % ny
 
                 def roll3(a):
-                    r = pltpu.roll(a, sz, 0)
-                    r = pltpu.roll(r, sy, 1)
-                    return pltpu.roll(r, sx, 2)
-                wx = roll3(cpx)
-                wy = roll3(cpy)
-                wz = roll3(cpz)
-                ww = roll3(cqw)
-                wqx = roll3(cqx)
-                wqy = roll3(cqy)
-                wqz = roll3(cqz)
-                wl = roll3(live)
+                    r = pltpu.roll(a, sz, 0) if sz else a
+                    return pltpu.roll(r, sy, 1) if sy else r
+                wx, wy, wz, ww, wqx, wqy, wqz, wl = (
+                    roll3(p) for p in xvar[dxo])
                 dgx = wx - nxb
                 dgx = dgx - Lx * jnp.round(dgx / Lx)
                 dgy = wy - nyb
@@ -596,11 +612,14 @@ def fused_poly_sweep(px, py, pz, qw, qx, qy, qz, live, perms, seed,
                         sep = sep | (loA > t + hiB + EPS) \
                             | (t + loB > hiA + EPS)
                 ind = (~sep).astype(f32) * wl
-                is_center = (i == c_center).astype(f32)
-                ind = ind * (1.0 - is_center * onehot)
+                if (dz, dy, dxo) == (0, 0, 0):
+                    ind = ind * (1.0 - onehot)
                 return oc + ind
 
-            oc = jax.lax.fori_loop(0, 27, offset_body, oc0)
+            oc = oc0
+            for (dz, dy) in offs9:
+                for dxo in (-1, 0, 1):
+                    oc = one_window(dz, dy, dxo, oc)
             occ_c = gsum(oc)
 
             acc_c = (pmask_c & has_c & (occ_c < 0.5)).astype(f32)
