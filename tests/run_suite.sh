@@ -8,20 +8,44 @@
 # per-process compile count) grows — round 3's judge saw a batch of 6
 # die in backend_compile_and_load after 47 green tests; validation runs
 # in its own batch at the end.
+#
+# Batches run CONCURRENTLY up to SUITE_JOBS at a time (default: one job
+# per 2 cores, min 1).  Suite wall-time is compile-dominated, so on a
+# multi-core host J concurrent batches cut wall time ~J-fold; on a
+# 1-core host this degenerates to the old sequential behavior.  Each
+# batch logs to its own file so output never interleaves.
 cd "$(dirname "$0")/.."
 export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
        XLA_FLAGS=--xla_force_host_platform_device_count=8
 FILES=($(ls tests/test_*.py | grep -v test_validation | sort))
 N=${#FILES[@]}
 B=9
+NC=$(nproc 2>/dev/null || echo 1)
+JOBS=${SUITE_JOBS:-$(( NC / 2 > 0 ? NC / 2 : 1 ))}
+LOGDIR=$(mktemp -d /tmp/hoomd_tpu_suite.XXXXXX)
 fail=0
+RUNNING=()
 for ((b=0; b<B; b++)); do
   BATCH=()
   for ((i=b; i<N; i+=B)); do
     BATCH+=("${FILES[$i]}")
   done
-  echo "=== batch $((b+1))/$B: ${BATCH[@]} ==="
-  python -m pytest "${BATCH[@]}" -q -p no:cacheprovider || fail=1
+  echo "=== batch $((b+1))/$B queued: ${BATCH[@]} ==="
+  python -m pytest "${BATCH[@]}" -q -p no:cacheprovider \
+      > "$LOGDIR/batch$((b+1)).log" 2>&1 &
+  RUNNING+=($!)
+  # throttle to JOBS concurrent batches (wait each pid exactly once)
+  if (( ${#RUNNING[@]} >= JOBS )); then
+    wait "${RUNNING[0]}" || fail=1
+    RUNNING=("${RUNNING[@]:1}")
+  fi
+done
+for pid in "${RUNNING[@]}"; do
+  wait "$pid" || fail=1
+done
+for ((b=0; b<B; b++)); do
+  echo "=== batch $((b+1))/$B results ==="
+  cat "$LOGDIR/batch$((b+1)).log"
 done
 echo "=== batch 10/10: tests/test_validation.py ==="
 python -m pytest tests/test_validation.py -q -p no:cacheprovider || fail=1
