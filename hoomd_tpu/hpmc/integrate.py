@@ -659,6 +659,13 @@ class mode_hpmc:
             }
             return state.replace(pos=new_pos, orientation=new_q), counters
 
+        # HOOMD_TPU_HPMC_REBIN=subsweep re-bins before EVERY sub-sweep
+        # instead of once per 8-class round — the reference semantics
+        # the hoisted binning must match (tests/test_hpmc_fused_sweep.py
+        # asserts validity + acceptance parity of the two)
+        rebin_subsweep = (os.environ.get('HOOMD_TPU_HPMC_REBIN', 'round')
+                          == 'subsweep')
+
         def one_sweep(state, counters, hdyn):
             key = step_key(hdyn['seed'], state.timestep, salt=23)
             nsel = max(1, n_sub // 8)
@@ -675,8 +682,14 @@ class mode_hpmc:
 
                 def body(k, carry2):
                     st, ct = carry2
+                    cl = cell_list
+                    if rebin_subsweep:
+                        _, cl, ovf_k = cells_ops.bin_particles(
+                            st.pos, st.box, cell_dim, cell_cap)
+                        ct = dict(ct)
+                        ct['cell_overflow'] = ct['cell_overflow'] | ovf_k
                     return sub_sweep(st, ct, r * 8 + k, perm[k], hdyn,
-                                     cell_list)
+                                     cl)
                 return jax.lax.fori_loop(0, 8, body, (state, counters))
             state, counters = jax.lax.fori_loop(
                 0, nsel, round_body, (state, counters))
